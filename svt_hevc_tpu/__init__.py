@@ -1,0 +1,23 @@
+"""svt_hevc_tpu — a TPU-native HEVC (H.265) encoder built from scratch.
+
+A JAX/XLA/Pallas re-design of the capabilities of SVT-HEVC
+(reference: OpenVisualCloud/SVT-HEVC). The pixel-parallel compute path
+(analysis, intra/inter prediction, transforms, quantization, in-loop
+filters, distortion metrics) runs as batched JAX/Pallas programs on TPU;
+the irreducibly sequential entropy layer (CABAC bin coding) runs on the
+host (Python reference backend + native C backend), tile-parallel, exactly
+mirroring the reference's per-tile entropy design
+(reference: Source/Lib/Codec/EbEntropyCodingProcess.c:313).
+
+Public API (analogue of Source/API/EbApi.h):
+    from svt_hevc_tpu import Encoder, EncoderConfig
+    enc = Encoder(EncoderConfig(width=..., height=..., qp=32))
+    stream: bytes = enc.encode(frames)         # Annex-B byte stream
+"""
+
+from .config import EncoderConfig
+from .pipeline.encoder import Encoder
+
+__version__ = "0.1.0"
+
+__all__ = ["Encoder", "EncoderConfig", "__version__"]

@@ -1,0 +1,348 @@
+"""High-level syntax: VPS / SPS / PPS / slice segment header (H.265 7.3.2-7.3.6).
+
+Writers are used by the encoder's packetization stage (analogue of
+reference: Source/Lib/Codec/EbEntropyCoding.c CodeVPS/CodeSPS/CodePPS/
+CodeSliceHeader :5357,:5931,:6167,:6441); parsers feed the conformance
+decoder in svt_hevc_tpu.decoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import EncoderConfig
+from .bitwriter import BitReader, BitWriter
+
+GENERAL_LEVEL_IDC = 120  # level 4.0 default; TODO: derive from level tables
+                         # (reference: EbEncHandle.c:69-76)
+
+
+# --------------------------------------------------------------------- writers
+
+def _write_profile_tier_level(w: BitWriter, max_sub_layers_minus1: int = 0) -> None:
+    """profile_tier_level() for Main profile (H.265 7.3.3)."""
+    w.u(0, 2)            # general_profile_space
+    w.flag(0)            # general_tier_flag
+    w.u(1, 5)            # general_profile_idc = Main
+    for i in range(32):  # general_profile_compatibility_flag[i]
+        w.flag(i in (1, 2))   # Main + Main10 compatible
+    w.flag(1)            # general_progressive_source_flag
+    w.flag(0)            # general_interlaced_source_flag
+    w.flag(0)            # general_non_packed_constraint_flag
+    w.flag(1)            # general_frame_only_constraint_flag
+    w.u(0, 32)           # general_reserved_zero_43bits (part 1)
+    w.u(0, 11)           # general_reserved_zero_43bits (part 2)
+    w.flag(0)            # general_reserved_zero_bit / inbld
+    w.u(GENERAL_LEVEL_IDC, 8)
+    assert max_sub_layers_minus1 == 0
+
+
+def write_vps(cfg: EncoderConfig) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)            # vps_video_parameter_set_id
+    w.flag(1)            # vps_base_layer_internal_flag
+    w.flag(1)            # vps_base_layer_available_flag
+    w.u(0, 6)            # vps_max_layers_minus1
+    w.u(0, 3)            # vps_max_sub_layers_minus1
+    w.flag(1)            # vps_temporal_id_nesting_flag
+    w.u(0xFFFF, 16)      # vps_reserved_0xffff_16bits
+    _write_profile_tier_level(w)
+    w.flag(1)            # vps_sub_layer_ordering_info_present_flag
+    w.ue(1)              # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)              # vps_max_num_reorder_pics[0]
+    w.ue(0)              # vps_max_latency_increase_plus1[0]
+    w.u(0, 6)            # vps_max_layer_id
+    w.ue(0)              # vps_num_layer_sets_minus1
+    w.flag(0)            # vps_timing_info_present_flag
+    w.flag(0)            # vps_extension_flag
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
+
+
+def write_sps(cfg: EncoderConfig) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)            # sps_video_parameter_set_id
+    w.u(0, 3)            # sps_max_sub_layers_minus1
+    w.flag(1)            # sps_temporal_id_nesting_flag
+    _write_profile_tier_level(w)
+    w.ue(0)              # sps_seq_parameter_set_id
+    w.ue(cfg.chroma_format)   # chroma_format_idc (1 = 4:2:0)
+    w.ue(cfg.coded_width)     # pic_width_in_luma_samples
+    w.ue(cfg.coded_height)
+    crop = cfg.conf_win_right or cfg.conf_win_bottom
+    w.flag(1 if crop else 0)  # conformance_window_flag
+    if crop:
+        w.ue(0)                    # conf_win_left_offset
+        w.ue(cfg.conf_win_right)   # conf_win_right_offset (chroma units)
+        w.ue(0)                    # conf_win_top_offset
+        w.ue(cfg.conf_win_bottom)
+    w.ue(cfg.bit_depth - 8)   # bit_depth_luma_minus8
+    w.ue(cfg.bit_depth - 8)   # bit_depth_chroma_minus8
+    w.ue(4)              # log2_max_pic_order_cnt_lsb_minus4 -> 8 bits of POC lsb
+    w.flag(1)            # sps_sub_layer_ordering_info_present_flag
+    w.ue(1)              # sps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)              # sps_max_num_reorder_pics[0]
+    w.ue(0)              # sps_max_latency_increase_plus1[0]
+    w.ue(0)              # log2_min_luma_coding_block_size_minus3 -> MinCbSizeY=8
+    w.ue(cfg.ctb_log2 - 3)    # log2_diff_max_min_luma_coding_block_size
+    w.ue(0)              # log2_min_luma_transform_block_size_minus2 -> 4
+    w.ue(3)              # log2_diff_max_min_luma_transform_block_size -> max TU 32
+    w.ue(0)              # max_transform_hierarchy_depth_inter
+    w.ue(0)              # max_transform_hierarchy_depth_intra
+    w.flag(0)            # scaling_list_enabled_flag
+    w.flag(0)            # amp_enabled_flag
+    w.flag(1 if cfg.enable_sao else 0)  # sample_adaptive_offset_enabled_flag
+    w.flag(0)            # pcm_enabled_flag
+    w.ue(0)              # num_short_term_ref_pic_sets
+    w.flag(0)            # long_term_ref_pics_present_flag
+    w.flag(0)            # sps_temporal_mvp_enabled_flag
+    w.flag(0)            # strong_intra_smoothing_enabled_flag
+    w.flag(0)            # vui_parameters_present_flag
+    w.flag(0)            # sps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
+
+
+def write_pps(cfg: EncoderConfig) -> bytes:
+    w = BitWriter()
+    w.ue(0)              # pps_pic_parameter_set_id
+    w.ue(0)              # pps_seq_parameter_set_id
+    w.flag(0)            # dependent_slice_segments_enabled_flag
+    w.flag(0)            # output_flag_present_flag
+    w.u(0, 3)            # num_extra_slice_header_bits
+    w.flag(0)            # sign_data_hiding_enabled_flag
+    w.flag(0)            # cabac_init_present_flag
+    w.ue(0)              # num_ref_idx_l0_default_active_minus1
+    w.ue(0)              # num_ref_idx_l1_default_active_minus1
+    w.se(0)              # init_qp_minus26
+    w.flag(1 if cfg.constrained_intra else 0)  # constrained_intra_pred_flag
+    w.flag(0)            # transform_skip_enabled_flag
+    w.flag(0)            # cu_qp_delta_enabled_flag
+    w.se(0)              # pps_cb_qp_offset
+    w.se(0)              # pps_cr_qp_offset
+    w.flag(0)            # pps_slice_chroma_qp_offsets_present_flag
+    w.flag(0)            # weighted_pred_flag
+    w.flag(0)            # weighted_bipred_flag
+    w.flag(0)            # transquant_bypass_enabled_flag
+    w.flag(0)            # tiles_enabled_flag
+    w.flag(0)            # entropy_coding_sync_enabled_flag
+    w.flag(1)            # pps_loop_filter_across_slices_enabled_flag
+    w.flag(1)            # deblocking_filter_control_present_flag
+    w.flag(0)            #   deblocking_filter_override_enabled_flag
+    w.flag(0 if cfg.enable_deblocking else 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.enable_deblocking:
+        w.se(0)          # pps_beta_offset_div2
+        w.se(0)          # pps_tc_offset_div2
+    w.flag(0)            # pps_scaling_list_data_present_flag
+    w.flag(0)            # lists_modification_present_flag
+    w.ue(0)              # log2_parallel_merge_level_minus2
+    w.flag(0)            # slice_segment_header_extension_present_flag
+    w.flag(0)            # pps_extension_present_flag
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
+
+
+def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True,
+                       poc: int = 0) -> BitWriter:
+    """Write the slice segment header; returns the open BitWriter so slice
+    data (CABAC payload) can be appended after byte alignment."""
+    w = BitWriter()
+    w.flag(1)            # first_slice_segment_in_pic_flag
+    if is_idr:
+        w.flag(0)        # no_output_of_prior_pics_flag
+    w.ue(0)              # slice_pic_parameter_set_id
+    w.ue(2)              # slice_type = I
+    if not is_idr:
+        raise NotImplementedError("non-IDR slices need POC/RPS signalling")
+    w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
+    # deblocking override disabled + SAO off + no tiles -> nothing else
+    # byte_alignment() before slice data
+    w.flag(1)            # alignment_bit_equal_to_one
+    w.byte_align()
+    return w
+
+
+# --------------------------------------------------------------------- parsers
+
+@dataclass
+class Sps:
+    chroma_format_idc: int = 1
+    width: int = 0               # pic_width_in_luma_samples
+    height: int = 0
+    conf_win: tuple = (0, 0, 0, 0)   # left, right, top, bottom (chroma units)
+    bit_depth: int = 8
+    log2_max_poc_lsb: int = 8
+    log2_min_cb: int = 3
+    log2_ctb: int = 6
+    log2_min_tb: int = 2
+    log2_max_tb: int = 5
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    amp_enabled: bool = False
+    sao_enabled: bool = False
+    scaling_list_enabled: bool = False
+    pcm_enabled: bool = False
+    strong_intra_smoothing: bool = False
+
+
+@dataclass
+class Pps:
+    init_qp: int = 26
+    constrained_intra: bool = False
+    transform_skip: bool = False
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    slice_chroma_qp_offsets_present: bool = False
+    sign_data_hiding: bool = False
+    cabac_init_present: bool = False
+    transquant_bypass: bool = False
+    tiles_enabled: bool = False
+    entropy_coding_sync: bool = False
+    deblocking_disabled: bool = True
+    deblocking_control_present: bool = False
+    deblocking_override_enabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    loop_filter_across_slices: bool = True
+
+
+@dataclass
+class SliceHeader:
+    slice_type: int = 2
+    slice_qp: int = 26
+    is_idr: bool = True
+    poc: int = 0
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    data_bit_offset: int = 0     # bit offset of slice data in the RBSP
+
+
+def _parse_profile_tier_level(r: BitReader, max_sub_layers_minus1: int = 0) -> None:
+    r.u(2 + 1 + 5)
+    r.u(32)
+    r.u(4)
+    r.u(32)
+    r.u(12)
+    r.u(8)   # level idc
+
+
+def parse_sps(rbsp: bytes) -> Sps:
+    r = BitReader(rbsp)
+    s = Sps()
+    r.u(4)                       # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.flag()                     # temporal_id_nesting
+    _parse_profile_tier_level(r, max_sub_layers_minus1)
+    r.ue()                       # sps_seq_parameter_set_id
+    s.chroma_format_idc = r.ue()
+    if s.chroma_format_idc == 3:
+        r.flag()                 # separate_colour_plane_flag
+    s.width = r.ue()
+    s.height = r.ue()
+    if r.flag():                 # conformance_window_flag
+        s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
+    s.bit_depth = 8 + r.ue()
+    r.ue()                       # bit_depth_chroma_minus8
+    s.log2_max_poc_lsb = 4 + r.ue()
+    sub_layer_ordering = r.flag()
+    for _ in range((max_sub_layers_minus1 + 1) if sub_layer_ordering else 1):
+        r.ue(); r.ue(); r.ue()
+    s.log2_min_cb = 3 + r.ue()
+    s.log2_ctb = s.log2_min_cb + r.ue()
+    s.log2_min_tb = 2 + r.ue()
+    s.log2_max_tb = s.log2_min_tb + r.ue()
+    s.max_transform_hierarchy_depth_inter = r.ue()
+    s.max_transform_hierarchy_depth_intra = r.ue()
+    s.scaling_list_enabled = r.flag()
+    if s.scaling_list_enabled:
+        raise NotImplementedError("scaling lists")
+    s.amp_enabled = r.flag()
+    s.sao_enabled = r.flag()
+    s.pcm_enabled = r.flag()
+    if s.pcm_enabled:
+        raise NotImplementedError("PCM")
+    num_st_rps = r.ue()
+    if num_st_rps:
+        raise NotImplementedError("short-term RPS parsing")
+    if r.flag():
+        raise NotImplementedError("long-term ref pics")
+    r.flag()                     # sps_temporal_mvp_enabled_flag
+    s.strong_intra_smoothing = r.flag()
+    # ignore VUI / extensions
+    return s
+
+
+def parse_pps(rbsp: bytes) -> Pps:
+    r = BitReader(rbsp)
+    p = Pps()
+    r.ue(); r.ue()               # pps id, sps id
+    if r.flag():
+        raise NotImplementedError("dependent slice segments")
+    r.flag()                     # output_flag_present
+    r.u(3)                       # num_extra_slice_header_bits
+    p.sign_data_hiding = r.flag()
+    p.cabac_init_present = r.flag()
+    r.ue(); r.ue()               # num_ref_idx defaults
+    p.init_qp = 26 + r.se()
+    p.constrained_intra = r.flag()
+    p.transform_skip = r.flag()
+    p.cu_qp_delta_enabled = r.flag()
+    if p.cu_qp_delta_enabled:
+        p.diff_cu_qp_delta_depth = r.ue()
+    p.cb_qp_offset = r.se()
+    p.cr_qp_offset = r.se()
+    p.slice_chroma_qp_offsets_present = r.flag()
+    r.flag(); r.flag()           # weighted pred flags
+    p.transquant_bypass = r.flag()
+    p.tiles_enabled = r.flag()
+    p.entropy_coding_sync = r.flag()
+    if p.tiles_enabled:
+        raise NotImplementedError("tiles parsing")
+    p.loop_filter_across_slices = r.flag()
+    p.deblocking_control_present = r.flag()
+    if p.deblocking_control_present:
+        p.deblocking_override_enabled = r.flag()
+        p.deblocking_disabled = r.flag()
+        if not p.deblocking_disabled:
+            p.beta_offset_div2 = r.se()
+            p.tc_offset_div2 = r.se()
+    else:
+        p.deblocking_disabled = False
+    if r.flag():
+        raise NotImplementedError("pps scaling list")
+    r.flag()                     # lists_modification_present
+    r.ue()                       # log2_parallel_merge_level_minus2
+    r.flag()                     # slice_segment_header_extension
+    return p
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceHeader:
+    r = BitReader(rbsp)
+    h = SliceHeader()
+    h.is_idr = nal_type in (19, 20)
+    first = r.flag()
+    if not first:
+        raise NotImplementedError("multi-slice pictures")
+    if 16 <= nal_type <= 23:     # IRAP
+        r.flag()                 # no_output_of_prior_pics_flag
+    r.ue()                       # slice_pic_parameter_set_id
+    h.slice_type = r.ue()
+    if h.slice_type != 2:
+        raise NotImplementedError("P/B slice parsing")
+    if not h.is_idr:
+        h.poc = r.u(sps.log2_max_poc_lsb)
+        raise NotImplementedError("non-IDR RPS parsing")
+    if sps.sao_enabled:
+        h.sao_luma = r.flag()
+        h.sao_chroma = r.flag()
+    h.slice_qp = pps.init_qp + r.se()
+    if pps.deblocking_control_present and pps.deblocking_override_enabled:
+        raise NotImplementedError("deblocking override")
+    # byte alignment before slice data
+    if r.flag() != 1:
+        raise ValueError("alignment_bit_equal_to_one missing")
+    r.byte_align()
+    h.data_bit_offset = r.bit_position
+    return h

@@ -1,0 +1,127 @@
+"""Encoder configuration.
+
+The TPU-native analogue of ``EB_H265_ENC_CONFIGURATION``
+(reference: Source/API/EbApi.h:173-669) plus the derived-dimension logic of
+``EbHevcSetParamBasedOnInput`` (reference: Source/Lib/Codec/EbEncHandle.c:1901)
+and the validation of ``VerifySettings`` (EbEncHandle.c:2134).
+
+Only the subset wired to working code paths is accepted; everything else
+raises at validation time rather than being silently ignored, so the config
+surface grows honestly with the implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+MIN_CU_SIZE = 8
+MAX_SB_SIZE = 64
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    # --- source description (EbApi.h sourceWidth/sourceHeight/encoderBitDepth) ---
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8           # 8 or 10 (10-bit: round-1 scope = 8)
+    chroma_format: int = 1       # 1 = 4:2:0 (EbApi.h encoderColorFormat)
+    fps_num: int = 50            # frameRateNumerator
+    fps_den: int = 1
+
+    # --- coding structure (EbApi.h intraPeriodLength/hierarchicalLevels/...) ---
+    intra_period: int = -1       # -1 => all-intra for now (round-1 scope)
+    hierarchical_levels: int = 0
+    pred_structure: int = 0      # 0 low-delay P, 1 low-delay B, 2 random access
+
+    # --- quality/speed (EbApi.h encMode/qp/tune) ---
+    enc_mode: int = 7            # preset 0..11 (M7 = reference default/anchor)
+    qp: int = 32                 # 0..51 (EbApi.h qp)
+
+    # --- block structure ---
+    ctb_size: int = 32           # luma CTB size (32 or 64)
+    max_tu_size: int = 32
+
+    # --- tools (EbApi.h flags) ---
+    enable_deblocking: bool = False   # disableDlfFlag analogue (round-1: off)
+    enable_sao: bool = False          # enableSaoFlag analogue (round-1: off)
+    constrained_intra: bool = False
+
+    # --- tiles (EbApi.h tileColumnCount/tileRowCount) ---
+    tile_columns: int = 1
+    tile_rows: int = 1
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def ctb_log2(self) -> int:
+        return self.ctb_size.bit_length() - 1
+
+    @property
+    def pic_width_in_ctbs(self) -> int:
+        return (self.width + self.ctb_size - 1) // self.ctb_size
+
+    @property
+    def pic_height_in_ctbs(self) -> int:
+        return (self.height + self.ctb_size - 1) // self.ctb_size
+
+    @property
+    def num_ctbs(self) -> int:
+        return self.pic_width_in_ctbs * self.pic_height_in_ctbs
+
+    @property
+    def padded_width(self) -> int:
+        return self.pic_width_in_ctbs * self.ctb_size
+
+    @property
+    def padded_height(self) -> int:
+        return self.pic_height_in_ctbs * self.ctb_size
+
+    # minimum-CU-grid alignment required of the *signalled* picture size
+    # (HEVC requires pic dims to be multiples of MinCbSizeY = 8)
+    @property
+    def conf_win_right(self) -> int:   # in chroma units for 4:2:0
+        return (align_up(self.width, MIN_CU_SIZE) - self.width) // 2
+
+    @property
+    def conf_win_bottom(self) -> int:
+        return (align_up(self.height, MIN_CU_SIZE) - self.height) // 2
+
+    @property
+    def coded_width(self) -> int:
+        """pic_width_in_luma_samples signalled in the SPS (multiple of 8)."""
+        return align_up(self.width, MIN_CU_SIZE)
+
+    @property
+    def coded_height(self) -> int:
+        return align_up(self.height, MIN_CU_SIZE)
+
+    def validate(self) -> "EncoderConfig":
+        if not (64 <= self.width <= 8192):
+            raise ValueError(f"width {self.width} out of range [64, 8192]")
+        if not (64 <= self.height <= 4320):
+            raise ValueError(f"height {self.height} out of range [64, 4320]")
+        if self.bit_depth != 8:
+            raise NotImplementedError("only 8-bit input is implemented so far")
+        if self.chroma_format != 1:
+            raise NotImplementedError("only 4:2:0 is implemented so far")
+        if not (0 <= self.qp <= 51):
+            raise ValueError(f"qp {self.qp} out of range [0, 51]")
+        if self.ctb_size not in (16, 32, 64):
+            raise ValueError("ctb_size must be 16, 32 or 64")
+        if self.intra_period != -1:
+            raise NotImplementedError("inter coding not implemented yet")
+        if self.enable_sao or self.enable_deblocking:
+            raise NotImplementedError("in-loop filters not implemented yet")
+        if self.tile_columns != 1 or self.tile_rows != 1:
+            raise NotImplementedError("tiles not implemented yet")
+        if not (0 <= self.enc_mode <= 11):
+            raise ValueError("enc_mode must be in 0..11")
+        return self
+
+    def replace(self, **kw) -> "EncoderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def align_up(x: int, a: int) -> int:
+    return (x + a - 1) // a * a

@@ -1,0 +1,130 @@
+"""Raw YUV / Y4M frame I/O.
+
+Analogue of the reference CLI's readers (reference: Source/App/EbAppProcessCmd.c
+ReadInputFrames and Source/App/EbAppInputy4m.c), numpy-based.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from typing import Iterator, BinaryIO
+
+import numpy as np
+
+
+@dataclass
+class Frame:
+    """One planar YUV frame. y: (H, W); cb/cr: (H/2, W/2) for 4:2:0."""
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+
+    @property
+    def width(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.y.shape[0]
+
+    def psnr(self, other: "Frame") -> tuple[float, float, float]:
+        out = []
+        for a, b in ((self.y, other.y), (self.cb, other.cb), (self.cr, other.cr)):
+            mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            out.append(99.0 if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse))
+        return tuple(out)  # type: ignore[return-value]
+
+
+def read_yuv420(f: BinaryIO | str, width: int, height: int,
+                max_frames: int | None = None) -> Iterator[Frame]:
+    """Iterate 8-bit planar 4:2:0 frames from a raw YUV file."""
+    close = False
+    if isinstance(f, str):
+        f = open(f, "rb")
+        close = True
+    try:
+        ysz, csz = width * height, (width // 2) * (height // 2)
+        n = 0
+        while max_frames is None or n < max_frames:
+            buf = f.read(ysz + 2 * csz)
+            if len(buf) < ysz + 2 * csz:
+                return
+            y = np.frombuffer(buf, np.uint8, ysz).reshape(height, width)
+            cb = np.frombuffer(buf, np.uint8, csz, ysz).reshape(height // 2, width // 2)
+            cr = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(height // 2, width // 2)
+            yield Frame(y.copy(), cb.copy(), cr.copy())
+            n += 1
+    finally:
+        if close:
+            f.close()
+
+
+def write_yuv420(f: BinaryIO | str, frames) -> None:
+    close = False
+    if isinstance(f, str):
+        f = open(f, "wb")
+        close = True
+    try:
+        for fr in frames:
+            f.write(fr.y.astype(np.uint8).tobytes())
+            f.write(fr.cb.astype(np.uint8).tobytes())
+            f.write(fr.cr.astype(np.uint8).tobytes())
+    finally:
+        if close:
+            f.close()
+
+
+def read_y4m(f: BinaryIO | str, max_frames: int | None = None) -> Iterator[Frame]:
+    """Iterate frames from a Y4M container (C420 8-bit only).
+
+    Header parsing mirrors the reference's Y4M reader
+    (Source/App/EbAppInputy4m.c) without the interlacing/aspect plumbing.
+    """
+    close = False
+    if isinstance(f, str):
+        f = open(f, "rb")
+        close = True
+    try:
+        header = bytearray()
+        while not header.endswith(b"\n"):
+            c = f.read(1)
+            if not c:
+                raise ValueError("truncated y4m header")
+            header += c
+        fields = header.decode().split()
+        if fields[0] != "YUV4MPEG2":
+            raise ValueError("not a y4m stream")
+        width = height = 0
+        for tok in fields[1:]:
+            if tok[0] == "W":
+                width = int(tok[1:])
+            elif tok[0] == "H":
+                height = int(tok[1:])
+            elif tok[0] == "C" and not tok[1:].startswith("420"):
+                raise NotImplementedError(f"y4m chroma format {tok} unsupported")
+        if not width or not height:
+            raise ValueError("y4m header missing W/H")
+        n = 0
+        while max_frames is None or n < max_frames:
+            line = bytearray()
+            c = f.read(1)
+            if not c:
+                return
+            line += c
+            while not line.endswith(b"\n"):
+                c = f.read(1)
+                if not c:
+                    return
+                line += c
+            if not line.startswith(b"FRAME"):
+                raise ValueError("bad y4m frame marker")
+            frames = read_yuv420(f, width, height, max_frames=1)
+            fr = next(iter(frames), None)
+            if fr is None:
+                return
+            yield fr
+            n += 1
+    finally:
+        if close:
+            f.close()

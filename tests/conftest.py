@@ -1,0 +1,10 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so tests
+run anywhere (the multi-chip sharding analogue of the reference's
+single-machine functional tests, SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
