@@ -1,0 +1,138 @@
+"""TPU picture-analysis + open-loop intra search (JAX, MXU-batched).
+
+Per frame, in one jit-compiled graph:
+  - decimation pyramid (1/2, 1/4 subsampled lumas) and block variance maps
+    (analogue of reference EbPictureAnalysisProcess.c DecimateInputPicture
+    :4139 / ComputePictureSpatialStatistics :3879), and
+  - open-loop intra mode search for every block of every CU size
+    {4, 8, 16, 32}: all 35 modes evaluated as ONE batched contraction
+    refs[B, 4N+1] x W[35, N^2, 4N+1] on the MXU (see intra_weights.py),
+    scored by Hadamard SATD (analogue of EbMotionEstimation.c
+    OpenLoopIntraSearchLcu :5053 with EbHmCode.c Compute4x4Satd/8x8).
+
+Outputs drive the host mode decision (mode_policy / split_policy), exactly
+as the reference's OIS results drive its MD candidate pruning and early
+partitioning (EbModeDecisionConfigurationProcess.c :289).
+
+All shapes static; everything fuses under jit. Block sizes are anti-aligned
+with the 128-lane VPU on purpose: the contraction is laid out with the
+(4N+1) refs axis as the contraction dim and N^2*35 as the output dim, both
+large enough to tile the MXU well.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intra_weights import mode_weight_matrix
+
+
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1]], np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+_H4 = _hadamard(4)
+_H8 = _hadamard(8)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def extract_block_refs(y: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Open-loop reference vectors for every aligned NxN block.
+
+    y: (H, W) float32 plane, H and W multiples of N.
+    Returns (gh*gw, 4N+1): [left[0..2N-1], corner, top[0..2N-1]] per block,
+    taken from the *source* picture with edge replication (open-loop, like
+    the reference's OIS at speed presets; substitution beyond the picture
+    edge replicates, matching the unavailable->propagate rule closely
+    enough for search).
+    """
+    h, w = y.shape
+    gh, gw = h // n, w // n
+    by = jnp.arange(gh) * n
+    bx = jnp.arange(gw) * n
+
+    # top row (y0-1) and left col (x0-1), clamped to the plane
+    top_y = jnp.maximum(by - 1, 0)                       # (gh,)
+    left_x = jnp.maximum(bx - 1, 0)                      # (gw,)
+
+    k = jnp.arange(2 * n)
+    # top refs: y[top_y, bx + k] with x clamped
+    tx = jnp.minimum(bx[None, :, None] + k[None, None, :], w - 1)  # (1,gw,2n)
+    top = y[top_y[:, None, None], tx]                    # (gh, gw, 2n)
+    # left refs: y[by + k (clamped), left_x]
+    ly = jnp.minimum(by[:, None, None] + k[None, None, :], h - 1)  # (gh,1,2n)
+    left = y[ly, left_x[None, :, None]]                  # (gh, gw, 2n)
+    corner = y[top_y[:, None], left_x[None, :]]          # (gh, gw)
+
+    refs = jnp.concatenate(
+        [left, corner[..., None], top], axis=-1)         # (gh, gw, 4n+1)
+    return refs.reshape(gh * gw, 4 * n + 1)
+
+
+def _satd(diff: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Hadamard SATD over (..., N, N) blocks using 8x8 (or 4x4) tiles:
+    two small matmuls per tile, H @ D @ H^T, then an L1 reduction."""
+    t = 4 if n == 4 else 8
+    hmat = jnp.asarray(_H4 if n == 4 else _H8)
+    lead = diff.shape[:-2]
+    nd = len(lead)
+    d = diff.reshape(*lead, n // t, t, n // t, t)
+    tiles = d.transpose(*range(nd), nd, nd + 2, nd + 1, nd + 3)  # (..., nb, nb, t, t)
+    tr = jnp.einsum("ij,...jk,lk->...il", hmat, tiles, hmat)
+    # HM normalisation: satd_t = sum|tr| / (2 * t)  per tile, x2 overall
+    return jnp.sum(jnp.abs(tr), axis=(-4, -3, -2, -1)) / t
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def intra_search_size(y: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best intra mode per NxN block: returns (best_mode, best_cost) maps
+    of shape (H//N, W//N)."""
+    h, w = y.shape
+    gh, gw = h // n, w // n
+    refs = extract_block_refs(y, n)                      # (B, 4n+1)
+    wmat = jnp.asarray(mode_weight_matrix(n))            # (35, n*n, 4n+1)
+    preds = jnp.einsum("br,mpr->bmp", refs, wmat,
+                       preferred_element_type=jnp.float32)  # (B, 35, n*n)
+    src = (y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
+           .reshape(gh * gw, 1, n, n))
+    diff = preds.reshape(-1, 35, n, n) - src
+    cost = _satd(diff, n)                                # (B, 35)
+    best = jnp.argmin(cost, axis=1)
+    return (best.reshape(gh, gw).astype(jnp.int32),
+            jnp.min(cost, axis=1).reshape(gh, gw))
+
+
+def block_variance(y: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(H//N, W//N) map of per-NxN-block pixel variance."""
+    h, w = y.shape
+    b = y.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3)
+    m = jnp.mean(b, axis=(-2, -1), keepdims=True)
+    return jnp.mean((b - m) ** 2, axis=(-2, -1))
+
+
+@jax.jit
+def analyze_frame(y: jnp.ndarray) -> dict:
+    """Full analysis graph for one luma plane (uint8/float32 (H, W), dims
+    multiple of 64). Returns a pytree of analysis products."""
+    yf = y.astype(jnp.float32)
+    out = {
+        "decim2": yf[::2, ::2],
+        "decim4": yf[::4, ::4],
+        "var8": block_variance(yf, 8),
+        "var16": block_variance(yf, 16),
+        "var32": block_variance(yf, 32),
+    }
+    for n in (4, 8, 16, 32):
+        mode, cost = intra_search_size(yf, n)
+        out[f"mode{n}"] = mode
+        out[f"cost{n}"] = cost
+    return out
+
+
