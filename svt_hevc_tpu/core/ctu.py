@@ -89,6 +89,17 @@ def derive_mpm(st: PictureState, xp: int, yp: int) -> list[int]:
     return intra.candidate_mode_list(left, above)
 
 
+def split_cu_ctx(st: PictureState, x0: int, y0: int, depth: int) -> int:
+    """split_cu_flag ctxInc (9.3.4.2.2): count of available neighbors with
+    greater coding depth."""
+    inc = 0
+    if x0 > 0 and st.avail[0][y0 >> 2, (x0 - 1) >> 2]:
+        inc += int(st.cqt_depth[y0 >> 2, (x0 - 1) >> 2] > depth)
+    if y0 > 0 and st.avail[0][(y0 - 1) >> 2, x0 >> 2]:
+        inc += int(st.cqt_depth[(y0 - 1) >> 2, x0 >> 2] > depth)
+    return inc
+
+
 def chroma_cand_list(luma_mode: int) -> list[int]:
     """intra_chroma_pred_mode value 0..3 -> mode (spec Table 8-2/8-3)."""
     lst = [intra.PLANAR, intra.VERTICAL, intra.HORIZONTAL, intra.DC]
@@ -160,7 +171,8 @@ class CtuCoderBase:
         size = 1 << log2
         inside = x0 + size <= st.w and y0 + size <= st.h
         if inside and log2 > 3:
-            split = self.sx_split_cu(x0, y0, log2, depth, self._split_ctx(x0, y0, depth))
+            split = self.sx_split_cu(x0, y0, log2, depth,
+                                     split_cu_ctx(st, x0, y0, depth))
         else:
             split = 0 if inside else 1     # log2==3 is always fully inside
         if split:
@@ -171,17 +183,6 @@ class CtuCoderBase:
                     self.coding_quadtree(x1, y1, log2 - 1, depth + 1)
         else:
             self.coding_unit(x0, y0, log2, depth)
-
-    def _split_ctx(self, x0: int, y0: int, depth: int) -> int:
-        """split_cu_flag ctxInc (9.3.4.2.2): count of available neighbors
-        with greater coding depth."""
-        st = self.st
-        inc = 0
-        if x0 > 0 and st.avail[0][y0 >> 2, (x0 - 1) >> 2]:
-            inc += int(st.cqt_depth[y0 >> 2, (x0 - 1) >> 2] > depth)
-        if y0 > 0 and st.avail[0][(y0 - 1) >> 2, x0 >> 2]:
-            inc += int(st.cqt_depth[(y0 - 1) >> 2, x0 >> 2] > depth)
-        return inc
 
     # ------------------------------------------------------------ coding unit
     def coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:

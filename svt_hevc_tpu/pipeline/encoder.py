@@ -22,6 +22,7 @@ from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
+from ..core.rdo import RdSearch, _Region
 from ..io.yuv import Frame
 
 
@@ -59,7 +60,7 @@ class Encoder:
                 + wrap_nal(NalUnitType.PPS_NUT, write_pps(cfg)))
 
     def encode_frame(self, frame: Frame, *, split_policy=None,
-                     part_nxn_policy=None) -> EncodedPicture:
+                     part_nxn_policy=None, rd: bool = False) -> EncodedPicture:
         cfg = self.cfg
         cw, ch = cfg.coded_width, cfg.coded_height
         src = [
@@ -69,15 +70,31 @@ class Encoder:
         ]
         st = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
         bac = CabacEncoder(init_contexts(cfg.qp, init_type=0))
-        enc = CtuEncoder(st, bac, src, split_policy=split_policy,
-                         part_nxn_policy=part_nxn_policy)
 
         ctb = cfg.ctb_size
         n_ctb_x = (cw + ctb - 1) // ctb
         n_ctb_y = (ch + ctb - 1) // ctb
+        enc = None
+        if not rd:
+            enc = CtuEncoder(st, bac, src, split_policy=split_policy,
+                             part_nxn_policy=part_nxn_policy)
         for cy in range(n_ctb_y):
             for cx in range(n_ctb_x):
-                enc.code_ctu(cx * ctb, cy * ctb)
+                x0, y0 = cx * ctb, cy * ctb
+                if rd:
+                    # RD trials reconstruct in-place; snapshot, search, then
+                    # fully restore so the final CABAC walk replays the
+                    # winning decisions against decoder-identical state
+                    snap = _Region(st, x0, y0, ctb)
+                    rds = RdSearch(st, src)
+                    decisions, _ = rds.compress_ctu(x0, y0, list(bac.ctx))
+                    snap.restore(st)
+                    enc = CtuEncoder(
+                        st, bac, src,
+                        split_policy=decisions.split_policy,
+                        part_nxn_policy=decisions.part_nxn_policy,
+                        mode_policy=decisions.mode_policy)
+                enc.code_ctu(x0, y0)
                 last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
                 bac.encode_terminate(1 if last else 0)
         bac.finish()
@@ -93,12 +110,12 @@ class Encoder:
         )
         return EncodedPicture(nal_bytes=nal, recon=recon)
 
-    def encode(self, frames) -> tuple[bytes, list[Frame]]:
+    def encode(self, frames, *, rd: bool = False) -> tuple[bytes, list[Frame]]:
         """Encode an iterable of frames; returns (annex_b_stream, recons)."""
         chunks = [self.headers()]
         recons = []
         for fr in frames:
-            pic = self.encode_frame(fr)
+            pic = self.encode_frame(fr, rd=rd)
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons
