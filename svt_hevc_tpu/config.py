@@ -44,7 +44,7 @@ class EncoderConfig:
     max_tu_size: int = 32
 
     # --- tools (EbApi.h flags) ---
-    enable_deblocking: bool = False   # disableDlfFlag analogue (round-1: off)
+    enable_deblocking: bool = True    # disableDlfFlag analogue
     enable_sao: bool = False          # enableSaoFlag analogue (round-1: off)
     constrained_intra: bool = False
 
@@ -111,8 +111,8 @@ class EncoderConfig:
             raise ValueError("ctb_size must be 16, 32 or 64")
         if self.intra_period != -1:
             raise NotImplementedError("inter coding not implemented yet")
-        if self.enable_sao or self.enable_deblocking:
-            raise NotImplementedError("in-loop filters not implemented yet")
+        if self.enable_sao:
+            raise NotImplementedError("SAO not implemented yet")
         if self.tile_columns != 1 or self.tile_rows != 1:
             raise NotImplementedError("tiles not implemented yet")
         if not (0 <= self.enc_mode <= 11):

@@ -69,6 +69,11 @@ class PictureState:
         ]
         self.luma_mode = np.full((coded_h // 4, coded_w // 4), -1, np.int32)
         self.cqt_depth = np.zeros((coded_h // 4, coded_w // 4), np.int32)
+        # deblocking edge flags on the 8x8 grid (marked in transform_unit):
+        # edge_v[s, c]: vertical TB edge at luma column 8c, rows 4s..4s+3
+        # edge_h[r, c]: horizontal TB edge at luma row 8r, cols 4c..4c+3
+        self.edge_v = np.zeros((coded_h // 4, coded_w // 8), bool)
+        self.edge_h = np.zeros((coded_h // 8, coded_w // 4), bool)
 
     def mark(self, c_idx: int, x: int, y: int, n: int) -> None:
         self.avail[c_idx][y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
@@ -239,6 +244,14 @@ class CtuCoderBase:
     def transform_unit(self, cu: _CuCtx, x0: int, y0: int, log2: int,
                        depth: int, blk_idx: int,
                        cbf_luma: int, cbf_cb: int, cbf_cr: int) -> None:
+        # deblocking edge flags: every luma TB edge on the 8x8 grid has
+        # bS=2 in an intra picture (8.7.2.4); CU/PU edges coincide with or
+        # contain TB edges in this tree
+        st, n = self.st, 1 << log2
+        if x0 % 8 == 0:
+            st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3] = True
+        if y0 % 8 == 0:
+            st.edge_h[y0 >> 3, x0 >> 2:(x0 + n) >> 2] = True
         mode_idx = blk_idx if (cu.part_nxn and depth > 0) else 0
         self.tb_luma(cu, x0, y0, log2, cu.luma_modes[mode_idx], cbf_luma)
         if log2 > 2:

@@ -1,0 +1,194 @@
+"""Deblocking filter (H.265 8.7.2) — vectorized numpy normative backend.
+
+All-intra scope: boundary strength is 2 on every transform/coding block
+edge aligned to the 8x8 (luma) deblocking grid, so edge *flags* (marked
+during the shared CTU walk, see core/ctu.py transform_unit) fully determine
+the filter. Both encoder and decoder call deblock_picture() after the CTU
+loop; conformance requires bit-identical output.
+
+Design: vertical edges across the whole picture are mutually independent
+(filters write <=3 samples a side, edges are >=8 apart), so every 4-line
+edge segment is filtered in one vectorized batch; horizontal edges reuse
+the same core on the transposed plane (spec order: all vertical first,
+then horizontal on the vertically-filtered result).
+
+Analogue of reference Source/Lib/Codec/EbDeblockingFilter.c (bS maps
+:339/:472, luma/chroma edge cores :1027-2221) re-designed batch-first; the
+TPU path will run the same math as lane-parallel Pallas over edge columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ctu import PictureState, chroma_qp
+
+# spec Table 8-12
+BETA_TABLE = np.array(
+    [0] * 16
+    + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+       26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+       58, 60, 62, 64], dtype=np.int32)
+TC_TABLE = np.array(
+    [0] * 18
+    + [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+       4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24],
+    dtype=np.int32)
+
+assert len(BETA_TABLE) == 52 and len(TC_TABLE) == 54
+
+
+def _clip3(lo, hi, v):
+    return np.minimum(np.maximum(v, lo), hi)
+
+
+def _filter_luma_vertical(plane: np.ndarray, edge: np.ndarray, qp: int,
+                          bit_depth: int, beta_offset: int = 0,
+                          tc_offset: int = 0) -> None:
+    """Filter all flagged vertical luma edges in place.
+
+    plane: (H, W) int32; edge: (H//4, W//8) bool — a True at (s, c) means a
+    bS=2 vertical edge at column 8c for rows 4s..4s+3. Column 0 (picture
+    boundary) is never filtered.
+    """
+    maxval = (1 << bit_depth) - 1
+    qb = min(max(qp + (beta_offset << 1), 0), 51)
+    qt = min(max(qp + 2 + (tc_offset << 1), 0), 53)   # bS=2 -> +2
+    beta = int(BETA_TABLE[qb]) << (bit_depth - 8)
+    tc = int(TC_TABLE[qt]) << (bit_depth - 8)
+    if tc == 0 and beta == 0:
+        return
+
+    seg = edge.copy()
+    seg[:, 0] = False
+    ys, xs = np.nonzero(seg)
+    if ys.size == 0:
+        return
+    y0 = ys * 4
+    x0 = xs * 8
+
+    rows = y0[:, None] + np.arange(4)                       # (S, 4)
+    cols = x0[:, None] + np.arange(-4, 4)                   # (S, 8)
+    blk = plane[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (S,4,8)
+    p3, p2, p1, p0 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
+    q0, q1, q2, q3 = blk[..., 4], blk[..., 5], blk[..., 6], blk[..., 7]
+
+    # decisions from lines 0 and 3 (8.7.2.5.3)
+    dp0 = np.abs(p2[:, 0] - 2 * p1[:, 0] + p0[:, 0])
+    dp3 = np.abs(p2[:, 3] - 2 * p1[:, 3] + p0[:, 3])
+    dq0 = np.abs(q2[:, 0] - 2 * q1[:, 0] + q0[:, 0])
+    dq3 = np.abs(q2[:, 3] - 2 * q1[:, 3] + q0[:, 3])
+    dpq0, dpq3 = dp0 + dq0, dp3 + dq3
+    d = dpq0 + dpq3
+    do_filter = d < beta                                    # (S,)
+
+    def strong_line(k):
+        return ((2 * dpq_k[k] < (beta >> 2))
+                & (np.abs(p3[:, k] - p0[:, k]) + np.abs(q0[:, k] - q3[:, k])
+                   < (beta >> 3))
+                & (np.abs(p0[:, k] - q0[:, k]) < ((5 * tc + 1) >> 1)))
+
+    dpq_k = {0: dpq0, 3: dpq3}
+    strong = do_filter & strong_line(0) & strong_line(3)    # (S,)
+    weak = do_filter & ~strong
+    dEp1 = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+    dEq1 = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+
+    s = strong[:, None]
+    # ---- strong filter (8.7.2.5.7, dE=2), all 4 lines ----
+    sp0 = _clip3(p0 - 2 * tc, p0 + 2 * tc,
+                 (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+    sp1 = _clip3(p1 - 2 * tc, p1 + 2 * tc, (p2 + p1 + p0 + q0 + 2) >> 2)
+    sp2 = _clip3(p2 - 2 * tc, p2 + 2 * tc,
+                 (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+    sq0 = _clip3(q0 - 2 * tc, q0 + 2 * tc,
+                 (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3)
+    sq1 = _clip3(q1 - 2 * tc, q1 + 2 * tc, (p0 + q0 + q1 + q2 + 2) >> 2)
+    sq2 = _clip3(q2 - 2 * tc, q2 + 2 * tc,
+                 (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3)
+
+    # ---- weak filter, per line ----
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    w_on = np.abs(delta) < 10 * tc                           # (S, 4)
+    dc = _clip3(-tc, tc, delta)
+    wp0 = _clip3(0, maxval, p0 + dc)
+    wq0 = _clip3(0, maxval, q0 - dc)
+    dcp = _clip3(-(tc >> 1), tc >> 1, (((p2 + p0 + 1) >> 1) - p1 + dc) >> 1)
+    wp1 = _clip3(0, maxval, p1 + dcp)
+    dcq = _clip3(-(tc >> 1), tc >> 1, (((q2 + q0 + 1) >> 1) - q1 - dc) >> 1)
+    wq1 = _clip3(0, maxval, q1 + dcq)
+
+    w = weak[:, None] & w_on
+    out_p0 = np.where(s, sp0, np.where(w, wp0, p0))
+    out_q0 = np.where(s, sq0, np.where(w, wq0, q0))
+    out_p1 = np.where(s, sp1, np.where(w & dEp1[:, None], wp1, p1))
+    out_q1 = np.where(s, sq1, np.where(w & dEq1[:, None], wq1, q1))
+    out_p2 = np.where(s, sp2, p2)
+    out_q2 = np.where(s, sq2, q2)
+
+    out = blk.copy()
+    out[..., 1] = out_p2
+    out[..., 2] = out_p1
+    out[..., 3] = out_p0
+    out[..., 4] = out_q0
+    out[..., 5] = out_q1
+    out[..., 6] = out_q2
+    out = _clip3(0, maxval, out)
+    plane[rows[:, :, None], cols[:, None, :]] = out.astype(np.int32)
+
+
+def _filter_chroma_vertical(plane: np.ndarray, edge_luma: np.ndarray,
+                            qp_c: int, bit_depth: int,
+                            tc_offset: int = 0) -> None:
+    """Filter flagged vertical chroma edges (bS=2 only, which is every
+    flagged edge in all-intra) on the 8x8 *chroma* grid: luma edge columns
+    at multiples of 16 => chroma columns at multiples of 8.
+
+    edge_luma: the luma (H//4, W//8) map; entries with even column index
+    correspond to chroma edges; each luma 4-row segment is 2 chroma rows.
+    """
+    maxval = (1 << bit_depth) - 1
+    qt = min(max(qp_c + 2 + (tc_offset << 1), 0), 53)
+    tc = int(TC_TABLE[qt]) << (bit_depth - 8)
+    if tc == 0:
+        return
+
+    seg = edge_luma[:, ::2].copy()
+    seg[:, 0] = False
+    ys, xs = np.nonzero(seg)
+    if ys.size == 0:
+        return
+    y0 = ys * 2              # chroma rows
+    x0 = xs * 8              # chroma cols
+
+    rows = y0[:, None] + np.arange(2)
+    cols = x0[:, None] + np.arange(-2, 2)
+    blk = plane[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (S,2,4)
+    p1, p0, q0, q1 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
+    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+    blk[..., 1] = _clip3(0, maxval, p0 + delta)
+    blk[..., 2] = _clip3(0, maxval, q0 - delta)
+    plane[rows[:, :, None], cols[:, None, :]] = blk.astype(np.int32)
+
+
+def deblock_picture(st: PictureState, *, beta_offset: int = 0,
+                    tc_offset: int = 0) -> None:
+    """Apply the full in-loop deblocking filter to the picture in place.
+    Order per spec: all vertical edges first, then all horizontal edges."""
+    qp = st.qp
+    qp_c = chroma_qp(qp)
+    bd = st.bit_depth
+
+    _filter_luma_vertical(st.planes[0], st.edge_v, qp, bd,
+                          beta_offset, tc_offset)
+    # horizontal edges: same core on the transposed plane. edge_h is
+    # (H//8, W//4); transposed it has exactly the vertical layout.
+    yt = np.ascontiguousarray(st.planes[0].T)
+    _filter_luma_vertical(yt, st.edge_h.T, qp, bd, beta_offset, tc_offset)
+    st.planes[0][:] = yt.T
+
+    for c_idx in (1, 2):
+        _filter_chroma_vertical(st.planes[c_idx], st.edge_v, qp_c, bd, tc_offset)
+        ct = np.ascontiguousarray(st.planes[c_idx].T)
+        _filter_chroma_vertical(ct, st.edge_h.T, qp_c, bd, tc_offset)
+        st.planes[c_idx][:] = ct.T

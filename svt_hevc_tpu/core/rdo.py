@@ -34,7 +34,8 @@ def lambda_sse(qp: int) -> float:
 class _Region:
     """Snapshot of all mutable picture state covering one luma rect."""
 
-    __slots__ = ("x0", "y0", "n", "planes", "avail", "mode", "depth")
+    __slots__ = ("x0", "y0", "n", "planes", "avail", "mode", "depth",
+                 "edge_v", "edge_h")
 
     def __init__(self, st: PictureState, x0: int, y0: int, n: int):
         self.x0, self.y0, self.n = x0, y0, n
@@ -51,6 +52,8 @@ class _Region:
         )
         self.mode = st.luma_mode[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy()
         self.depth = st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy()
+        self.edge_v = st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3:(x0 + n) >> 3].copy()
+        self.edge_h = st.edge_h[y0 >> 3:(y0 + n) >> 3, x0 >> 2:(x0 + n) >> 2].copy()
 
     def restore(self, st: PictureState) -> None:
         x0, y0, n = self.x0, self.y0, self.n
@@ -63,6 +66,8 @@ class _Region:
         st.avail[2][yc >> 2:(yc + nc) >> 2, xc >> 2:(xc + nc) >> 2] = self.avail[2]
         st.luma_mode[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.mode
         st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.depth
+        st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3:(x0 + n) >> 3] = self.edge_v
+        st.edge_h[y0 >> 3:(y0 + n) >> 3, x0 >> 2:(x0 + n) >> 2] = self.edge_h
 
 
 class Decisions:

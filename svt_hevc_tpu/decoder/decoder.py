@@ -20,6 +20,7 @@ from ..bitstream.contexts import init_contexts
 from ..bitstream.headers import parse_pps, parse_slice_header, parse_sps
 from ..bitstream.nal import NalUnitType, split_annexb
 from ..core.ctu import CtuDecoder, PictureState
+from ..core.deblock import deblock_picture
 from ..io.yuv import Frame
 
 
@@ -64,6 +65,10 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
             if bool(end) != bool(last):
                 raise ValueError(
                     f"end_of_slice_segment_flag mismatch at CTU ({cx},{cy})")
+
+    if not pps.deblocking_disabled:
+        deblock_picture(st, beta_offset=pps.beta_offset_div2,
+                        tc_offset=pps.tc_offset_div2)
 
     # conformance window crop (offsets are in chroma units for 4:2:0)
     left, right, top, bottom = sps.conf_win

@@ -22,6 +22,7 @@ from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
+from ..core.deblock import deblock_picture
 from ..core.rdo import RdSearch, _Region
 from ..io.yuv import Frame
 
@@ -98,6 +99,9 @@ class Encoder:
                 last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
                 bac.encode_terminate(1 if last else 0)
         bac.finish()
+
+        if cfg.enable_deblocking:
+            deblock_picture(st)
 
         w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=True)
         w.write_bytes(bac.data)

@@ -101,7 +101,7 @@ def test_sps_pps_write_parse_roundtrip():
     assert not sps.sao_enabled
     pps = headers.parse_pps(headers.write_pps(cfg))
     assert pps.init_qp == 26
-    assert pps.deblocking_disabled
+    assert not pps.deblocking_disabled   # DLF on by default now
     assert not pps.sign_data_hiding
 
 
