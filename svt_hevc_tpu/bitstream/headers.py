@@ -154,6 +154,9 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     w.ue(2)              # slice_type = I
     if not is_idr:
         raise NotImplementedError("non-IDR slices need POC/RPS signalling")
+    if cfg.enable_sao:
+        w.flag(1)        # slice_sao_luma_flag
+        w.flag(1)        # slice_sao_chroma_flag
     w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
     # deblocking override disabled + SAO off + no tiles -> nothing else
     # byte_alignment() before slice data

@@ -45,7 +45,7 @@ class EncoderConfig:
 
     # --- tools (EbApi.h flags) ---
     enable_deblocking: bool = True    # disableDlfFlag analogue
-    enable_sao: bool = False          # enableSaoFlag analogue (round-1: off)
+    enable_sao: bool = True           # enableSaoFlag analogue
     constrained_intra: bool = False
 
     # --- tiles (EbApi.h tileColumnCount/tileRowCount) ---
@@ -111,8 +111,6 @@ class EncoderConfig:
             raise ValueError("ctb_size must be 16, 32 or 64")
         if self.intra_period != -1:
             raise NotImplementedError("inter coding not implemented yet")
-        if self.enable_sao:
-            raise NotImplementedError("SAO not implemented yet")
         if self.tile_columns != 1 or self.tile_rows != 1:
             raise NotImplementedError("tiles not implemented yet")
         if not (0 <= self.enc_mode <= 11):

@@ -1,0 +1,333 @@
+"""Sample Adaptive Offset (H.265 7.3.8.3 syntax, 8.7.3 filter).
+
+Per-CTB parameters: off / band-offset (4 offsets at a signalled band
+position) / edge-offset (4 offsets for one of 4 directional classes).
+Classification always reads the *pre-SAO* (post-deblocking) picture;
+application is picture-wide and vectorized.
+
+Encoder strategy (two-pass per frame, see pipeline/encoder.py): after the
+reconstruction + deblocking of the whole picture, derive per-CTB stats for
+all 4 EO classes and BO in one vectorized sweep, pick the
+distortion-optimal type/offsets per CTB, then emit the final CABAC stream
+with the SAO syntax interleaved. Analogue of reference
+EbSampleAdaptiveOffsetGenerationDecision.c (SaoGenerationDecision :647)
+with the stats gathering batched picture-wide instead of per-LCU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.contexts import Ctx
+
+SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
+_MAX_OFFSET = 7            # 8-bit: (1 << (min(bd,10)-5)) - 1
+
+# EO class -> ((h0x, h0y), (h1x, h1y))
+_EO_NEIGHBORS = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
+                 ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
+
+
+@dataclass
+class SaoCtbParams:
+    """Parameters of one CTB. Luma = component 0; chroma shares type and
+    eo_class between cb (1) and cr (2) but has its own offsets/band pos."""
+    type_idx: list[int] = field(default_factory=lambda: [0, 0])    # [luma, chroma]
+    eo_class: list[int] = field(default_factory=lambda: [0, 0])
+    band_pos: list[int] = field(default_factory=lambda: [0, 0, 0])  # per comp
+    offsets: list[list[int]] = field(
+        default_factory=lambda: [[0, 0, 0, 0] for _ in range(3)])   # per comp
+
+    def copy(self) -> "SaoCtbParams":
+        return SaoCtbParams([*self.type_idx], [*self.eo_class],
+                            [*self.band_pos], [list(o) for o in self.offsets])
+
+    def __eq__(self, other) -> bool:
+        return (self.type_idx == other.type_idx
+                and self.eo_class == other.eo_class
+                and self.band_pos == other.band_pos
+                and self.offsets == other.offsets)
+
+
+# ------------------------------------------------------------------- syntax
+
+def _encode_offset_abs(bac, v: int) -> None:
+    for _ in range(v):
+        bac.encode_bypass(1)
+    if v < _MAX_OFFSET:
+        bac.encode_bypass(0)
+
+
+def _decode_offset_abs(dec) -> int:
+    v = 0
+    while v < _MAX_OFFSET and dec.decode_bypass():
+        v += 1
+    return v
+
+
+def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
+                   slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
+    p = grid[cy][cx]
+    if cx > 0:
+        merge_left = int(p == grid[cy][cx - 1])
+        bac.encode_bin(Ctx.SAO_MERGE, merge_left)
+        if merge_left:
+            return
+    if cy > 0:
+        merge_up = int(p == grid[cy - 1][cx])
+        bac.encode_bin(Ctx.SAO_MERGE, merge_up)
+        if merge_up:
+            return
+    for comp in range(3):
+        if comp == 0 and not slice_sao_luma:
+            continue
+        if comp > 0 and not slice_sao_chroma:
+            continue
+        c01 = min(comp, 1)
+        if comp < 2:   # type signalled for luma and once for chroma
+            t = p.type_idx[c01]
+            bac.encode_bin(Ctx.SAO_TYPE, 1 if t else 0)
+            if t:
+                bac.encode_bypass(t - 1)
+        t = p.type_idx[c01]
+        if t == SAO_OFF:
+            continue
+        offs = p.offsets[comp]
+        for i in range(4):
+            _encode_offset_abs(bac, abs(offs[i]))
+        if t == SAO_BAND:
+            for i in range(4):
+                if offs[i]:
+                    bac.encode_bypass(1 if offs[i] < 0 else 0)
+            bac.encode_bypass_bins(p.band_pos[comp], 5)
+        elif comp < 2:
+            bac.encode_bypass_bins(p.eo_class[c01], 2)
+
+
+def decode_sao_ctb(dec, grid: list[list[SaoCtbParams]], cx: int, cy: int,
+                   slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
+    if cx > 0 and dec.decode_bin(Ctx.SAO_MERGE):
+        grid[cy][cx] = grid[cy][cx - 1].copy()
+        return
+    if cy > 0 and dec.decode_bin(Ctx.SAO_MERGE):
+        grid[cy][cx] = grid[cy - 1][cx].copy()
+        return
+    p = grid[cy][cx]
+    for comp in range(3):
+        if comp == 0 and not slice_sao_luma:
+            continue
+        if comp > 0 and not slice_sao_chroma:
+            continue
+        c01 = min(comp, 1)
+        if comp < 2:
+            t = 0
+            if dec.decode_bin(Ctx.SAO_TYPE):
+                t = 1 + dec.decode_bypass()
+            p.type_idx[c01] = t
+        t = p.type_idx[c01]
+        if t == SAO_OFF:
+            continue
+        mag = [_decode_offset_abs(dec) for _ in range(4)]
+        if t == SAO_BAND:
+            offs = []
+            for i in range(4):
+                if mag[i] and dec.decode_bypass():
+                    offs.append(-mag[i])
+                else:
+                    offs.append(mag[i])
+            p.offsets[comp] = offs
+            p.band_pos[comp] = dec.decode_bypass_bins(5)
+        else:
+            # EO signs are fixed: categories 1,2 positive; 3,4 negative
+            p.offsets[comp] = [mag[0], mag[1], -mag[2], -mag[3]]
+            if comp < 2:
+                p.eo_class[c01] = dec.decode_bypass_bins(2)
+
+
+# ------------------------------------------------------- classification/apply
+
+def _eo_category_map(plane: np.ndarray, eo_class: int) -> np.ndarray:
+    """Category (0..4; 0 = no offset) per pixel; border pixels whose
+    neighbor lies outside the picture get category 0."""
+    h, w = plane.shape
+    (ax, ay), (bx, by) = _EO_NEIGHBORS[eo_class]
+    pad = np.pad(plane, 1, mode="edge").astype(np.int32)
+    c = pad[1:-1, 1:-1]
+    na = pad[1 + ay:h + 1 + ay, 1 + ax:w + 1 + ax]
+    nb = pad[1 + by:h + 1 + by, 1 + bx:w + 1 + bx]
+    edge_idx = 2 + np.sign(c - na) + np.sign(c - nb)
+    # map raw 0,1,2,3,4 -> category 1,2,0,3,4
+    cat = np.choose(edge_idx, [1, 2, 0, 3, 4])
+    # invalidate pixels with out-of-picture neighbors
+    valid = np.ones((h, w), bool)
+    for dx, dy in (_EO_NEIGHBORS[eo_class][0], _EO_NEIGHBORS[eo_class][1]):
+        if dx < 0:
+            valid[:, :1] = False
+        if dx > 0:
+            valid[:, -1:] = False
+        if dy < 0:
+            valid[:1, :] = False
+        if dy > 0:
+            valid[-1:, :] = False
+    return np.where(valid, cat, 0)
+
+
+def _band_map(plane: np.ndarray) -> np.ndarray:
+    return (plane >> 3).astype(np.int32)        # 8-bit: 32 bands of width 8
+
+
+def apply_sao(st, grid: list[list[SaoCtbParams]],
+              slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
+    """Apply SAO in place (classification on the pre-SAO copies)."""
+    ctb = 1 << st.ctb_log2
+    ny, nx = len(grid), len(grid[0])
+    maxval = (1 << st.bit_depth) - 1
+    for comp in range(3):
+        if comp == 0 and not slice_sao_luma:
+            continue
+        if comp > 0 and not slice_sao_chroma:
+            continue
+        c01 = min(comp, 1)
+        plane = st.planes[comp]
+        pre = plane.copy()
+        cs = ctb if comp == 0 else ctb // 2
+        cat_maps = {}
+        band = None
+        for cy in range(ny):
+            for cx in range(nx):
+                p = grid[cy][cx]
+                t = p.type_idx[c01]
+                if t == SAO_OFF:
+                    continue
+                y0, x0 = cy * cs, cx * cs
+                y1 = min(y0 + cs, plane.shape[0])
+                x1 = min(x0 + cs, plane.shape[1])
+                rect = pre[y0:y1, x0:x1]
+                if t == SAO_EDGE:
+                    ec = p.eo_class[c01]
+                    if ec not in cat_maps:
+                        cat_maps[ec] = _eo_category_map(pre, ec)
+                    cat = cat_maps[ec][y0:y1, x0:x1]
+                    lut = np.array([0] + p.offsets[comp], np.int32)
+                    out = rect + lut[cat]
+                else:
+                    if band is None:
+                        band = _band_map(pre)
+                    b = band[y0:y1, x0:x1]
+                    lut = np.zeros(32, np.int32)
+                    for i in range(4):
+                        lut[(p.band_pos[comp] + i) % 32] = p.offsets[comp][i]
+                    out = rect + lut[b]
+                plane[y0:y1, x0:x1] = np.clip(out, 0, maxval)
+
+
+# ------------------------------------------------------------ encoder choice
+
+def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
+    """Distortion-optimal per-CTB SAO decision from (source, post-DLF
+    recon). Offset = clip(round(sum/count)); type chosen by the SSE delta
+    c*o^2 - 2*o*s with a small lambda rate charge."""
+    ctb = 1 << st.ctb_log2
+    ny = (st.h + ctb - 1) // ctb
+    nx = (st.w + ctb - 1) // ctb
+    grid = [[SaoCtbParams() for _ in range(nx)] for _ in range(ny)]
+
+    for comp in range(3):
+        c01 = min(comp, 1)
+        plane = st.planes[comp]
+        source = src[comp]
+        cs = ctb if comp == 0 else ctb // 2
+        diff = source.astype(np.int64) - plane.astype(np.int64)
+        cat_maps = [_eo_category_map(plane, ec) for ec in range(4)]
+        band = _band_map(plane)
+
+        for cy in range(ny):
+            for cx in range(nx):
+                y0, x0 = cy * cs, cx * cs
+                y1 = min(y0 + cs, plane.shape[0])
+                x1 = min(x0 + cs, plane.shape[1])
+                d = diff[y0:y1, x0:x1]
+                p = grid[cy][cx]
+
+                if comp == 2:
+                    # cr shares the chroma type / eo class chosen for cb;
+                    # only its offsets (and band position) are free
+                    t = p.type_idx[1]
+                    if t == SAO_OFF:
+                        continue
+                    if t == SAO_EDGE:
+                        cat = cat_maps[p.eo_class[1]][y0:y1, x0:x1]
+                        offs = [0, 0, 0, 0]
+                        for k in range(1, 5):
+                            m = cat == k
+                            c = int(m.sum())
+                            if c == 0:
+                                continue
+                            s = int(d[m].sum())
+                            o = int(np.clip(round(s / c), -_MAX_OFFSET, _MAX_OFFSET))
+                            o = max(o, 0) if k <= 2 else min(o, 0)
+                            if 2 * o * s - c * o * o > 0:
+                                offs[k - 1] = o
+                        p.offsets[2] = offs
+                    else:
+                        bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam)
+                        if g > 0 and any(offs):
+                            p.band_pos[2] = bp
+                            p.offsets[2] = offs
+                    continue
+
+                best = (0.0, SAO_OFF, 0, 0, [0, 0, 0, 0])   # (gain, type, eo, bp, offs)
+                for ec in range(4):
+                    cat = cat_maps[ec][y0:y1, x0:x1]
+                    gain = 0.0
+                    offs = [0, 0, 0, 0]
+                    for k in range(1, 5):
+                        m = cat == k
+                        c = int(m.sum())
+                        if c == 0:
+                            continue
+                        s = int(d[m].sum())
+                        o = int(np.clip(round(s / c), -_MAX_OFFSET, _MAX_OFFSET))
+                        if k <= 2:
+                            o = max(o, 0)     # EO categories 1,2: positive
+                        else:
+                            o = min(o, 0)
+                        g = 2 * o * s - c * o * o   # SSE reduction
+                        if g > 0:
+                            offs[k - 1] = o
+                            gain += g
+                    rate = 4 + sum(abs(o) + 1 for o in offs)
+                    gain -= lam * rate
+                    if gain > best[0]:
+                        best = (gain, SAO_EDGE, ec, 0, offs)
+
+                # band offset: best run of 4 adjacent bands
+                bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam)
+                if g > best[0] and any(offs):
+                    best = (g, SAO_BAND, 0, bp, offs)
+
+                if best[1] == SAO_OFF:
+                    continue
+                p.type_idx[c01] = best[1]
+                p.eo_class[c01] = best[2]
+                p.band_pos[comp] = best[3]
+                p.offsets[comp] = list(best[4])
+    return grid
+
+
+def _best_band(b: np.ndarray, d: np.ndarray, lam: float):
+    """Best 4-band window for band offset; returns (band_pos, offsets, gain)."""
+    cnt = np.bincount(b.ravel(), minlength=32).astype(np.int64)
+    sums = np.bincount(b.ravel(), weights=d.ravel(),
+                       minlength=32).astype(np.int64)
+    ob = np.zeros(32, np.int64)
+    nz = cnt > 0
+    ob[nz] = np.clip(np.round(sums[nz] / cnt[nz]), -_MAX_OFFSET, _MAX_OFFSET)
+    gains = np.maximum(np.where(ob != 0, 2 * ob * sums - cnt * ob * ob, 0), 0)
+    win = np.array([gains[k:k + 4].sum() for k in range(29)])
+    bp = int(np.argmax(win))
+    offs = [int(ob[bp + i]) if gains[bp + i] > 0 else 0 for i in range(4)]
+    g = float(win[bp]) - lam * (9 + sum(abs(o) + 1 for o in offs))
+    return bp, offs, g

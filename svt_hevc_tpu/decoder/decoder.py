@@ -21,6 +21,7 @@ from ..bitstream.headers import parse_pps, parse_slice_header, parse_sps
 from ..bitstream.nal import NalUnitType, split_annexb
 from ..core.ctu import CtuDecoder, PictureState
 from ..core.deblock import deblock_picture
+from ..core.sao import SaoCtbParams, apply_sao, decode_sao_ctb
 from ..io.yuv import Frame
 
 
@@ -57,8 +58,14 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
     ctb = 1 << sps.log2_ctb
     n_ctb_x = (sps.width + ctb - 1) // ctb
     n_ctb_y = (sps.height + ctb - 1) // ctb
+    sao_on = sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)
+    sao_grid = [[SaoCtbParams() for _ in range(n_ctb_x)]
+                for _ in range(n_ctb_y)] if sao_on else None
     for cy in range(n_ctb_y):
         for cx in range(n_ctb_x):
+            if sao_on:
+                decode_sao_ctb(bac, sao_grid, cx, cy,
+                               hdr.sao_luma, hdr.sao_chroma)
             dec.code_ctu(cx * ctb, cy * ctb)
             end = bac.decode_terminate()
             last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
@@ -69,6 +76,8 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
     if not pps.deblocking_disabled:
         deblock_picture(st, beta_offset=pps.beta_offset_div2,
                         tc_offset=pps.tc_offset_div2)
+    if sao_on:
+        apply_sao(st, sao_grid, hdr.sao_luma, hdr.sao_chroma)
 
     # conformance window crop (offsets are in chroma units for 4:2:0)
     left, right, top, bottom = sps.conf_win

@@ -18,12 +18,14 @@ import numpy as np
 
 from ..bitstream.cabac import CabacEncoder
 from ..bitstream.contexts import init_contexts
+from ..bitstream.estimator import CabacEstimator
 from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_vps
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
 from ..core.deblock import deblock_picture
-from ..core.rdo import RdSearch, _Region
+from ..core.rdo import RdSearch, lambda_sse
+from ..core.sao import apply_sao, derive_sao_params, encode_sao_ctb
 from ..io.yuv import Frame
 
 
@@ -69,44 +71,62 @@ class Encoder:
             pad_plane(frame.cb.astype(np.int32), cw // 2, ch // 2),
             pad_plane(frame.cr.astype(np.int32), cw // 2, ch // 2),
         ]
-        st = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
-        bac = CabacEncoder(init_contexts(cfg.qp, init_type=0))
-
         ctb = cfg.ctb_size
         n_ctb_x = (cw + ctb - 1) // ctb
         n_ctb_y = (ch + ctb - 1) // ctb
-        enc = None
-        if not rd:
-            enc = CtuEncoder(st, bac, src, split_policy=split_policy,
-                             part_nxn_policy=part_nxn_policy)
-        for cy in range(n_ctb_y):
-            for cx in range(n_ctb_x):
-                x0, y0 = cx * ctb, cy * ctb
-                if rd:
-                    # RD trials reconstruct in-place; snapshot, search, then
-                    # fully restore so the final CABAC walk replays the
-                    # winning decisions against decoder-identical state
-                    snap = _Region(st, x0, y0, ctb)
-                    rds = RdSearch(st, src)
-                    decisions, _ = rds.compress_ctu(x0, y0, list(bac.ctx))
-                    snap.restore(st)
-                    enc = CtuEncoder(
-                        st, bac, src,
-                        split_policy=decisions.split_policy,
-                        part_nxn_policy=decisions.part_nxn_policy,
-                        mode_policy=decisions.mode_policy)
-                enc.code_ctu(x0, y0)
-                last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
-                bac.encode_terminate(1 if last else 0)
-        bac.finish()
+        ctb_order = [(cx * ctb, cy * ctb) for cy in range(n_ctb_y)
+                     for cx in range(n_ctb_x)]
+
+        # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
+        st = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
+        decisions_per_ctb: list = []
+        est_ctx = init_contexts(cfg.qp, init_type=0)
+        if rd:
+            for x0, y0 in ctb_order:
+                rds = RdSearch(st, src)
+                decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
+                decisions_per_ctb.append(decisions)
+        else:
+            est = CabacEstimator(est_ctx)
+            enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
+                              part_nxn_policy=part_nxn_policy)
+            for x0, y0 in ctb_order:
+                enc1.code_ctu(x0, y0)
 
         if cfg.enable_deblocking:
             deblock_picture(st)
+
+        sao_grid = None
+        if cfg.enable_sao:
+            sao_grid = derive_sao_params(st, src, lambda_sse(cfg.qp))
+            apply_sao(st, sao_grid, True, True)
+
+        # ---- pass 2: emit the real CABAC stream (replays identically) ----
+        st2 = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
+        bac = CabacEncoder(init_contexts(cfg.qp, init_type=0))
+        if not rd:
+            enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
+                             part_nxn_policy=part_nxn_policy)
+        for i, (x0, y0) in enumerate(ctb_order):
+            if rd:
+                d = decisions_per_ctb[i]
+                enc = CtuEncoder(st2, bac, src,
+                                 split_policy=d.split_policy,
+                                 part_nxn_policy=d.part_nxn_policy,
+                                 mode_policy=d.mode_policy)
+            if sao_grid is not None:
+                encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True)
+            enc.code_ctu(x0, y0)
+            last = i == len(ctb_order) - 1
+            bac.encode_terminate(1 if last else 0)
+        bac.finish()
 
         w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=True)
         w.write_bytes(bac.data)
         nal = wrap_nal(NalUnitType.IDR_W_RADL, w.get_bytes())
 
+        # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
+        # bit-identical pre-filter by construction
         recon = Frame(
             y=st.planes[0][:frame.height, :frame.width].astype(np.uint8),
             cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(np.uint8),

@@ -98,7 +98,7 @@ def test_sps_pps_write_parse_roundtrip():
     assert sps.width == 176 and sps.height == 144
     assert sps.log2_ctb == cfg.ctb_log2
     assert sps.bit_depth == 8
-    assert not sps.sao_enabled
+    assert sps.sao_enabled   # SAO on by default now
     pps = headers.parse_pps(headers.write_pps(cfg))
     assert pps.init_qp == 26
     assert not pps.deblocking_disabled   # DLF on by default now
