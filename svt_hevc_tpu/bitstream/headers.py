@@ -143,22 +143,35 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 
 def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True,
-                       poc: int = 0) -> BitWriter:
+                       poc: int = 0, slice_type: int = 2) -> BitWriter:
     """Write the slice segment header; returns the open BitWriter so slice
-    data (CABAC payload) can be appended after byte alignment."""
+    data (CABAC payload) can be appended after byte alignment.
+
+    slice_type: 2 = I, 1 = P (single negative-delta-1 short-term RPS,
+    single active reference)."""
     w = BitWriter()
     w.flag(1)            # first_slice_segment_in_pic_flag
     if is_idr:
         w.flag(0)        # no_output_of_prior_pics_flag
     w.ue(0)              # slice_pic_parameter_set_id
-    w.ue(2)              # slice_type = I
+    w.ue(slice_type)
     if not is_idr:
-        raise NotImplementedError("non-IDR slices need POC/RPS signalling")
+        w.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
+        w.flag(0)            # short_term_ref_pic_set_sps_flag -> inline RPS
+        # st_ref_pic_set(0): one negative picture at delta 1, used
+        w.ue(1)              # num_negative_pics
+        w.ue(0)              # num_positive_pics
+        w.ue(0)              # delta_poc_s0_minus1[0]
+        w.flag(1)            # used_by_curr_pic_s0_flag[0]
     if cfg.enable_sao:
         w.flag(1)        # slice_sao_luma_flag
         w.flag(1)        # slice_sao_chroma_flag
+    if slice_type != 2:
+        w.flag(0)        # num_ref_idx_active_override_flag (default: 1 ref)
+        w.ue(0)          # five_minus_max_num_merge_cand -> MaxNumMergeCand=5
     w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
-    # deblocking override disabled + SAO off + no tiles -> nothing else
+    if cfg.enable_sao or cfg.enable_deblocking:
+        w.flag(1)        # slice_loop_filter_across_slices_enabled_flag
     # byte_alignment() before slice data
     w.flag(1)            # alignment_bit_equal_to_one
     w.byte_align()
@@ -219,6 +232,7 @@ class SliceHeader:
     poc: int = 0
     sao_luma: bool = False
     sao_chroma: bool = False
+    max_num_merge_cand: int = 5
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
 
 
@@ -332,17 +346,36 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
         r.flag()                 # no_output_of_prior_pics_flag
     r.ue()                       # slice_pic_parameter_set_id
     h.slice_type = r.ue()
-    if h.slice_type != 2:
-        raise NotImplementedError("P/B slice parsing")
+    if h.slice_type == 0:
+        raise NotImplementedError("B slice parsing")
     if not h.is_idr:
         h.poc = r.u(sps.log2_max_poc_lsb)
-        raise NotImplementedError("non-IDR RPS parsing")
+        if not r.flag():         # short_term_ref_pic_set_sps_flag == 0
+            n_neg = r.ue()
+            n_pos = r.ue()
+            for _ in range(n_neg):
+                r.ue()           # delta_poc_s0_minus1
+                r.flag()         # used_by_curr_pic_s0_flag
+            for _ in range(n_pos):
+                r.ue()
+                r.flag()
+            if n_neg != 1 or n_pos != 0:
+                raise NotImplementedError("multi-reference RPS")
     if sps.sao_enabled:
         h.sao_luma = r.flag()
         h.sao_chroma = r.flag()
+    if h.slice_type != 2:
+        if r.flag():             # num_ref_idx_active_override_flag
+            n_ref = r.ue() + 1
+            if n_ref != 1:
+                raise NotImplementedError("multiple active references")
+        h.max_num_merge_cand = 5 - r.ue()
     h.slice_qp = pps.init_qp + r.se()
     if pps.deblocking_control_present and pps.deblocking_override_enabled:
         raise NotImplementedError("deblocking override")
+    if pps.loop_filter_across_slices and (
+            h.sao_luma or h.sao_chroma or not pps.deblocking_disabled):
+        r.flag()                 # slice_loop_filter_across_slices_enabled_flag
     # byte alignment before slice data
     if r.flag() != 1:
         raise ValueError("alignment_bit_equal_to_one missing")

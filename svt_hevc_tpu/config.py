@@ -31,7 +31,8 @@ class EncoderConfig:
     fps_den: int = 1
 
     # --- coding structure (EbApi.h intraPeriodLength/hierarchicalLevels/...) ---
-    intra_period: int = -1       # -1 => all-intra for now (round-1 scope)
+    intra_period: int = 0        # 0 = all-intra; -1 = first frame only
+                                 # (reference -1 semantics); N>0 = I every N+1
     hierarchical_levels: int = 0
     pred_structure: int = 0      # 0 low-delay P, 1 low-delay B, 2 random access
 
@@ -109,8 +110,12 @@ class EncoderConfig:
             raise ValueError(f"qp {self.qp} out of range [0, 51]")
         if self.ctb_size not in (16, 32, 64):
             raise ValueError("ctb_size must be 16, 32 or 64")
-        if self.intra_period != -1:
-            raise NotImplementedError("inter coding not implemented yet")
+        if self.intra_period < -1 or self.intra_period > 255:
+            raise ValueError("intra_period out of range [-1, 255]")
+        if self.pred_structure != 0:
+            raise NotImplementedError("only low-delay P implemented yet")
+        if self.hierarchical_levels != 0:
+            raise NotImplementedError("hierarchical GOPs not implemented yet")
         if self.tile_columns != 1 or self.tile_rows != 1:
             raise NotImplementedError("tiles not implemented yet")
         if not (0 <= self.enc_mode <= 11):

@@ -26,8 +26,11 @@ import numpy as np
 from ..bitstream.contexts import Ctx
 from ..bitstream.residual import decode_residual, encode_residual, select_scan
 from . import intra
+from .inter import amvp_candidates, mc_predict, merge_candidates
 from .quant import dequantize, quantize
 from .transforms import forward_transform, inverse_transform
+
+I_SLICE, P_SLICE, B_SLICE = 2, 1, 0
 
 # spec Table 8-10 (4:2:0): qPi -> QpC for qPi in 30..43
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
@@ -74,6 +77,15 @@ class PictureState:
         # edge_h[r, c]: horizontal TB edge at luma row 8r, cols 4c..4c+3
         self.edge_v = np.zeros((coded_h // 4, coded_w // 8), bool)
         self.edge_h = np.zeros((coded_h // 8, coded_w // 4), bool)
+        # inter state (4x4 luma granularity)
+        self.slice_type = I_SLICE
+        self.ref_planes: list | None = None    # [ [y, cb, cr], ... ] per ref
+        self.max_merge = 5
+        self.mv = np.zeros((coded_h // 4, coded_w // 4, 2), np.int32)
+        self.ref_idx = np.full((coded_h // 4, coded_w // 4), -1, np.int8)
+        self.skip = np.zeros((coded_h // 4, coded_w // 4), bool)
+        # nonzero-luma-coeff flag of the covering TU (for deblocking bS)
+        self.cbf4 = np.zeros((coded_h // 4, coded_w // 4), np.uint8)
 
     def mark(self, c_idx: int, x: int, y: int, n: int) -> None:
         self.avail[c_idx][y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
@@ -126,14 +138,15 @@ def predict_block(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
 
 
 def reconstruct_tb(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
-                   pred: np.ndarray, levels: np.ndarray | None) -> None:
+                   pred: np.ndarray, levels: np.ndarray | None,
+                   is_intra: bool = True) -> None:
     """Dequant + inverse transform + add + clip; marks availability."""
     maxval = (1 << st.bit_depth) - 1
     if levels is None or not levels.any():
         rec = np.clip(pred, 0, maxval)
     else:
         qp = st.qp if c_idx == 0 else st.qp_c
-        dst = c_idx == 0 and n == 4
+        dst = is_intra and c_idx == 0 and n == 4
         coeff = dequantize(levels, qp, bit_depth=st.bit_depth)
         resid = inverse_transform(coeff, st.bit_depth, dst=dst)
         rec = np.clip(pred + resid, 0, maxval)
@@ -145,9 +158,11 @@ class _CuCtx:
     """Per-CU transient state shared across the transform tree walk."""
 
     __slots__ = ("x0", "y0", "log2", "part_nxn", "luma_modes", "chroma_mode",
-                 "luma_levels", "chroma_levels", "chroma_cbf")
+                 "luma_levels", "chroma_levels", "chroma_cbf",
+                 "is_inter", "motion", "pred")
 
-    def __init__(self, x0, y0, log2, part_nxn, luma_modes, chroma_mode):
+    def __init__(self, x0, y0, log2, part_nxn, luma_modes, chroma_mode,
+                 *, is_inter=False, motion=None, pred=None):
         self.x0, self.y0, self.log2 = x0, y0, log2
         self.part_nxn = part_nxn
         self.luma_modes = luma_modes
@@ -155,6 +170,9 @@ class _CuCtx:
         self.luma_levels = {}                # (x, y) -> levels array
         self.chroma_levels = {}              # (c_idx, x, y) -> levels
         self.chroma_cbf = {}                 # (c_idx, x, y, depth) -> 0/1
+        self.is_inter = is_inter
+        self.motion = motion                 # ((mvx, mvy), ref_idx)
+        self.pred = pred                     # [y, cb, cr] full-CU MC pred
 
 
 class CtuCoderBase:
@@ -195,6 +213,17 @@ class CtuCoderBase:
         size = 1 << log2
         st.cqt_depth[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = depth
 
+        if st.slice_type != I_SLICE:
+            skip = self.sx_skip_flag(x0, y0, log2, self._skip_ctx(x0, y0))
+            if skip:
+                idx = self.sx_merge_idx(x0, y0, log2)
+                motion = merge_candidates(st, x0, y0, size, st.max_merge)[idx]
+                self._inter_nocbf(x0, y0, log2, motion, skip=True)
+                return
+            if not self.sx_pred_mode(x0, y0, log2):
+                self._inter_coding_unit(x0, y0, log2, depth)
+                return
+
         part_nxn = bool(self.sx_part_mode(x0, y0)) if log2 == 3 else False
         if part_nxn:
             pu_pos = [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
@@ -220,6 +249,71 @@ class CtuCoderBase:
     def prepare_cu(self, cu: _CuCtx) -> None:
         """Encoder hook: forward-compute chroma TBs before cbf emission."""
 
+    # ----------------------------------------------------------- inter CUs
+    def _skip_ctx(self, x0: int, y0: int) -> int:
+        st = self.st
+        inc = 0
+        if x0 > 0 and st.avail[0][y0 >> 2, (x0 - 1) >> 2]:
+            inc += int(st.skip[y0 >> 2, (x0 - 1) >> 2])
+        if y0 > 0 and st.avail[0][(y0 - 1) >> 2, x0 >> 2]:
+            inc += int(st.skip[(y0 - 1) >> 2, x0 >> 2])
+        return inc
+
+    def _set_motion(self, x0: int, y0: int, n: int, motion, skip: bool) -> None:
+        st = self.st
+        ys, xs = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
+        st.mv[ys, xs, 0] = motion[0][0]
+        st.mv[ys, xs, 1] = motion[0][1]
+        st.ref_idx[ys, xs] = motion[1]
+        st.skip[ys, xs] = skip
+        st.luma_mode[ys, xs] = -1
+        # PU/CU boundary deblocking edges on the 8x8 grid
+        if x0 % 8 == 0:
+            st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3] = True
+        if y0 % 8 == 0:
+            st.edge_h[y0 >> 3, x0 >> 2:(x0 + n) >> 2] = True
+
+    def _inter_nocbf(self, x0: int, y0: int, log2: int, motion,
+                     skip: bool) -> None:
+        """Skip CU or rqt_root_cbf=0: reconstruction = MC prediction."""
+        st = self.st
+        n = 1 << log2
+        self._set_motion(x0, y0, n, motion, skip)
+        py, pcb, pcr = mc_predict(st.ref_planes[motion[1]], x0, y0, n,
+                                  motion[0], st.bit_depth)
+        st.planes[0][y0:y0 + n, x0:x0 + n] = py
+        st.planes[1][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcb
+        st.planes[2][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcr
+        st.mark(0, x0, y0, n)
+        st.mark(1, x0 >> 1, y0 >> 1, n >> 1)
+        st.mark(2, x0 >> 1, y0 >> 1, n >> 1)
+        st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = 0
+
+    def _inter_coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
+        st = self.st
+        n = 1 << log2
+        self.sx_part_mode_inter(x0, y0, log2)     # 2Nx2N only
+        if self.sx_merge_flag(x0, y0, log2):
+            idx = self.sx_merge_idx(x0, y0, log2)
+            motion = merge_candidates(st, x0, y0, n, st.max_merge)[idx]
+        else:
+            # single active reference: ref_idx not signalled
+            mvd = self.sx_mvd(x0, y0, log2)
+            mvp_idx = self.sx_mvp_flag(x0, y0, log2)
+            pred_mv = amvp_candidates(st, x0, y0, n)[mvp_idx]
+            motion = ((pred_mv[0] + mvd[0], pred_mv[1] + mvd[1]), 0)
+        root_cbf = self.sx_rqt_root_cbf(x0, y0, log2)
+        if not root_cbf:
+            self._inter_nocbf(x0, y0, log2, motion, skip=False)
+            return
+        self._set_motion(x0, y0, n, motion, skip=False)
+        pred = mc_predict(st.ref_planes[motion[1]], x0, y0, n, motion[0],
+                          st.bit_depth)
+        cu = _CuCtx(x0, y0, log2, False, [None], None,
+                    is_inter=True, motion=motion, pred=list(pred))
+        self.prepare_cu(cu)
+        self.transform_tree(cu, x0, y0, log2, 0, 0, 1, 1)
+
     # --------------------------------------------------------- transform tree
     def transform_tree(self, cu: _CuCtx, x0: int, y0: int, log2: int,
                        depth: int, blk_idx: int,
@@ -237,7 +331,10 @@ class CtuCoderBase:
                 self.transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
                                     depth + 1, i, cbf_cb, cbf_cr)
         else:
-            cbf_luma = self.sx_cbf_luma(cu, x0, y0, log2, depth)
+            if cu.is_inter and depth == 0 and not cbf_cb and not cbf_cr:
+                cbf_luma = 1     # inferred (7.4.9.8): rqt_root_cbf was 1
+            else:
+                cbf_luma = self.sx_cbf_luma(cu, x0, y0, log2, depth)
             self.transform_unit(cu, x0, y0, log2, depth, blk_idx,
                                 cbf_luma, cbf_cb, cbf_cr)
 
@@ -252,6 +349,7 @@ class CtuCoderBase:
             st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3] = True
         if y0 % 8 == 0:
             st.edge_h[y0 >> 3, x0 >> 2:(x0 + n) >> 2] = True
+        st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = cbf_luma
         mode_idx = blk_idx if (cu.part_nxn and depth > 0) else 0
         self.tb_luma(cu, x0, y0, log2, cu.luma_modes[mode_idx], cbf_luma)
         if log2 > 2:
@@ -262,6 +360,31 @@ class CtuCoderBase:
 
     # ----------------------------------------------- syntax hooks (subclass)
     def sx_split_cu(self, x0, y0, log2, depth, ctx_inc) -> int:
+        raise NotImplementedError
+
+    def sx_skip_flag(self, x0, y0, log2, ctx_inc) -> int:
+        raise NotImplementedError
+
+    def sx_pred_mode(self, x0, y0, log2) -> int:
+        """1 = intra."""
+        raise NotImplementedError
+
+    def sx_part_mode_inter(self, x0, y0, log2) -> None:
+        raise NotImplementedError
+
+    def sx_merge_flag(self, x0, y0, log2) -> int:
+        raise NotImplementedError
+
+    def sx_merge_idx(self, x0, y0, log2) -> int:
+        raise NotImplementedError
+
+    def sx_mvd(self, x0, y0, log2) -> tuple[int, int]:
+        raise NotImplementedError
+
+    def sx_mvp_flag(self, x0, y0, log2) -> int:
+        raise NotImplementedError
+
+    def sx_rqt_root_cbf(self, x0, y0, log2) -> int:
         raise NotImplementedError
 
     def sx_part_mode(self, x0, y0) -> int:
@@ -310,6 +433,29 @@ class CtuCoderBase:
         return mode
 
 
+def _encode_egk(bac, v: int, k: int) -> None:
+    """k-th order Exp-Golomb, bypass bins (9.3.3.3)."""
+    while v >= (1 << k):
+        bac.encode_bypass(1)
+        v -= 1 << k
+        k += 1
+    bac.encode_bypass(0)
+    if k:
+        bac.encode_bypass_bins(v, k)
+
+
+def _decode_egk(dec, k: int) -> int:
+    v = 0
+    while dec.decode_bypass():
+        v += 1 << k
+        k += 1
+        if k > 30:
+            raise ValueError("invalid exp-golomb bypass code")
+    if k:
+        v += dec.decode_bypass_bins(k)
+    return v
+
+
 # ============================================================ decoder subclass
 
 class CtuDecoder(CtuCoderBase):
@@ -319,6 +465,51 @@ class CtuDecoder(CtuCoderBase):
 
     def sx_split_cu(self, x0, y0, log2, depth, ctx_inc):
         return self.bac.decode_bin(Ctx.SPLIT_CU + ctx_inc)
+
+    def sx_skip_flag(self, x0, y0, log2, ctx_inc):
+        return self.bac.decode_bin(Ctx.CU_SKIP + ctx_inc)
+
+    def sx_pred_mode(self, x0, y0, log2):
+        return self.bac.decode_bin(Ctx.PRED_MODE)
+
+    def sx_part_mode_inter(self, x0, y0, log2):
+        if not self.bac.decode_bin(Ctx.PART_MODE):
+            raise NotImplementedError("inter partitions other than 2Nx2N")
+
+    def sx_merge_flag(self, x0, y0, log2):
+        return self.bac.decode_bin(Ctx.MERGE_FLAG)
+
+    def sx_merge_idx(self, x0, y0, log2):
+        cmax = self.st.max_merge - 1
+        if cmax == 0 or not self.bac.decode_bin(Ctx.MERGE_IDX):
+            return 0
+        idx = 1
+        while idx < cmax and self.bac.decode_bypass():
+            idx += 1
+        return idx
+
+    def sx_mvd(self, x0, y0, log2):
+        bac = self.bac
+        gx = bac.decode_bin(Ctx.MVD)
+        gy = bac.decode_bin(Ctx.MVD)
+        g1x = bac.decode_bin(Ctx.MVD + 1) if gx else 0
+        g1y = bac.decode_bin(Ctx.MVD + 1) if gy else 0
+        out = []
+        for g, g1 in ((gx, g1x), (gy, g1y)):
+            if not g:
+                out.append(0)
+                continue
+            mag = 1
+            if g1:
+                mag = 2 + _decode_egk(bac, 1)
+            out.append(-mag if bac.decode_bypass() else mag)
+        return out[0], out[1]
+
+    def sx_mvp_flag(self, x0, y0, log2):
+        return self.bac.decode_bin(Ctx.MVP)
+
+    def sx_rqt_root_cbf(self, x0, y0, log2):
+        return self.bac.decode_bin(Ctx.RQT_ROOT_CBF)
 
     def sx_part_mode(self, x0, y0):
         # part_mode bin0: 1 = PART_2Nx2N, 0 = PART_NxN (intra, min CB)
@@ -350,26 +541,63 @@ class CtuDecoder(CtuCoderBase):
 
     def tb_luma(self, cu, x0, y0, log2, mode, cbf):
         n = 1 << log2
-        pred = predict_block(self.st, 0, x0, y0, n, mode)
+        if cu.is_inter:
+            pred = cu.pred[0][y0 - cu.y0:y0 - cu.y0 + n,
+                              x0 - cu.x0:x0 - cu.x0 + n]
+        else:
+            pred = predict_block(self.st, 0, x0, y0, n, mode)
         levels = None
         if cbf:
-            scan = select_scan(log2, 0, mode)
+            scan = select_scan(log2, 0, None if cu.is_inter else mode)
             levels = decode_residual(self.bac, log2, 0, scan)
-        reconstruct_tb(self.st, 0, x0, y0, n, pred, levels)
+        reconstruct_tb(self.st, 0, x0, y0, n, pred, levels,
+                       is_intra=not cu.is_inter)
 
     def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr):
         n = 1 << log2c
         mode = cu.chroma_mode
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
-            pred = predict_block(self.st, c_idx, xc, yc, n, mode)
+            if cu.is_inter:
+                cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
+                pred = cu.pred[c_idx][yc - cy0:yc - cy0 + n,
+                                      xc - cx0:xc - cx0 + n]
+            else:
+                pred = predict_block(self.st, c_idx, xc, yc, n, mode)
             levels = None
             if cbf:
-                scan = select_scan(log2c, 1, mode)
+                scan = select_scan(log2c, 1, None if cu.is_inter else mode)
                 levels = decode_residual(self.bac, log2c, c_idx, scan)
-            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels)
+            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels,
+                           is_intra=not cu.is_inter)
 
 
 # ============================================================ encoder subclass
+
+class _InterPlan:
+    """The encoder's decided coding of one potential inter CU."""
+
+    __slots__ = ("use_inter", "skip", "merge_flag", "merge_idx", "mvd",
+                 "mvp_idx", "motion", "root_cbf")
+
+    def __init__(self):
+        self.use_inter = False
+        self.skip = False
+        self.merge_flag = False
+        self.merge_idx = 0
+        self.mvd = (0, 0)
+        self.mvp_idx = 0
+        self.motion = ((0, 0), 0)
+        self.root_cbf = 1
+
+
+def _mvd_bits(v: int) -> int:
+    a = abs(v)
+    if a == 0:
+        return 1
+    if a == 1:
+        return 3
+    return 4 + 2 * max(a - 2, 1).bit_length()
+
 
 class CtuEncoder(CtuCoderBase):
     """Writes CU syntax with a CabacEncoder while reconstructing exactly as
@@ -392,6 +620,7 @@ class CtuEncoder(CtuCoderBase):
         self.part_nxn_policy = part_nxn_policy or (lambda x0, y0: False)
         self.mode_policy = mode_policy    # optional (x,y,size)->mode override
         self._pu_modes: dict[tuple[int, int], int] = {}
+        self._plans: dict[tuple[int, int, int], _InterPlan] = {}
 
     # ------------------------------------------------------------- decisions
     def _default_split(self, x0, y0, log2, depth):
@@ -402,10 +631,11 @@ class CtuEncoder(CtuCoderBase):
         return float(np.var(blk.astype(np.float64))) > 900.0
 
     def _choose_luma_mode(self, px, py, n, cand):
+        """Returns (mode, sad_cost)."""
         if self.mode_policy is not None:
             got = self.mode_policy(px, py, n)
-            if got is not None:
-                return got
+            if got is not None and got >= 0:
+                return got, 0
         src = self.src[0][py:py + n, px:px + n].astype(np.int64)
         best_mode, best_cost = 1, None
         left, corner, top = intra.build_ref_samples(
@@ -420,13 +650,214 @@ class CtuEncoder(CtuCoderBase):
             cost = int(np.abs(pred - src).sum()) + 3 * bits
             if best_cost is None or cost < best_cost:
                 best_mode, best_cost = mode, cost
-        return best_mode
+        return best_mode, best_cost
+
+    # ------------------------------------------------------- inter decision
+    def _plan(self, x0, y0, log2) -> _InterPlan:
+        key = (x0, y0, log2)
+        plan = self._plans.get(key)
+        if plan is None:
+            plan = self._compute_plan(x0, y0, log2)
+            self._plans[key] = plan
+        return plan
+
+    def _motion_search(self, x0, y0, n, pred_mv):
+        """Integer full search +/-8 around the predictor, then half- and
+        quarter-pel refinement. Returns (sad, (mvx, mvy) quarter-pel).
+        Host-side analogue of reference MotionEstimateLcu
+        (EbMotionEstimation.c:3671); the batched TPU ME replaces this."""
+        from .inter import _gather_window, interp_luma
+        st = self.st
+        ref = st.ref_planes[0][0]
+        src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        r = 8
+        cx = x0 + (int(pred_mv[0]) >> 2)
+        cy = y0 + (int(pred_mv[1]) >> 2)
+        win = _gather_window(ref, cx - r, cy - r, n + 2 * r, n + 2 * r).astype(np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view(win, (n, n))
+        sad = np.abs(sw - src).sum(axis=(2, 3))
+        k = int(np.argmin(sad))
+        dy, dx = divmod(k, 2 * r + 1)
+        best_mv = ((cx - x0 + dx - r) << 2, (cy - y0 + dy - r) << 2)
+        best_sad = int(sad[dy, dx])
+        for step in (2, 1):          # half-pel, then quarter-pel
+            bx, by = best_mv
+            for ox, oy in ((-step, 0), (step, 0), (0, -step), (0, step),
+                           (-step, -step), (step, step), (-step, step),
+                           (step, -step)):
+                mv = (bx + ox, by + oy)
+                p = interp_luma(ref, x0, y0, n, n, mv[0], mv[1],
+                                st.bit_depth).astype(np.int64)
+                s = int(np.abs(p - src).sum())
+                if s < best_sad:
+                    best_sad, best_mv = s, mv
+        return best_sad, best_mv
+
+    def _inter_tb_levels(self, x0, y0, log2, pred3):
+        """Quantized levels of all TBs of a (candidate) inter CU. Returns
+        (luma_levels dict, chroma_levels dict, any_nonzero)."""
+        st = self.st
+        luma, chroma = {}, {}
+        any_nz = False
+
+        def luma_tb(x, y, lg):
+            n = 1 << lg
+            p = pred3[0][y - y0:y - y0 + n, x - x0:x - x0 + n]
+            resid = self.src[0][y:y + n, x:x + n].astype(np.int64) - p
+            lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
+                          st.qp, is_intra=False, bit_depth=st.bit_depth)
+            luma[(x, y)] = lv
+            return bool(lv.any())
+
+        if log2 <= 5:
+            any_nz |= luma_tb(x0, y0, log2)
+        else:
+            h = 1 << (log2 - 1)
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                any_nz |= luma_tb(x0 + dx, y0 + dy, log2 - 1)
+        nc = 1 << (log2 - 1)
+        for c_idx in (1, 2):
+            xc, yc = x0 >> 1, y0 >> 1
+            if log2 <= 5:
+                p = pred3[c_idx]
+                resid = self.src[c_idx][yc:yc + nc, xc:xc + nc].astype(np.int64) - p
+                lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
+                              st.qp_c, is_intra=False, bit_depth=st.bit_depth)
+                chroma[(c_idx, xc, yc)] = lv
+                any_nz |= bool(lv.any())
+            else:
+                hc = nc >> 1
+                for dx, dy in ((0, 0), (hc, 0), (0, hc), (hc, hc)):
+                    p = pred3[c_idx][dy:dy + hc, dx:dx + hc]
+                    resid = self.src[c_idx][yc + dy:yc + dy + hc,
+                                            xc + dx:xc + dx + hc].astype(np.int64) - p
+                    lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
+                                  st.qp_c, is_intra=False, bit_depth=st.bit_depth)
+                    chroma[(c_idx, xc + dx, yc + dy)] = lv
+                    any_nz |= bool(lv.any())
+        return luma, chroma, any_nz
+
+    def _compute_plan(self, x0, y0, log2) -> _InterPlan:
+        from .inter import interp_luma
+        st = self.st
+        n = 1 << log2
+        plan = _InterPlan()
+        src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        ref = st.ref_planes[0][0]
+
+        merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
+        amvp = amvp_candidates(st, x0, y0, n)
+
+        # merge candidates (deduped for evaluation)
+        best = None      # (cost, kind, payload...)
+        seen = set()
+        for idx, m in enumerate(merge_list):
+            if m in seen:
+                continue
+            seen.add(m)
+            p = interp_luma(ref, x0, y0, n, n, m[0][0], m[0][1],
+                            st.bit_depth).astype(np.int64)
+            cost = int(np.abs(p - src).sum()) + 3 * (2 + idx)
+            if best is None or cost < best[0]:
+                best = (cost, "merge", idx, m)
+
+        # motion search from the AMVP predictor
+        me_sad, me_mv = self._motion_search(x0, y0, n, amvp[0])
+        mvp_idx = 0
+        bits0 = _mvd_bits(me_mv[0] - amvp[0][0]) + _mvd_bits(me_mv[1] - amvp[0][1])
+        bits1 = _mvd_bits(me_mv[0] - amvp[1][0]) + _mvd_bits(me_mv[1] - amvp[1][1])
+        if bits1 < bits0:
+            mvp_idx = 1
+        me_cost = me_sad + 3 * (4 + min(bits0, bits1))
+        if me_cost < best[0]:
+            best = (me_cost, "amvp", mvp_idx, ((me_mv[0], me_mv[1]), 0))
+
+        # intra comparison (2Nx2N SAD)
+        cand = derive_mpm(st, x0, y0)
+        _, intra_cost = self._choose_luma_mode(x0, y0, n, cand)
+        if intra_cost is not None and intra_cost + 3 * 2 < best[0]:
+            plan.use_inter = False
+            return plan
+
+        plan.use_inter = True
+        plan.motion = best[3]
+        if best[1] == "merge":
+            plan.merge_flag = True
+            plan.merge_idx = best[2]
+        else:
+            plan.merge_flag = False
+            plan.mvp_idx = best[2]
+            mv = best[3][0]
+            plan.mvd = (mv[0] - amvp[best[2]][0], mv[1] - amvp[best[2]][1])
+        pred3 = list(mc_predict(st.ref_planes[plan.motion[1]], x0, y0, n,
+                                plan.motion[0], st.bit_depth))
+        _, _, any_nz = self._inter_tb_levels(x0, y0, log2, pred3)
+        plan.root_cbf = int(any_nz)
+        plan.skip = bool(plan.merge_flag and not any_nz)
+        return plan
 
     # ---------------------------------------------------------- syntax hooks
     def sx_split_cu(self, x0, y0, log2, depth, ctx_inc):
         split = 1 if self.split_policy(x0, y0, log2, depth) else 0
         self.bac.encode_bin(Ctx.SPLIT_CU + ctx_inc, split)
         return split
+
+    def sx_skip_flag(self, x0, y0, log2, ctx_inc):
+        plan = self._plan(x0, y0, log2)
+        skip = int(plan.use_inter and plan.skip)
+        self.bac.encode_bin(Ctx.CU_SKIP + ctx_inc, skip)
+        return skip
+
+    def sx_pred_mode(self, x0, y0, log2):
+        plan = self._plan(x0, y0, log2)
+        intra_flag = int(not plan.use_inter)
+        self.bac.encode_bin(Ctx.PRED_MODE, intra_flag)
+        return intra_flag
+
+    def sx_part_mode_inter(self, x0, y0, log2):
+        self.bac.encode_bin(Ctx.PART_MODE, 1)      # PART_2Nx2N
+
+    def sx_merge_flag(self, x0, y0, log2):
+        plan = self._plan(x0, y0, log2)
+        self.bac.encode_bin(Ctx.MERGE_FLAG, int(plan.merge_flag))
+        return int(plan.merge_flag)
+
+    def sx_merge_idx(self, x0, y0, log2):
+        idx = self._plan(x0, y0, log2).merge_idx
+        cmax = self.st.max_merge - 1
+        if cmax > 0:
+            self.bac.encode_bin(Ctx.MERGE_IDX, int(idx > 0))
+            if idx > 0:
+                for i in range(1, idx):
+                    self.bac.encode_bypass(1)
+                if idx < cmax:
+                    self.bac.encode_bypass(0)
+        return idx
+
+    def sx_mvd(self, x0, y0, log2):
+        mvd = self._plan(x0, y0, log2).mvd
+        bac = self.bac
+        bac.encode_bin(Ctx.MVD, int(mvd[0] != 0))
+        bac.encode_bin(Ctx.MVD, int(mvd[1] != 0))
+        for v in mvd:
+            if v != 0:
+                bac.encode_bin(Ctx.MVD + 1, int(abs(v) > 1))
+        for v in mvd:
+            if v != 0:
+                if abs(v) > 1:
+                    _encode_egk(bac, abs(v) - 2, 1)
+                bac.encode_bypass(int(v < 0))
+        return mvd
+
+    def sx_mvp_flag(self, x0, y0, log2):
+        idx = self._plan(x0, y0, log2).mvp_idx
+        self.bac.encode_bin(Ctx.MVP, idx)
+        return idx
+
+    def sx_rqt_root_cbf(self, x0, y0, log2):
+        cbf = self._plan(x0, y0, log2).root_cbf
+        self.bac.encode_bin(Ctx.RQT_ROOT_CBF, cbf)
+        return cbf
 
     def sx_part_mode(self, x0, y0):
         nxn = 1 if self.part_nxn_policy(x0, y0) else 0
@@ -439,7 +870,7 @@ class CtuEncoder(CtuCoderBase):
         flags = []
         for px, py in pu_pos:
             cand = derive_mpm(self.st, px, py)
-            mode = self._choose_luma_mode(px, py, pu_sz, cand)
+            mode, _ = self._choose_luma_mode(px, py, pu_sz, cand)
             self._pu_modes[(px, py)] = mode
             # update the map immediately so the next PU's MPM derivation
             # (both here and in the shared loop) sees it, like the decoder
@@ -471,8 +902,28 @@ class CtuEncoder(CtuCoderBase):
     def prepare_cu(self, cu):
         """Forward-compute all chroma TBs of the CU (their prediction only
         needs chroma recon of prior blocks, never this CU's luma), so the
-        aggregate cbf_cb/cr flags exist before emission."""
+        aggregate cbf_cb/cr flags exist before emission. For inter CUs the
+        luma TBs are also computed here, because cbf_luma can be *inferred*
+        (never signalled) and prediction does not depend on recon order."""
+        if cu.is_inter:
+            self._luma_tree_inter(cu, cu.x0, cu.y0, cu.log2)
         self._chroma_tree(cu, cu.x0, cu.y0, cu.log2, 0)
+
+    def _luma_tree_inter(self, cu, x0, y0, log2):
+        if log2 > 5:
+            h = 1 << (log2 - 1)
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                self._luma_tree_inter(cu, x0 + dx, y0 + dy, log2 - 1)
+            return
+        st = self.st
+        n = 1 << log2
+        pred = cu.pred[0][y0 - cu.y0:y0 - cu.y0 + n,
+                          x0 - cu.x0:x0 - cu.x0 + n]
+        resid = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64) - pred
+        levels = quantize(forward_transform(resid, st.bit_depth, dst=False),
+                          st.qp, is_intra=False, bit_depth=st.bit_depth)
+        cu.luma_levels[(x0, y0)] = levels
+        reconstruct_tb(st, 0, x0, y0, n, pred, levels, is_intra=False)
 
     def _chroma_tree(self, cu, x0, y0, log2, depth):
         split = (log2 > 5) or (cu.part_nxn and depth == 0)
@@ -491,15 +942,20 @@ class CtuEncoder(CtuCoderBase):
         xc, yc = x0 >> 1, y0 >> 1
         n = 1 << log2c
         for c_idx in (1, 2):
-            pred = predict_block(self.st, c_idx, xc, yc, n, cu.chroma_mode)
+            if cu.is_inter:
+                pred = cu.pred[c_idx][yc - (cu.y0 >> 1):yc - (cu.y0 >> 1) + n,
+                                      xc - (cu.x0 >> 1):xc - (cu.x0 >> 1) + n]
+            else:
+                pred = predict_block(self.st, c_idx, xc, yc, n, cu.chroma_mode)
             src = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64)
             resid = src - pred
             coeff = forward_transform(resid, self.st.bit_depth, dst=False)
-            levels = quantize(coeff, self.st.qp_c, is_intra=True,
+            levels = quantize(coeff, self.st.qp_c, is_intra=not cu.is_inter,
                               bit_depth=self.st.bit_depth)
             cu.chroma_levels[(c_idx, xc, yc)] = levels
             cu.chroma_cbf[(c_idx, xc, yc)] = int(levels.any())
-            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels)
+            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels,
+                           is_intra=not cu.is_inter)
 
     def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split):
         cbf = cu.chroma_cbf[(c_idx, x0 >> 1, y0 >> 1)]
@@ -508,7 +964,11 @@ class CtuEncoder(CtuCoderBase):
 
     def sx_cbf_luma(self, cu, x0, y0, log2, depth):
         """Forward-compute the luma TB now (references are final) and emit
-        its cbf."""
+        its cbf. Inter TBs were computed in prepare_cu."""
+        if cu.is_inter:
+            cbf = int(cu.luma_levels[(x0, y0)].any())
+            self.bac.encode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0), cbf)
+            return cbf
         n = 1 << log2
         mode_idx = 0
         if cu.part_nxn and (x0 != cu.x0 or y0 != cu.y0 or log2 == 2):

@@ -42,30 +42,33 @@ def _clip3(lo, hi, v):
     return np.minimum(np.maximum(v, lo), hi)
 
 
-def _filter_luma_vertical(plane: np.ndarray, edge: np.ndarray, qp: int,
+def _filter_luma_vertical(plane: np.ndarray, bs: np.ndarray, qp: int,
                           bit_depth: int, beta_offset: int = 0,
                           tc_offset: int = 0) -> None:
-    """Filter all flagged vertical luma edges in place.
+    """Filter all vertical luma edge segments with bS > 0 in place.
 
-    plane: (H, W) int32; edge: (H//4, W//8) bool — a True at (s, c) means a
-    bS=2 vertical edge at column 8c for rows 4s..4s+3. Column 0 (picture
+    plane: (H, W) int32; bs: (H//4, W//8) int — boundary strength of the
+    vertical edge at column 8c for rows 4s..4s+3. Column 0 (picture
     boundary) is never filtered.
     """
     maxval = (1 << bit_depth) - 1
     qb = min(max(qp + (beta_offset << 1), 0), 51)
-    qt = min(max(qp + 2 + (tc_offset << 1), 0), 53)   # bS=2 -> +2
     beta = int(BETA_TABLE[qb]) << (bit_depth - 8)
-    tc = int(TC_TABLE[qt]) << (bit_depth - 8)
-    if tc == 0 and beta == 0:
+    if beta == 0:
         return
 
-    seg = edge.copy()
+    seg = bs > 0
     seg[:, 0] = False
     ys, xs = np.nonzero(seg)
     if ys.size == 0:
         return
     y0 = ys * 4
     x0 = xs * 8
+    # per-segment tc from bS (8.7.2.5.3: Q = qp + 2*(bS-1) + 2*tc_offset)
+    qts = np.clip(qp + 2 * (bs[ys, xs].astype(np.int32) - 1)
+                  + (tc_offset << 1), 0, 53)
+    tcs = (TC_TABLE[qts] << (bit_depth - 8)).astype(np.int64)  # (S,)
+    tc = tcs[:, None]                                          # per-line
 
     rows = y0[:, None] + np.arange(4)                       # (S, 4)
     cols = x0[:, None] + np.arange(-4, 4)                   # (S, 8)
@@ -86,7 +89,7 @@ def _filter_luma_vertical(plane: np.ndarray, edge: np.ndarray, qp: int,
         return ((2 * dpq_k[k] < (beta >> 2))
                 & (np.abs(p3[:, k] - p0[:, k]) + np.abs(q0[:, k] - q3[:, k])
                    < (beta >> 3))
-                & (np.abs(p0[:, k] - q0[:, k]) < ((5 * tc + 1) >> 1)))
+                & (np.abs(p0[:, k] - q0[:, k]) < ((5 * tcs + 1) >> 1)))
 
     dpq_k = {0: dpq0, 3: dpq3}
     strong = do_filter & strong_line(0) & strong_line(3)    # (S,)
@@ -137,14 +140,14 @@ def _filter_luma_vertical(plane: np.ndarray, edge: np.ndarray, qp: int,
     plane[rows[:, :, None], cols[:, None, :]] = out.astype(np.int32)
 
 
-def _filter_chroma_vertical(plane: np.ndarray, edge_luma: np.ndarray,
+def _filter_chroma_vertical(plane: np.ndarray, bs_luma: np.ndarray,
                             qp_c: int, bit_depth: int,
                             tc_offset: int = 0) -> None:
-    """Filter flagged vertical chroma edges (bS=2 only, which is every
-    flagged edge in all-intra) on the 8x8 *chroma* grid: luma edge columns
-    at multiples of 16 => chroma columns at multiples of 8.
+    """Filter vertical chroma edges (only segments with bS == 2, 8.7.2.5.5)
+    on the 8x8 *chroma* grid: luma edge columns at multiples of 16 =>
+    chroma columns at multiples of 8.
 
-    edge_luma: the luma (H//4, W//8) map; entries with even column index
+    bs_luma: the luma (H//4, W//8) bS map; entries with even column index
     correspond to chroma edges; each luma 4-row segment is 2 chroma rows.
     """
     maxval = (1 << bit_depth) - 1
@@ -153,7 +156,7 @@ def _filter_chroma_vertical(plane: np.ndarray, edge_luma: np.ndarray,
     if tc == 0:
         return
 
-    seg = edge_luma[:, ::2].copy()
+    seg = bs_luma[:, ::2] == 2
     seg[:, 0] = False
     ys, xs = np.nonzero(seg)
     if ys.size == 0:
@@ -171,6 +174,49 @@ def _filter_chroma_vertical(plane: np.ndarray, edge_luma: np.ndarray,
     plane[rows[:, :, None], cols[:, None, :]] = blk.astype(np.int32)
 
 
+def derive_bs_vertical(st: PictureState) -> np.ndarray:
+    """Boundary strength per flagged vertical edge segment (8.7.2.4):
+    2 if either side intra; else 1 on cbf / reference / >=1-sample MV
+    difference; else 0."""
+    ev = st.edge_v
+    ns, nc = ev.shape
+    cols = np.arange(nc) * 8
+    px = np.maximum(cols - 1, 0) >> 2
+    qx = cols >> 2
+    rows = np.arange(ns)
+    rp = st.ref_idx[rows[:, None], px[None, :]]
+    rq = st.ref_idx[rows[:, None], qx[None, :]]
+    intra_pq = (rp < 0) | (rq < 0)
+    cbf = (st.cbf4[rows[:, None], px[None, :]]
+           | st.cbf4[rows[:, None], qx[None, :]]) > 0
+    mvp = st.mv[rows[:, None], px[None, :]]
+    mvq = st.mv[rows[:, None], qx[None, :]]
+    mvdiff = (np.abs(mvp - mvq) >= 4).any(-1)
+    bs1 = cbf | (rp != rq) | mvdiff
+    bs = np.where(intra_pq, 2, np.where(bs1, 1, 0)).astype(np.int8)
+    return np.where(ev, bs, 0)
+
+
+def derive_bs_horizontal(st: PictureState) -> np.ndarray:
+    eh = st.edge_h
+    ns, nc = eh.shape           # (H//8, W//4)
+    rows8 = np.arange(ns) * 8
+    py = np.maximum(rows8 - 1, 0) >> 2
+    qy = rows8 >> 2
+    cols = np.arange(nc)
+    rp = st.ref_idx[py[:, None], cols[None, :]]
+    rq = st.ref_idx[qy[:, None], cols[None, :]]
+    intra_pq = (rp < 0) | (rq < 0)
+    cbf = (st.cbf4[py[:, None], cols[None, :]]
+           | st.cbf4[qy[:, None], cols[None, :]]) > 0
+    mvp = st.mv[py[:, None], cols[None, :]]
+    mvq = st.mv[qy[:, None], cols[None, :]]
+    mvdiff = (np.abs(mvp - mvq) >= 4).any(-1)
+    bs1 = cbf | (rp != rq) | mvdiff
+    bs = np.where(intra_pq, 2, np.where(bs1, 1, 0)).astype(np.int8)
+    return np.where(eh, bs, 0)
+
+
 def deblock_picture(st: PictureState, *, beta_offset: int = 0,
                     tc_offset: int = 0) -> None:
     """Apply the full in-loop deblocking filter to the picture in place.
@@ -179,16 +225,17 @@ def deblock_picture(st: PictureState, *, beta_offset: int = 0,
     qp_c = chroma_qp(qp)
     bd = st.bit_depth
 
-    _filter_luma_vertical(st.planes[0], st.edge_v, qp, bd,
-                          beta_offset, tc_offset)
-    # horizontal edges: same core on the transposed plane. edge_h is
+    bs_v = derive_bs_vertical(st)
+    bs_h = derive_bs_horizontal(st)
+    _filter_luma_vertical(st.planes[0], bs_v, qp, bd, beta_offset, tc_offset)
+    # horizontal edges: same core on the transposed plane. bs_h is
     # (H//8, W//4); transposed it has exactly the vertical layout.
     yt = np.ascontiguousarray(st.planes[0].T)
-    _filter_luma_vertical(yt, st.edge_h.T, qp, bd, beta_offset, tc_offset)
+    _filter_luma_vertical(yt, bs_h.T, qp, bd, beta_offset, tc_offset)
     st.planes[0][:] = yt.T
 
     for c_idx in (1, 2):
-        _filter_chroma_vertical(st.planes[c_idx], st.edge_v, qp_c, bd, tc_offset)
+        _filter_chroma_vertical(st.planes[c_idx], bs_v, qp_c, bd, tc_offset)
         ct = np.ascontiguousarray(st.planes[c_idx].T)
-        _filter_chroma_vertical(ct, st.edge_h.T, qp_c, bd, tc_offset)
+        _filter_chroma_vertical(ct, bs_h.T, qp_c, bd, tc_offset)
         st.planes[c_idx][:] = ct.T

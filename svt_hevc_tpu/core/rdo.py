@@ -35,7 +35,7 @@ class _Region:
     """Snapshot of all mutable picture state covering one luma rect."""
 
     __slots__ = ("x0", "y0", "n", "planes", "avail", "mode", "depth",
-                 "edge_v", "edge_h")
+                 "edge_v", "edge_h", "mv", "ref", "skip", "cbf4")
 
     def __init__(self, st: PictureState, x0: int, y0: int, n: int):
         self.x0, self.y0, self.n = x0, y0, n
@@ -54,6 +54,11 @@ class _Region:
         self.depth = st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy()
         self.edge_v = st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3:(x0 + n) >> 3].copy()
         self.edge_h = st.edge_h[y0 >> 3:(y0 + n) >> 3, x0 >> 2:(x0 + n) >> 2].copy()
+        ys, xs = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
+        self.mv = st.mv[ys, xs].copy()
+        self.ref = st.ref_idx[ys, xs].copy()
+        self.skip = st.skip[ys, xs].copy()
+        self.cbf4 = st.cbf4[ys, xs].copy()
 
     def restore(self, st: PictureState) -> None:
         x0, y0, n = self.x0, self.y0, self.n
@@ -68,6 +73,11 @@ class _Region:
         st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.depth
         st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3:(x0 + n) >> 3] = self.edge_v
         st.edge_h[y0 >> 3:(y0 + n) >> 3, x0 >> 2:(x0 + n) >> 2] = self.edge_h
+        ys, xs = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
+        st.mv[ys, xs] = self.mv
+        st.ref_idx[ys, xs] = self.ref
+        st.skip[ys, xs] = self.skip
+        st.cbf4[ys, xs] = self.cbf4
 
 
 class Decisions:

@@ -28,6 +28,7 @@ from ..io.yuv import Frame
 def decode_stream(stream: bytes) -> list[Frame]:
     """Decode an Annex-B byte stream into output frames (cropped)."""
     sps = pps = None
+    ref_planes = None         # single-reference low-delay DPB
     frames: list[Frame] = []
     for nal_type, ebsp in split_annexb(stream):
         rbsp = ebsp_to_rbsp(ebsp)
@@ -40,19 +41,26 @@ def decode_stream(stream: bytes) -> list[Frame]:
                           NalUnitType.TRAIL_N):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
-            frames.append(_decode_slice(rbsp, int(nal_type), sps, pps))
+            frame, ref_planes = _decode_slice(rbsp, int(nal_type), sps, pps,
+                                              ref_planes)
+            frames.append(frame)
     return frames
 
 
-def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
+def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
     hdr = parse_slice_header(rbsp, nal_type, sps, pps)
-    if hdr.slice_type != 2:
-        raise NotImplementedError("only I slices supported")
 
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                       sps.bit_depth)
+    if hdr.slice_type != 2:
+        if ref_planes is None:
+            raise ValueError("P slice without a decoded reference")
+        st.slice_type = hdr.slice_type
+        st.ref_planes = [ref_planes]
+        st.max_merge = hdr.max_num_merge_cand
     data = rbsp[hdr.data_bit_offset // 8:]
-    bac = CabacDecoder(data, init_contexts(hdr.slice_qp, init_type=0))
+    init_type = 0 if hdr.slice_type == 2 else 1
+    bac = CabacDecoder(data, init_contexts(hdr.slice_qp, init_type=init_type))
     dec = CtuDecoder(st, bac)
 
     ctb = 1 << sps.log2_ctb
@@ -83,8 +91,9 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps) -> Frame:
     left, right, top, bottom = sps.conf_win
     w = sps.width - 2 * (left + right)
     h = sps.height - 2 * (top + bottom)
-    return Frame(
+    frame = Frame(
         y=st.planes[0][2 * top:2 * top + h, 2 * left:2 * left + w].astype(np.uint8),
         cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(np.uint8),
         cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(np.uint8),
     )
+    return frame, [p.copy() for p in st.planes]

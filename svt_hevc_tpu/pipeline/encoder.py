@@ -50,11 +50,21 @@ class EncodedPicture:
 
 
 class Encoder:
-    """All-intra HEVC encoder (CQP)."""
+    """HEVC encoder (CQP): all-intra or low-delay P per cfg.intra_period."""
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg.validate()
         self._sent_headers = False
+        self._frame_idx = 0
+        self._ref_planes = None      # previous picture planes (post-filter)
+
+    def _frame_is_idr(self, idx: int) -> bool:
+        ip = self.cfg.intra_period
+        if idx == 0 or ip == 0:
+            return True
+        if ip < 0:
+            return False
+        return idx % (ip + 1) == 0
 
     def headers(self) -> bytes:
         cfg = self.cfg
@@ -63,8 +73,13 @@ class Encoder:
                 + wrap_nal(NalUnitType.PPS_NUT, write_pps(cfg)))
 
     def encode_frame(self, frame: Frame, *, split_policy=None,
-                     part_nxn_policy=None, rd: bool = False) -> EncodedPicture:
+                     part_nxn_policy=None, rd: bool = False,
+                     is_idr: bool | None = None, poc: int = 0) -> EncodedPicture:
         cfg = self.cfg
+        if is_idr is None:
+            is_idr = self._ref_planes is None
+        slice_type = 2 if is_idr else 1
+        init_type = 0 if is_idr else 1
         cw, ch = cfg.coded_width, cfg.coded_height
         src = [
             pad_plane(frame.y.astype(np.int32), cw, ch),
@@ -77,10 +92,17 @@ class Encoder:
         ctb_order = [(cx * ctb, cy * ctb) for cy in range(n_ctb_y)
                      for cx in range(n_ctb_x)]
 
+        def new_state():
+            s = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
+            if not is_idr:
+                s.slice_type = 1
+                s.ref_planes = [self._ref_planes]
+            return s
+
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
-        st = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
+        st = new_state()
         decisions_per_ctb: list = []
-        est_ctx = init_contexts(cfg.qp, init_type=0)
+        est_ctx = init_contexts(cfg.qp, init_type=init_type)
         if rd:
             for x0, y0 in ctb_order:
                 rds = RdSearch(st, src)
@@ -102,8 +124,8 @@ class Encoder:
             apply_sao(st, sao_grid, True, True)
 
         # ---- pass 2: emit the real CABAC stream (replays identically) ----
-        st2 = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
-        bac = CabacEncoder(init_contexts(cfg.qp, init_type=0))
+        st2 = new_state()
+        bac = CabacEncoder(init_contexts(cfg.qp, init_type=init_type))
         if not rd:
             enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                              part_nxn_policy=part_nxn_policy)
@@ -121,9 +143,15 @@ class Encoder:
             bac.encode_terminate(1 if last else 0)
         bac.finish()
 
-        w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=True)
+        w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=is_idr,
+                               poc=poc, slice_type=slice_type)
         w.write_bytes(bac.data)
-        nal = wrap_nal(NalUnitType.IDR_W_RADL, w.get_bytes())
+        nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
+        nal = wrap_nal(nal_type, w.get_bytes())
+
+        # update the DPB: the post-filter pass-1 picture is the reference
+        # for the next frame (single-ref low-delay)
+        self._ref_planes = [p.copy() for p in st.planes]
 
         # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
         # bit-identical pre-filter by construction
@@ -132,14 +160,21 @@ class Encoder:
             cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(np.uint8),
             cr=st.planes[2][:frame.height // 2, :frame.width // 2].astype(np.uint8),
         )
-        return EncodedPicture(nal_bytes=nal, recon=recon)
+        return EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
 
     def encode(self, frames, *, rd: bool = False) -> tuple[bytes, list[Frame]]:
         """Encode an iterable of frames; returns (annex_b_stream, recons)."""
         chunks = [self.headers()]
         recons = []
         for fr in frames:
-            pic = self.encode_frame(fr, rd=rd)
+            idx = self._frame_idx
+            self._frame_idx += 1
+            is_idr = self._frame_is_idr(idx)
+            if is_idr:
+                self._ref_planes = None
+                self._poc_base = idx
+            pic = self.encode_frame(fr, rd=rd, is_idr=is_idr,
+                                    poc=idx - getattr(self, "_poc_base", 0))
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons

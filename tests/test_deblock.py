@@ -92,7 +92,7 @@ def test_luma_vertical_matches_scalar(qp, seed):
     edge = rng.random((16, 8)) < 0.7
     want = scalar_luma_vertical(plane, edge, qp)
     got = plane.copy()
-    _filter_luma_vertical(got, edge, qp, 8)
+    _filter_luma_vertical(got, edge.astype(np.int8) * 2, qp, 8)
     np.testing.assert_array_equal(got, want)
 
 
@@ -104,7 +104,7 @@ def test_chroma_vertical_matches_scalar():
     plane = np.clip(base + rng.integers(-4, 5, (32, 32)), 0, 255).astype(np.int32)
     edge_luma = rng.random((16, 8)) < 0.8    # luma map for a 64x64 area
     got = plane.copy()
-    _filter_chroma_vertical(got, edge_luma, qp_c, 8)
+    _filter_chroma_vertical(got, edge_luma.astype(np.int8) * 2, qp_c, 8)
     # scalar check
     want = plane.copy()
     for s in range(16):
