@@ -613,12 +613,13 @@ class CtuEncoder(CtuCoderBase):
     is_decoder = False
 
     def __init__(self, state, bac, src_planes, *, split_policy=None,
-                 part_nxn_policy=None, mode_policy=None):
+                 part_nxn_policy=None, mode_policy=None, me_seed=None):
         super().__init__(state, bac)
         self.src = src_planes        # [y, cb, cr] int arrays, coded dims
         self.split_policy = split_policy or self._default_split
         self.part_nxn_policy = part_nxn_policy or (lambda x0, y0: False)
         self.mode_policy = mode_policy    # optional (x,y,size)->mode override
+        self.me_seed = me_seed       # (H//16, W//16, 2) quarter-pel MV field
         self._pu_modes: dict[tuple[int, int], int] = {}
         self._plans: dict[tuple[int, int, int], _InterPlan] = {}
 
@@ -662,17 +663,29 @@ class CtuEncoder(CtuCoderBase):
         return plan
 
     def _motion_search(self, x0, y0, n, pred_mv):
-        """Integer full search +/-8 around the predictor, then half- and
-        quarter-pel refinement. Returns (sad, (mvx, mvy) quarter-pel).
-        Host-side analogue of reference MotionEstimateLcu
-        (EbMotionEstimation.c:3671); the batched TPU ME replaces this."""
+        """Integer full search around the better of the AMVP predictor and
+        the TPU HME seed, then half- and quarter-pel refinement. Returns
+        (sad, (mvx, mvy) quarter-pel). Host analogue of reference
+        MotionEstimateLcu (EbMotionEstimation.c:3671); the batched TPU HME
+        (svt_hevc_tpu.tpu.me) supplies the search centers."""
         from .inter import _gather_window, interp_luma
         st = self.st
         ref = st.ref_planes[0][0]
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        centers = [(int(pred_mv[0]) >> 2, int(pred_mv[1]) >> 2)]
         r = 8
-        cx = x0 + (int(pred_mv[0]) >> 2)
-        cy = y0 + (int(pred_mv[1]) >> 2)
+        if self.me_seed is not None:
+            s = self.me_seed[min((y0 + n // 2) >> 4, self.me_seed.shape[0] - 1),
+                             min((x0 + n // 2) >> 4, self.me_seed.shape[1] - 1)]
+            centers.append((int(s[0]) >> 2, int(s[1]) >> 2))
+            r = 4           # HME already localised the search
+        if len(centers) > 1 and centers[0] != centers[1]:
+            def int_sad(c):
+                w = _gather_window(ref, x0 + c[0], y0 + c[1], n, n).astype(np.int64)
+                return int(np.abs(w - src).sum())
+            centers.sort(key=int_sad)
+        cx = x0 + centers[0][0]
+        cy = y0 + centers[0][1]
         win = _gather_window(ref, cx - r, cy - r, n + 2 * r, n + 2 * r).astype(np.int64)
         sw = np.lib.stride_tricks.sliding_window_view(win, (n, n))
         sad = np.abs(sw - src).sum(axis=(2, 3))

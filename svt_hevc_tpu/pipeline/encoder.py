@@ -42,6 +42,21 @@ def pad_plane(plane: np.ndarray, w: int, h: int) -> np.ndarray:
     return out
 
 
+def tpu_me_field(src_y: np.ndarray, ref_y: np.ndarray) -> np.ndarray:
+    """Per-16x16-block quarter-pel MV field from the TPU HME search
+    (svt_hevc_tpu.tpu.me.hme_search), padded to the 64-aligned grid."""
+    import jax.numpy as jnp
+
+    from ..tpu.me import hme_search
+    h, w = src_y.shape
+    hh = (h + 63) // 64 * 64
+    ww = (w + 63) // 64 * 64
+    sp = pad_plane(src_y, ww, hh)
+    rp = pad_plane(ref_y, ww, hh)
+    mv, _ = hme_search(jnp.asarray(sp), jnp.asarray(rp))
+    return np.asarray(mv)
+
+
 @dataclass
 class EncodedPicture:
     nal_bytes: bytes          # slice NAL (Annex-B)
@@ -99,19 +114,23 @@ class Encoder:
                 s.ref_planes = [self._ref_planes]
             return s
 
+        me_seed = None
+        if not is_idr:
+            me_seed = tpu_me_field(src[0], self._ref_planes[0])
+
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
         decisions_per_ctb: list = []
         est_ctx = init_contexts(cfg.qp, init_type=init_type)
         if rd:
             for x0, y0 in ctb_order:
-                rds = RdSearch(st, src)
+                rds = RdSearch(st, src, me_seed=me_seed)
                 decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
                 decisions_per_ctb.append(decisions)
         else:
             est = CabacEstimator(est_ctx)
             enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
-                              part_nxn_policy=part_nxn_policy)
+                              part_nxn_policy=part_nxn_policy, me_seed=me_seed)
             for x0, y0 in ctb_order:
                 enc1.code_ctu(x0, y0)
 
@@ -128,14 +147,14 @@ class Encoder:
         bac = CabacEncoder(init_contexts(cfg.qp, init_type=init_type))
         if not rd:
             enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
-                             part_nxn_policy=part_nxn_policy)
+                             part_nxn_policy=part_nxn_policy, me_seed=me_seed)
         for i, (x0, y0) in enumerate(ctb_order):
             if rd:
                 d = decisions_per_ctb[i]
                 enc = CtuEncoder(st2, bac, src,
                                  split_policy=d.split_policy,
                                  part_nxn_policy=d.part_nxn_policy,
-                                 mode_policy=d.mode_policy)
+                                 mode_policy=d.mode_policy, me_seed=me_seed)
             if sao_grid is not None:
                 encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True)
             enc.code_ctu(x0, y0)
