@@ -1,0 +1,50 @@
+"""CABAC op recorder: same bin-level API as CabacEncoder, but records the
+op stream instead of doing arithmetic — the native C core
+(svt_hevc_tpu/native/cabac.c) then encodes the whole stream in one call.
+
+This is the two-stage entropy design from the build plan (SURVEY.md §7
+"two-pass bin generation ... arithmetic-code on host/C++"): syntax
+enumeration stays in Python (and later comes from TPU batch stages), the
+irreducibly-sequential arithmetic runs in native code. Context state is
+still updated live during recording wherever syntax *decisions* depend on
+it — they don't in HEVC (only bin values do), so recording is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+KIND_BIN, KIND_BYPASS, KIND_BYPASS_BINS, KIND_TERMINATE = 0, 1, 2, 3
+
+
+class CabacRecorder:
+    """Drop-in for CabacEncoder that records ops. `ctx` is kept only so
+    code that clones context state keeps working; states are NOT updated
+    during recording (the native pass owns them)."""
+
+    __slots__ = ("ctx", "ops")
+
+    def __init__(self, contexts: list[int] | None = None) -> None:
+        self.ctx = contexts if contexts is not None else []
+        self.ops: list[tuple[int, int, int]] = []
+
+    def encode_bin(self, ctx_idx: int, binval: int) -> None:
+        self.ops.append((KIND_BIN, ctx_idx, binval))
+
+    def encode_bypass(self, binval: int) -> None:
+        self.ops.append((KIND_BYPASS, 0, binval))
+
+    def encode_bypass_bins(self, value: int, nbits: int) -> None:
+        # split >30-bit runs so each op fits an int32 lane
+        while nbits > 24:
+            nbits -= 24
+            self.ops.append((KIND_BYPASS_BINS, 24, (value >> nbits) & 0xFFFFFF))
+            value &= (1 << nbits) - 1
+        if nbits:
+            self.ops.append((KIND_BYPASS_BINS, nbits, value))
+
+    def encode_terminate(self, binval: int) -> None:
+        self.ops.append((KIND_TERMINATE, 0, binval))
+
+    def op_array(self) -> np.ndarray:
+        return np.asarray(self.ops, dtype=np.int32).reshape(-1, 3)

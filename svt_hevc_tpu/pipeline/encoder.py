@@ -19,6 +19,8 @@ import numpy as np
 from ..bitstream.cabac import CabacEncoder
 from ..bitstream.contexts import init_contexts
 from ..bitstream.estimator import CabacEstimator
+from ..bitstream.recorder import CabacRecorder
+from ..native import cabac_encode_ops
 from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_vps
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
@@ -40,6 +42,26 @@ def pad_plane(plane: np.ndarray, w: int, h: int) -> np.ndarray:
     if ph < h:
         out[ph:, :] = out[ph - 1:ph, :]
     return out
+
+
+def finalize_cabac(rec: CabacRecorder, init_ctx: list[int]) -> bytes:
+    """Arithmetic-code a recorded op stream: native C core when available,
+    else replay through the Python reference backend (bit-identical)."""
+    data = cabac_encode_ops(rec.op_array(), init_ctx)
+    if data is not None:
+        return data
+    enc = CabacEncoder(list(init_ctx))
+    for kind, a, v in rec.ops:
+        if kind == 0:
+            enc.encode_bin(a, v)
+        elif kind == 1:
+            enc.encode_bypass(v)
+        elif kind == 2:
+            enc.encode_bypass_bins(v, a)
+        else:
+            enc.encode_terminate(v)
+    enc.finish()
+    return enc.data
 
 
 def tpu_me_field(src_y: np.ndarray, ref_y: np.ndarray) -> np.ndarray:
@@ -142,9 +164,11 @@ class Encoder:
             sao_grid = derive_sao_params(st, src, lambda_sse(cfg.qp))
             apply_sao(st, sao_grid, True, True)
 
-        # ---- pass 2: emit the real CABAC stream (replays identically) ----
+        # ---- pass 2: emit the real CABAC stream (replays identically).
+        # Syntax is recorded as a bin-op stream; the sequential arithmetic
+        # runs in the native C core (svt_hevc_tpu/native/cabac.c) ----
         st2 = new_state()
-        bac = CabacEncoder(init_contexts(cfg.qp, init_type=init_type))
+        bac = CabacRecorder(init_contexts(cfg.qp, init_type=init_type))
         if not rd:
             enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                              part_nxn_policy=part_nxn_policy, me_seed=me_seed)
@@ -160,11 +184,11 @@ class Encoder:
             enc.code_ctu(x0, y0)
             last = i == len(ctb_order) - 1
             bac.encode_terminate(1 if last else 0)
-        bac.finish()
+        payload = finalize_cabac(bac, init_contexts(cfg.qp, init_type=init_type))
 
         w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=is_idr,
                                poc=poc, slice_type=slice_type)
-        w.write_bytes(bac.data)
+        w.write_bytes(payload)
         nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
         nal = wrap_nal(nal_type, w.get_bytes())
 
