@@ -1,0 +1,104 @@
+"""Command-line encoder app: raw YUV / Y4M in, Annex-B HEVC out.
+
+The analogue of the reference CLI (reference: Source/App/EbAppMain.c,
+token table EbAppConfig.c:24-120). Token names follow the reference where
+the feature exists (-i, -b, -w, -h, -q, -n, -fps, -intra-period, -rc,
+-tbr, -vbv-maxrate, -vbv-bufsize, -o recon file).
+
+Usage:
+    python -m svt_hevc_tpu.app -i in.yuv -w 352 -h 288 -q 32 -b out.265
+    python -m svt_hevc_tpu.app -i in.y4m -b out.265 -n 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .config import EncoderConfig
+from .io.yuv import read_y4m, read_yuv420, write_yuv420
+from .pipeline.encoder import Encoder
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # add_help=False: like the reference CLI, -h means height
+    p = argparse.ArgumentParser(
+        prog="svt_hevc_tpu", description="TPU-native HEVC encoder",
+        fromfile_prefix_chars="@", add_help=False)
+    p.add_argument("--help", action="help")
+    p.add_argument("-i", "--input", required=True,
+                   help="input file (.yuv raw 4:2:0 or .y4m)")
+    p.add_argument("-b", "--bitstream", required=True,
+                   help="output HEVC Annex-B file")
+    p.add_argument("-o", "--recon", help="optional recon YUV output")
+    p.add_argument("-w", "--width", type=int, default=0)
+    p.add_argument("-h", "--height", type=int, default=0)
+    p.add_argument("-n", "--frames", type=int, default=None,
+                   help="number of frames to encode")
+    p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("-fps", type=int, default=50)
+    p.add_argument("-intra-period", type=int, default=0, dest="intra_period",
+                   help="0=all intra, -1=first only, N=period")
+    p.add_argument("-encMode", "--enc-mode", type=int, default=7,
+                   dest="enc_mode")
+    p.add_argument("-rc", type=int, default=0, choices=[0, 1],
+                   help="0=CQP 1=VBR")
+    p.add_argument("-tbr", "--target-bitrate", type=int, default=0,
+                   dest="tbr", help="target bitrate (bits/s) for -rc 1")
+    p.add_argument("-vbv-maxrate", type=int, default=0, dest="vbv_maxrate")
+    p.add_argument("-vbv-bufsize", type=int, default=0, dest="vbv_bufsize")
+    p.add_argument("-dlf", type=int, default=1, help="deblocking on/off")
+    p.add_argument("-sao", type=int, default=1, help="SAO on/off")
+    p.add_argument("-rd", type=int, default=0,
+                   help="full RD mode decision (slower, better)")
+    p.add_argument("-lcu", "--ctb-size", type=int, default=32,
+                   dest="ctb_size", choices=[16, 32, 64])
+    return p
+
+
+def frames_from(args):
+    if args.input.endswith(".y4m"):
+        return read_y4m(args.input, max_frames=args.frames)
+    if not args.width or not args.height:
+        raise SystemExit("-w/-h are required for raw .yuv input")
+    return read_yuv420(args.input, args.width, args.height,
+                       max_frames=args.frames)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    frames = list(frames_from(args))
+    if not frames:
+        raise SystemExit("no frames read")
+    w, h = frames[0].width, frames[0].height
+
+    cfg = EncoderConfig(
+        width=w, height=h, qp=args.qp, fps_num=args.fps,
+        intra_period=args.intra_period, enc_mode=args.enc_mode,
+        rate_control_mode=args.rc, target_bitrate=args.tbr,
+        vbv_maxrate=args.vbv_maxrate, vbv_bufsize=args.vbv_bufsize,
+        enable_deblocking=bool(args.dlf), enable_sao=bool(args.sao),
+        ctb_size=args.ctb_size,
+    )
+    enc = Encoder(cfg)
+    t0 = time.perf_counter()
+    stream, recons = enc.encode(frames, rd=bool(args.rd))
+    dt = time.perf_counter() - t0
+
+    with open(args.bitstream, "wb") as f:
+        f.write(stream)
+    if args.recon:
+        write_yuv420(args.recon, recons)
+
+    n = len(frames)
+    psnr = sum(r.psnr(f)[0] for r, f in zip(recons, frames)) / n
+    kbps = 8 * len(stream) * (args.fps / n) / 1000.0
+    print(f"encoded {n} frames {w}x{h}: {len(stream)} bytes "
+          f"({kbps:.1f} kbit/s @ {args.fps} fps), "
+          f"avg PSNR-Y {psnr:.2f} dB, {n / dt:.2f} fps encode speed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,12 @@ class EncoderConfig:
     enc_mode: int = 7            # preset 0..11 (M7 = reference default/anchor)
     qp: int = 32                 # 0..51 (EbApi.h qp)
 
+    # --- rate control (EbApi.h rateControlMode/targetBitRate/vbv*) ---
+    rate_control_mode: int = 0   # 0 = CQP, 1 = VBR/ABR
+    target_bitrate: int = 0      # bits/s (rate_control_mode 1)
+    vbv_maxrate: int = 0         # bits/s
+    vbv_bufsize: int = 0         # bits
+
     # --- block structure ---
     ctb_size: int = 32           # luma CTB size (32 or 64)
     max_tu_size: int = 32
@@ -120,6 +126,10 @@ class EncoderConfig:
             raise NotImplementedError("tiles not implemented yet")
         if not (0 <= self.enc_mode <= 11):
             raise ValueError("enc_mode must be in 0..11")
+        if self.rate_control_mode not in (0, 1):
+            raise ValueError("rate_control_mode must be 0 (CQP) or 1 (VBR)")
+        if self.rate_control_mode == 1 and self.target_bitrate <= 0:
+            raise ValueError("VBR requires a positive target_bitrate")
         return self
 
     def replace(self, **kw) -> "EncoderConfig":

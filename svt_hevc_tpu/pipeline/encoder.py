@@ -111,10 +111,13 @@ class Encoder:
 
     def encode_frame(self, frame: Frame, *, split_policy=None,
                      part_nxn_policy=None, rd: bool = False,
-                     is_idr: bool | None = None, poc: int = 0) -> EncodedPicture:
+                     is_idr: bool | None = None, poc: int = 0,
+                     qp: int | None = None) -> EncodedPicture:
         cfg = self.cfg
         if is_idr is None:
             is_idr = self._ref_planes is None
+        if qp is None:
+            qp = cfg.qp
         slice_type = 2 if is_idr else 1
         init_type = 0 if is_idr else 1
         cw, ch = cfg.coded_width, cfg.coded_height
@@ -130,7 +133,7 @@ class Encoder:
                      for cx in range(n_ctb_x)]
 
         def new_state():
-            s = PictureState(cw, ch, cfg.qp, cfg.ctb_log2, cfg.bit_depth)
+            s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
             if not is_idr:
                 s.slice_type = 1
                 s.ref_planes = [self._ref_planes]
@@ -143,7 +146,7 @@ class Encoder:
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
         decisions_per_ctb: list = []
-        est_ctx = init_contexts(cfg.qp, init_type=init_type)
+        est_ctx = init_contexts(qp, init_type=init_type)
         if rd:
             for x0, y0 in ctb_order:
                 rds = RdSearch(st, src, me_seed=me_seed)
@@ -161,14 +164,14 @@ class Encoder:
 
         sao_grid = None
         if cfg.enable_sao:
-            sao_grid = derive_sao_params(st, src, lambda_sse(cfg.qp))
+            sao_grid = derive_sao_params(st, src, lambda_sse(qp))
             apply_sao(st, sao_grid, True, True)
 
         # ---- pass 2: emit the real CABAC stream (replays identically).
         # Syntax is recorded as a bin-op stream; the sequential arithmetic
         # runs in the native C core (svt_hevc_tpu/native/cabac.c) ----
         st2 = new_state()
-        bac = CabacRecorder(init_contexts(cfg.qp, init_type=init_type))
+        bac = CabacRecorder(init_contexts(qp, init_type=init_type))
         if not rd:
             enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                              part_nxn_policy=part_nxn_policy, me_seed=me_seed)
@@ -184,9 +187,9 @@ class Encoder:
             enc.code_ctu(x0, y0)
             last = i == len(ctb_order) - 1
             bac.encode_terminate(1 if last else 0)
-        payload = finalize_cabac(bac, init_contexts(cfg.qp, init_type=init_type))
+        payload = finalize_cabac(bac, init_contexts(qp, init_type=init_type))
 
-        w = write_slice_header(cfg, slice_qp=cfg.qp, is_idr=is_idr,
+        w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
                                poc=poc, slice_type=slice_type)
         w.write_bytes(payload)
         nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
@@ -207,6 +210,8 @@ class Encoder:
 
     def encode(self, frames, *, rd: bool = False) -> tuple[bytes, list[Frame]]:
         """Encode an iterable of frames; returns (annex_b_stream, recons)."""
+        from .rate_control import RateControl
+        rc = RateControl(self.cfg)
         chunks = [self.headers()]
         recons = []
         for fr in frames:
@@ -216,8 +221,11 @@ class Encoder:
             if is_idr:
                 self._ref_planes = None
                 self._poc_base = idx
+            qp = rc.pick_qp(is_idr)
             pic = self.encode_frame(fr, rd=rd, is_idr=is_idr,
-                                    poc=idx - getattr(self, "_poc_base", 0))
+                                    poc=idx - getattr(self, "_poc_base", 0),
+                                    qp=qp)
+            rc.update(8 * len(pic.nal_bytes), qp)
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons

@@ -1,0 +1,68 @@
+"""CLI app + rate control tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from svt_hevc_tpu.config import EncoderConfig
+from svt_hevc_tpu.decoder.decoder import decode_stream
+from svt_hevc_tpu.io.yuv import read_yuv420, write_yuv420
+from svt_hevc_tpu.pipeline.encoder import Encoder
+
+from test_endtoend import make_frame
+from test_inter import moving_sequence
+
+
+def test_vbr_hits_target_rate():
+    frames = moving_sequence(64, 64, 12, dx=2, dy=1, seed=7)
+    fps = 25
+    target = 120_000       # bits/s
+    cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=-1,
+                        fps_num=fps, rate_control_mode=1,
+                        target_bitrate=target)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    achieved = 8 * len(stream) * fps / len(frames)
+    assert 0.5 * target < achieved < 2.0 * target, achieved
+    # stream must still decode bit-exact (per-frame QP changes signalled)
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+
+def test_vbr_adapts_rate_down():
+    """Halving the target must reduce the coded size."""
+    frames = moving_sequence(64, 64, 10, dx=3, dy=0, seed=8)
+    sizes = []
+    for target in (400_000, 100_000):
+        cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=-1,
+                            fps_num=25, rate_control_mode=1,
+                            target_bitrate=target)
+        stream, _ = Encoder(cfg).encode(frames)
+        sizes.append(len(stream))
+    assert sizes[1] < sizes[0] * 0.75, sizes
+
+
+def test_cli_roundtrip(tmp_path):
+    frames = [make_frame(64, 64, "edges", seed=s) for s in range(2)]
+    yuv = tmp_path / "in.yuv"
+    write_yuv420(str(yuv), frames)
+    out = tmp_path / "out.265"
+    rec = tmp_path / "rec.yuv"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "svt_hevc_tpu.app", "-i", str(yuv),
+         "-w", "64", "-h", "64", "-q", "34", "-b", str(out),
+         "-o", str(rec), "-fps", "30"],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr
+    assert "encoded 2 frames" in r.stdout
+    stream = out.read_bytes()
+    decoded = decode_stream(stream)
+    recons = list(read_yuv420(str(rec), 64, 64))
+    assert len(decoded) == len(recons) == 2
+    for d, rc_ in zip(decoded, recons):
+        np.testing.assert_array_equal(d.y, rc_.y)
