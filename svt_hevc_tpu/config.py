@@ -53,6 +53,7 @@ class EncoderConfig:
     # --- tools (EbApi.h flags) ---
     enable_deblocking: bool = True    # disableDlfFlag analogue
     enable_sao: bool = True           # enableSaoFlag analogue
+    scene_change_detection: bool = True   # EbApi.h sceneChangeDetection
     constrained_intra: bool = False
 
     # --- tiles (EbApi.h tileColumnCount/tileRowCount) ---

@@ -613,13 +613,16 @@ class CtuEncoder(CtuCoderBase):
     is_decoder = False
 
     def __init__(self, state, bac, src_planes, *, split_policy=None,
-                 part_nxn_policy=None, mode_policy=None, me_seed=None):
+                 part_nxn_policy=None, mode_policy=None, me_seed=None,
+                 features=None):
         super().__init__(state, bac)
+        from ..preset import derive_preset
         self.src = src_planes        # [y, cb, cr] int arrays, coded dims
         self.split_policy = split_policy or self._default_split
         self.part_nxn_policy = part_nxn_policy or (lambda x0, y0: False)
         self.mode_policy = mode_policy    # optional (x,y,size)->mode override
         self.me_seed = me_seed       # (H//16, W//16, 2) quarter-pel MV field
+        self.feat = features if features is not None else derive_preset(7)
         self._pu_modes: dict[tuple[int, int], int] = {}
         self._plans: dict[tuple[int, int, int], _InterPlan] = {}
 
@@ -642,7 +645,10 @@ class CtuEncoder(CtuCoderBase):
         left, corner, top = intra.build_ref_samples(
             self.st.planes[0], self.st.avail[0], px, py, n,
             bit_depth=self.st.bit_depth)
-        for mode in range(35):
+        modes = (range(35) if self.feat.all_intra_modes
+                 else sorted({intra.PLANAR, intra.DC, intra.VERTICAL,
+                              intra.HORIZONTAL, *cand}))
+        for mode in modes:
             fl, fc, ft = intra.filter_ref_samples(
                 left, corner, top, n, mode, 0, self.st.bit_depth)
             pred = intra.predict_intra(fl, fc, ft, n, mode, 0, self.st.bit_depth)
@@ -673,7 +679,7 @@ class CtuEncoder(CtuCoderBase):
         ref = st.ref_planes[0][0]
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
         centers = [(int(pred_mv[0]) >> 2, int(pred_mv[1]) >> 2)]
-        r = 8
+        r = self.feat.me_range
         if self.me_seed is not None:
             s = self.me_seed[min((y0 + n // 2) >> 4, self.me_seed.shape[0] - 1),
                              min((x0 + n // 2) >> 4, self.me_seed.shape[1] - 1)]
@@ -693,7 +699,8 @@ class CtuEncoder(CtuCoderBase):
         dy, dx = divmod(k, 2 * r + 1)
         best_mv = ((cx - x0 + dx - r) << 2, (cy - y0 + dy - r) << 2)
         best_sad = int(sad[dy, dx])
-        for step in (2, 1):          # half-pel, then quarter-pel
+        steps = (2, 1) if self.feat.subpel_me else ()
+        for step in steps:           # half-pel, then quarter-pel
             bx, by = best_mv
             for ox, oy in ((-step, 0), (step, 0), (0, -step), (0, step),
                            (-step, -step), (step, step), (-step, step),

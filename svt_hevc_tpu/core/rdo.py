@@ -103,13 +103,15 @@ class RdSearch:
     mode loop (e.g. from the TPU open-loop search)."""
 
     def __init__(self, st: PictureState, src, *, lam: float | None = None,
-                 mode_candidates=None, try_nxn: bool = True, me_seed=None):
+                 mode_candidates=None, try_nxn: bool = True, me_seed=None,
+                 features=None):
         self.st = st
         self.src = src
         self.lam = lambda_sse(st.qp) if lam is None else lam
         self.mode_candidates = mode_candidates
         self.try_nxn = try_nxn
         self.me_seed = me_seed
+        self.features = features
 
     # ------------------------------------------------------------------ api
     def compress_ctu(self, x0: int, y0: int, ctx: list[int]) -> tuple[Decisions, list[int]]:
@@ -140,7 +142,7 @@ class RdSearch:
                          split_policy=lambda *a: False,
                          part_nxn_policy=lambda *a: nxn,
                          mode_policy=self.mode_candidates,
-                         me_seed=self.me_seed)
+                         me_seed=self.me_seed, features=self.features)
         if log2 > 3:
             est.encode_bin(Ctx.SPLIT_CU + split_cu_ctx(self.st, x0, y0, depth), 0)
         enc.coding_unit(x0, y0, log2, depth)

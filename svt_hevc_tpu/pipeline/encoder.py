@@ -25,6 +25,7 @@ from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
+from ..preset import derive_preset
 from ..core.deblock import deblock_picture
 from ..core.rdo import RdSearch, lambda_sse
 from ..core.sao import apply_sao, derive_sao_params, encode_sao_ctb
@@ -103,6 +104,27 @@ class Encoder:
             return False
         return idx % (ip + 1) == 0
 
+    @staticmethod
+    def _scene_cut(prev_y: np.ndarray, cur_y: np.ndarray) -> bool:
+        """Region-histogram scene-change detector (reference analogue:
+        EbPictureDecisionProcess.c SceneTransitionDetector :73 — per-region
+        accumulated histogram difference vs threshold)."""
+        h, w = cur_y.shape
+        rh, rw = max(h // 4, 1), max(w // 4, 1)
+        votes = 0
+        regions = 0
+        for ry in range(0, h - rh + 1, rh):
+            for rx in range(0, w - rw + 1, rw):
+                a = np.bincount(prev_y[ry:ry + rh, rx:rx + rw].ravel() >> 3,
+                                minlength=32)
+                b = np.bincount(cur_y[ry:ry + rh, rx:rx + rw].ravel() >> 3,
+                                minlength=32)
+                ahd = np.abs(a - b).sum()
+                regions += 1
+                if ahd > 0.6 * rh * rw:
+                    votes += 1
+        return regions > 0 and votes > regions // 2
+
     def headers(self) -> bytes:
         cfg = self.cfg
         return (wrap_nal(NalUnitType.VPS_NUT, write_vps(cfg))
@@ -110,10 +132,13 @@ class Encoder:
                 + wrap_nal(NalUnitType.PPS_NUT, write_pps(cfg)))
 
     def encode_frame(self, frame: Frame, *, split_policy=None,
-                     part_nxn_policy=None, rd: bool = False,
+                     part_nxn_policy=None, rd: bool | None = None,
                      is_idr: bool | None = None, poc: int = 0,
                      qp: int | None = None) -> EncodedPicture:
         cfg = self.cfg
+        feat = derive_preset(cfg.enc_mode)
+        if rd is None:
+            rd = feat.rd_mode_decision
         if is_idr is None:
             is_idr = self._ref_planes is None
         if qp is None:
@@ -149,13 +174,15 @@ class Encoder:
         est_ctx = init_contexts(qp, init_type=init_type)
         if rd:
             for x0, y0 in ctb_order:
-                rds = RdSearch(st, src, me_seed=me_seed)
+                rds = RdSearch(st, src, me_seed=me_seed,
+                               try_nxn=feat.try_nxn, features=feat)
                 decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
                 decisions_per_ctb.append(decisions)
         else:
             est = CabacEstimator(est_ctx)
             enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
-                              part_nxn_policy=part_nxn_policy, me_seed=me_seed)
+                              part_nxn_policy=part_nxn_policy,
+                              me_seed=me_seed, features=feat)
             for x0, y0 in ctb_order:
                 enc1.code_ctu(x0, y0)
 
@@ -174,14 +201,16 @@ class Encoder:
         bac = CabacRecorder(init_contexts(qp, init_type=init_type))
         if not rd:
             enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
-                             part_nxn_policy=part_nxn_policy, me_seed=me_seed)
+                             part_nxn_policy=part_nxn_policy,
+                             me_seed=me_seed, features=feat)
         for i, (x0, y0) in enumerate(ctb_order):
             if rd:
                 d = decisions_per_ctb[i]
                 enc = CtuEncoder(st2, bac, src,
                                  split_policy=d.split_policy,
                                  part_nxn_policy=d.part_nxn_policy,
-                                 mode_policy=d.mode_policy, me_seed=me_seed)
+                                 mode_policy=d.mode_policy,
+                                 me_seed=me_seed, features=feat)
             if sao_grid is not None:
                 encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True)
             enc.code_ctu(x0, y0)
@@ -208,16 +237,22 @@ class Encoder:
         )
         return EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
 
-    def encode(self, frames, *, rd: bool = False) -> tuple[bytes, list[Frame]]:
+    def encode(self, frames, *, rd: bool | None = None) -> tuple[bytes, list[Frame]]:
         """Encode an iterable of frames; returns (annex_b_stream, recons)."""
         from .rate_control import RateControl
         rc = RateControl(self.cfg)
         chunks = [self.headers()]
         recons = []
+        prev_y = None
         for fr in frames:
             idx = self._frame_idx
             self._frame_idx += 1
             is_idr = self._frame_is_idr(idx)
+            if (not is_idr and self.cfg.scene_change_detection
+                    and prev_y is not None
+                    and self._scene_cut(prev_y, np.asarray(fr.y))):
+                is_idr = True
+            prev_y = np.asarray(fr.y)
             if is_idr:
                 self._ref_planes = None
                 self._poc_base = idx
