@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--frames", type=int, default=None,
                    help="number of frames to encode")
     p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("-bit-depth", type=int, default=8, dest="bit_depth",
+                   choices=[8, 10])
     p.add_argument("-fps", type=int, default=50)
     p.add_argument("-intra-period", type=int, default=0, dest="intra_period",
                    help="0=all intra, -1=first only, N=period")
@@ -63,7 +65,7 @@ def frames_from(args):
     if not args.width or not args.height:
         raise SystemExit("-w/-h are required for raw .yuv input")
     return read_yuv420(args.input, args.width, args.height,
-                       max_frames=args.frames)
+                       max_frames=args.frames, bit_depth=args.bit_depth)
 
 
 def main(argv=None) -> int:
@@ -75,6 +77,7 @@ def main(argv=None) -> int:
 
     cfg = EncoderConfig(
         width=w, height=h, qp=args.qp, fps_num=args.fps,
+        bit_depth=args.bit_depth,
         intra_period=args.intra_period, enc_mode=args.enc_mode,
         rate_control_mode=args.rc, target_bitrate=args.tbr,
         vbv_maxrate=args.vbv_maxrate, vbv_bufsize=args.vbv_bufsize,
@@ -83,7 +86,7 @@ def main(argv=None) -> int:
     )
     enc = Encoder(cfg)
     t0 = time.perf_counter()
-    stream, recons = enc.encode(frames, rd=bool(args.rd))
+    stream, recons = enc.encode(frames, rd=True if args.rd else None)
     dt = time.perf_counter() - t0
 
     with open(args.bitstream, "wb") as f:

@@ -19,11 +19,12 @@ GENERAL_LEVEL_IDC = 120  # level 4.0 default; TODO: derive from level tables
 
 # --------------------------------------------------------------------- writers
 
-def _write_profile_tier_level(w: BitWriter, max_sub_layers_minus1: int = 0) -> None:
-    """profile_tier_level() for Main profile (H.265 7.3.3)."""
+def _write_profile_tier_level(w: BitWriter, max_sub_layers_minus1: int = 0,
+                              profile_idc: int = 1) -> None:
+    """profile_tier_level() (H.265 7.3.3): Main (1) or Main10 (2)."""
     w.u(0, 2)            # general_profile_space
     w.flag(0)            # general_tier_flag
-    w.u(1, 5)            # general_profile_idc = Main
+    w.u(profile_idc, 5)
     for i in range(32):  # general_profile_compatibility_flag[i]
         w.flag(i in (1, 2))   # Main + Main10 compatible
     w.flag(1)            # general_progressive_source_flag
@@ -46,7 +47,7 @@ def write_vps(cfg: EncoderConfig) -> bytes:
     w.u(0, 3)            # vps_max_sub_layers_minus1
     w.flag(1)            # vps_temporal_id_nesting_flag
     w.u(0xFFFF, 16)      # vps_reserved_0xffff_16bits
-    _write_profile_tier_level(w)
+    _write_profile_tier_level(w, profile_idc=2 if cfg.bit_depth == 10 else 1)
     w.flag(1)            # vps_sub_layer_ordering_info_present_flag
     w.ue(1)              # vps_max_dec_pic_buffering_minus1[0]
     w.ue(0)              # vps_max_num_reorder_pics[0]
@@ -64,7 +65,7 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.u(0, 4)            # sps_video_parameter_set_id
     w.u(0, 3)            # sps_max_sub_layers_minus1
     w.flag(1)            # sps_temporal_id_nesting_flag
-    _write_profile_tier_level(w)
+    _write_profile_tier_level(w, profile_idc=2 if cfg.bit_depth == 10 else 1)
     w.ue(0)              # sps_seq_parameter_set_id
     w.ue(cfg.chroma_format)   # chroma_format_idc (1 = 4:2:0)
     w.ue(cfg.coded_width)     # pic_width_in_luma_samples

@@ -25,7 +25,7 @@ class EncoderConfig:
     # --- source description (EbApi.h sourceWidth/sourceHeight/encoderBitDepth) ---
     width: int = 0
     height: int = 0
-    bit_depth: int = 8           # 8 or 10 (10-bit: round-1 scope = 8)
+    bit_depth: int = 8           # 8 or 10 (Main / Main10)
     chroma_format: int = 1       # 1 = 4:2:0 (EbApi.h encoderColorFormat)
     fps_num: int = 50            # frameRateNumerator
     fps_den: int = 1
@@ -109,8 +109,8 @@ class EncoderConfig:
             raise ValueError(f"width {self.width} out of range [64, 8192]")
         if not (64 <= self.height <= 4320):
             raise ValueError(f"height {self.height} out of range [64, 4320]")
-        if self.bit_depth != 8:
-            raise NotImplementedError("only 8-bit input is implemented so far")
+        if self.bit_depth not in (8, 10):
+            raise ValueError("bit_depth must be 8 or 10")
         if self.chroma_format != 1:
             raise NotImplementedError("only 4:2:0 is implemented so far")
         if not (0 <= self.qp <= 51):

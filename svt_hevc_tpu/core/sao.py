@@ -23,7 +23,11 @@ import numpy as np
 from ..bitstream.contexts import Ctx
 
 SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
-_MAX_OFFSET = 7            # 8-bit: (1 << (min(bd,10)-5)) - 1
+
+
+def _max_offset(bit_depth: int) -> int:
+    """(1 << (min(bd,10)-5)) - 1: 7 at 8-bit, 31 at 10-bit (7.4.9.3)."""
+    return (1 << (min(bit_depth, 10) - 5)) - 1
 
 # EO class -> ((h0x, h0y), (h1x, h1y))
 _EO_NEIGHBORS = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
@@ -53,22 +57,23 @@ class SaoCtbParams:
 
 # ------------------------------------------------------------------- syntax
 
-def _encode_offset_abs(bac, v: int) -> None:
+def _encode_offset_abs(bac, v: int, cmax: int) -> None:
     for _ in range(v):
         bac.encode_bypass(1)
-    if v < _MAX_OFFSET:
+    if v < cmax:
         bac.encode_bypass(0)
 
 
-def _decode_offset_abs(dec) -> int:
+def _decode_offset_abs(dec, cmax: int) -> int:
     v = 0
-    while v < _MAX_OFFSET and dec.decode_bypass():
+    while v < cmax and dec.decode_bypass():
         v += 1
     return v
 
 
 def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
-                   slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
+                   slice_sao_luma: bool, slice_sao_chroma: bool,
+                   bit_depth: int = 8) -> None:
     p = grid[cy][cx]
     if cx > 0:
         merge_left = int(p == grid[cy][cx - 1])
@@ -96,7 +101,7 @@ def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
             continue
         offs = p.offsets[comp]
         for i in range(4):
-            _encode_offset_abs(bac, abs(offs[i]))
+            _encode_offset_abs(bac, abs(offs[i]), _max_offset(bit_depth))
         if t == SAO_BAND:
             for i in range(4):
                 if offs[i]:
@@ -107,7 +112,8 @@ def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
 
 
 def decode_sao_ctb(dec, grid: list[list[SaoCtbParams]], cx: int, cy: int,
-                   slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
+                   slice_sao_luma: bool, slice_sao_chroma: bool,
+                   bit_depth: int = 8) -> None:
     if cx > 0 and dec.decode_bin(Ctx.SAO_MERGE):
         grid[cy][cx] = grid[cy][cx - 1].copy()
         return
@@ -129,7 +135,8 @@ def decode_sao_ctb(dec, grid: list[list[SaoCtbParams]], cx: int, cy: int,
         t = p.type_idx[c01]
         if t == SAO_OFF:
             continue
-        mag = [_decode_offset_abs(dec) for _ in range(4)]
+        mag = [_decode_offset_abs(dec, _max_offset(bit_depth))
+               for _ in range(4)]
         if t == SAO_BAND:
             offs = []
             for i in range(4):
@@ -174,8 +181,8 @@ def _eo_category_map(plane: np.ndarray, eo_class: int) -> np.ndarray:
     return np.where(valid, cat, 0)
 
 
-def _band_map(plane: np.ndarray) -> np.ndarray:
-    return (plane >> 3).astype(np.int32)        # 8-bit: 32 bands of width 8
+def _band_map(plane: np.ndarray, bit_depth: int = 8) -> np.ndarray:
+    return (plane >> (bit_depth - 5)).astype(np.int32)   # 32 bands
 
 
 def apply_sao(st, grid: list[list[SaoCtbParams]],
@@ -214,7 +221,7 @@ def apply_sao(st, grid: list[list[SaoCtbParams]],
                     out = rect + lut[cat]
                 else:
                     if band is None:
-                        band = _band_map(pre)
+                        band = _band_map(pre, st.bit_depth)
                     b = band[y0:y1, x0:x1]
                     lut = np.zeros(32, np.int32)
                     for i in range(4):
@@ -241,7 +248,8 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
         cs = ctb if comp == 0 else ctb // 2
         diff = source.astype(np.int64) - plane.astype(np.int64)
         cat_maps = [_eo_category_map(plane, ec) for ec in range(4)]
-        band = _band_map(plane)
+        band = _band_map(plane, st.bit_depth)
+        mx = _max_offset(st.bit_depth)
 
         for cy in range(ny):
             for cx in range(nx):
@@ -266,13 +274,13 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
                             if c == 0:
                                 continue
                             s = int(d[m].sum())
-                            o = int(np.clip(round(s / c), -_MAX_OFFSET, _MAX_OFFSET))
+                            o = int(np.clip(round(s / c), -mx, mx))
                             o = max(o, 0) if k <= 2 else min(o, 0)
                             if 2 * o * s - c * o * o > 0:
                                 offs[k - 1] = o
                         p.offsets[2] = offs
                     else:
-                        bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam)
+                        bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam, mx)
                         if g > 0 and any(offs):
                             p.band_pos[2] = bp
                             p.offsets[2] = offs
@@ -289,7 +297,7 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
                         if c == 0:
                             continue
                         s = int(d[m].sum())
-                        o = int(np.clip(round(s / c), -_MAX_OFFSET, _MAX_OFFSET))
+                        o = int(np.clip(round(s / c), -mx, mx))
                         if k <= 2:
                             o = max(o, 0)     # EO categories 1,2: positive
                         else:
@@ -304,7 +312,7 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
                         best = (gain, SAO_EDGE, ec, 0, offs)
 
                 # band offset: best run of 4 adjacent bands
-                bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam)
+                bp, offs, g = _best_band(band[y0:y1, x0:x1], d, lam, mx)
                 if g > best[0] and any(offs):
                     best = (g, SAO_BAND, 0, bp, offs)
 
@@ -317,14 +325,14 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
     return grid
 
 
-def _best_band(b: np.ndarray, d: np.ndarray, lam: float):
+def _best_band(b: np.ndarray, d: np.ndarray, lam: float, mx: int = 7):
     """Best 4-band window for band offset; returns (band_pos, offsets, gain)."""
     cnt = np.bincount(b.ravel(), minlength=32).astype(np.int64)
     sums = np.bincount(b.ravel(), weights=d.ravel(),
                        minlength=32).astype(np.int64)
     ob = np.zeros(32, np.int64)
     nz = cnt > 0
-    ob[nz] = np.clip(np.round(sums[nz] / cnt[nz]), -_MAX_OFFSET, _MAX_OFFSET)
+    ob[nz] = np.clip(np.round(sums[nz] / cnt[nz]), -mx, mx)
     gains = np.maximum(np.where(ob != 0, 2 * ob * sums - cnt * ob * ob, 0), 0)
     win = np.array([gains[k:k + 4].sum() for k in range(29)])
     bp = int(np.argmax(win))

@@ -73,7 +73,8 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
         for cx in range(n_ctb_x):
             if sao_on:
                 decode_sao_ctb(bac, sao_grid, cx, cy,
-                               hdr.sao_luma, hdr.sao_chroma)
+                               hdr.sao_luma, hdr.sao_chroma,
+                               bit_depth=sps.bit_depth)
             dec.code_ctu(cx * ctb, cy * ctb)
             end = bac.decode_terminate()
             last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
@@ -91,9 +92,10 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
     left, right, top, bottom = sps.conf_win
     w = sps.width - 2 * (left + right)
     h = sps.height - 2 * (top + bottom)
+    dt = np.uint8 if sps.bit_depth == 8 else np.uint16
     frame = Frame(
-        y=st.planes[0][2 * top:2 * top + h, 2 * left:2 * left + w].astype(np.uint8),
-        cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(np.uint8),
-        cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(np.uint8),
+        y=st.planes[0][2 * top:2 * top + h, 2 * left:2 * left + w].astype(dt),
+        cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(dt),
+        cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(dt),
     )
     return frame, [p.copy() for p in st.planes]

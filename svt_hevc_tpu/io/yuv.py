@@ -28,31 +28,43 @@ class Frame:
     def height(self) -> int:
         return self.y.shape[0]
 
+    @property
+    def peak(self) -> float:
+        return 255.0 if self.y.dtype == np.uint8 else 1023.0
+
     def psnr(self, other: "Frame") -> tuple[float, float, float]:
         out = []
         for a, b in ((self.y, other.y), (self.cb, other.cb), (self.cr, other.cr)):
             mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-            out.append(99.0 if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse))
+            out.append(99.0 if mse == 0 else 10.0 * np.log10(self.peak ** 2 / mse))
         return tuple(out)  # type: ignore[return-value]
 
 
 def read_yuv420(f: BinaryIO | str, width: int, height: int,
-                max_frames: int | None = None) -> Iterator[Frame]:
-    """Iterate 8-bit planar 4:2:0 frames from a raw YUV file."""
+                max_frames: int | None = None,
+                bit_depth: int = 8) -> Iterator[Frame]:
+    """Iterate planar 4:2:0 frames from a raw YUV file. 10-bit input uses
+    2 bytes/sample little-endian (the reference's "unpacked" mode,
+    EbApi.h compressedTenBitFormat=0)."""
     close = False
     if isinstance(f, str):
         f = open(f, "rb")
         close = True
+    dt = np.uint8 if bit_depth == 8 else np.dtype("<u2")
+    bps = dt.itemsize if hasattr(dt, "itemsize") else np.dtype(dt).itemsize
     try:
         ysz, csz = width * height, (width // 2) * (height // 2)
+        nbytes = (ysz + 2 * csz) * np.dtype(dt).itemsize
         n = 0
         while max_frames is None or n < max_frames:
-            buf = f.read(ysz + 2 * csz)
-            if len(buf) < ysz + 2 * csz:
+            buf = f.read(nbytes)
+            if len(buf) < nbytes:
                 return
-            y = np.frombuffer(buf, np.uint8, ysz).reshape(height, width)
-            cb = np.frombuffer(buf, np.uint8, csz, ysz).reshape(height // 2, width // 2)
-            cr = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(height // 2, width // 2)
+            y = np.frombuffer(buf, dt, ysz).reshape(height, width)
+            cb = np.frombuffer(buf, dt, csz, ysz * np.dtype(dt).itemsize
+                               ).reshape(height // 2, width // 2)
+            cr = np.frombuffer(buf, dt, csz, (ysz + csz) * np.dtype(dt).itemsize
+                               ).reshape(height // 2, width // 2)
             yield Frame(y.copy(), cb.copy(), cr.copy())
             n += 1
     finally:
@@ -67,9 +79,10 @@ def write_yuv420(f: BinaryIO | str, frames) -> None:
         close = True
     try:
         for fr in frames:
-            f.write(fr.y.astype(np.uint8).tobytes())
-            f.write(fr.cb.astype(np.uint8).tobytes())
-            f.write(fr.cr.astype(np.uint8).tobytes())
+            dt = np.uint8 if fr.y.dtype == np.uint8 else np.dtype("<u2")
+            f.write(fr.y.astype(dt).tobytes())
+            f.write(fr.cb.astype(dt).tobytes())
+            f.write(fr.cr.astype(dt).tobytes())
     finally:
         if close:
             f.close()

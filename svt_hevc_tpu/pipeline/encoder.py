@@ -113,11 +113,12 @@ class Encoder:
         rh, rw = max(h // 4, 1), max(w // 4, 1)
         votes = 0
         regions = 0
+        shift = 3 if cur_y.dtype == np.uint8 else 5   # 32 histogram bins
         for ry in range(0, h - rh + 1, rh):
             for rx in range(0, w - rw + 1, rw):
-                a = np.bincount(prev_y[ry:ry + rh, rx:rx + rw].ravel() >> 3,
+                a = np.bincount(prev_y[ry:ry + rh, rx:rx + rw].ravel() >> shift,
                                 minlength=32)
-                b = np.bincount(cur_y[ry:ry + rh, rx:rx + rw].ravel() >> 3,
+                b = np.bincount(cur_y[ry:ry + rh, rx:rx + rw].ravel() >> shift,
                                 minlength=32)
                 ahd = np.abs(a - b).sum()
                 regions += 1
@@ -212,7 +213,8 @@ class Encoder:
                                  mode_policy=d.mode_policy,
                                  me_seed=me_seed, features=feat)
             if sao_grid is not None:
-                encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True)
+                encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True,
+                               bit_depth=cfg.bit_depth)
             enc.code_ctu(x0, y0)
             last = i == len(ctb_order) - 1
             bac.encode_terminate(1 if last else 0)
@@ -230,10 +232,11 @@ class Encoder:
 
         # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
         # bit-identical pre-filter by construction
+        dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
         recon = Frame(
-            y=st.planes[0][:frame.height, :frame.width].astype(np.uint8),
-            cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(np.uint8),
-            cr=st.planes[2][:frame.height // 2, :frame.width // 2].astype(np.uint8),
+            y=st.planes[0][:frame.height, :frame.width].astype(dt),
+            cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(dt),
+            cr=st.planes[2][:frame.height // 2, :frame.width // 2].astype(dt),
         )
         return EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
 
