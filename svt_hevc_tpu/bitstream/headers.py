@@ -125,8 +125,14 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     w.flag(0)            # weighted_pred_flag
     w.flag(0)            # weighted_bipred_flag
     w.flag(0)            # transquant_bypass_enabled_flag
-    w.flag(0)            # tiles_enabled_flag
+    tiles = cfg.tile_columns > 1 or cfg.tile_rows > 1
+    w.flag(1 if tiles else 0)   # tiles_enabled_flag
     w.flag(0)            # entropy_coding_sync_enabled_flag
+    if tiles:
+        w.ue(cfg.tile_columns - 1)   # num_tile_columns_minus1
+        w.ue(cfg.tile_rows - 1)      # num_tile_rows_minus1
+        w.flag(1)                    # uniform_spacing_flag
+        w.flag(1)                    # loop_filter_across_tiles_enabled_flag
     w.flag(1)            # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)            # deblocking_filter_control_present_flag
     w.flag(0)            #   deblocking_filter_override_enabled_flag
@@ -144,7 +150,8 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 
 def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True,
-                       poc: int = 0, slice_type: int = 2) -> BitWriter:
+                       poc: int = 0, slice_type: int = 2,
+                       entry_points: list[int] | None = None) -> BitWriter:
     """Write the slice segment header; returns the open BitWriter so slice
     data (CABAC payload) can be appended after byte alignment.
 
@@ -173,6 +180,16 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
     if cfg.enable_sao or cfg.enable_deblocking:
         w.flag(1)        # slice_loop_filter_across_slices_enabled_flag
+    if cfg.tile_columns > 1 or cfg.tile_rows > 1:
+        # per-tile substream entry points (7.3.6.1; reference analogue:
+        # EbEntropyCoding.c :6740 tile entry-point offsets)
+        eps = entry_points or []
+        w.ue(len(eps))               # num_entry_point_offsets
+        if eps:
+            ln = max(max(e - 1 for e in eps).bit_length(), 1)
+            w.ue(ln - 1)             # offset_len_minus1
+            for e in eps:
+                w.u(e - 1, ln)       # entry_point_offset_minus1
     # byte_alignment() before slice data
     w.flag(1)            # alignment_bit_equal_to_one
     w.byte_align()
@@ -202,6 +219,14 @@ class Sps:
     strong_intra_smoothing: bool = False
 
 
+def tile_grid(n_ctb_x: int, n_ctb_y: int, cols: int, rows: int):
+    """Uniform tile partitioning (6.5.1): returns (col_bounds, row_bounds)
+    in CTB units, each a list of cols+1 / rows+1 boundaries."""
+    cb = [(i * n_ctb_x) // cols for i in range(cols + 1)]
+    rb = [(j * n_ctb_y) // rows for j in range(rows + 1)]
+    return cb, rb
+
+
 @dataclass
 class Pps:
     init_qp: int = 26
@@ -216,6 +241,9 @@ class Pps:
     cabac_init_present: bool = False
     transquant_bypass: bool = False
     tiles_enabled: bool = False
+    tile_columns: int = 1
+    tile_rows: int = 1
+    loop_filter_across_tiles: bool = True
     entropy_coding_sync: bool = False
     deblocking_disabled: bool = True
     deblocking_control_present: bool = False
@@ -234,6 +262,7 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     max_num_merge_cand: int = 5
+    entry_points: list = field(default_factory=list)   # substream byte sizes
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
 
 
@@ -317,7 +346,11 @@ def parse_pps(rbsp: bytes) -> Pps:
     p.tiles_enabled = r.flag()
     p.entropy_coding_sync = r.flag()
     if p.tiles_enabled:
-        raise NotImplementedError("tiles parsing")
+        p.tile_columns = r.ue() + 1
+        p.tile_rows = r.ue() + 1
+        if not r.flag():             # uniform_spacing_flag
+            raise NotImplementedError("non-uniform tile spacing")
+        p.loop_filter_across_tiles = r.flag()
     p.loop_filter_across_slices = r.flag()
     p.deblocking_control_present = r.flag()
     if p.deblocking_control_present:
@@ -377,6 +410,11 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     if pps.loop_filter_across_slices and (
             h.sao_luma or h.sao_chroma or not pps.deblocking_disabled):
         r.flag()                 # slice_loop_filter_across_slices_enabled_flag
+    if pps.tiles_enabled or pps.entropy_coding_sync:
+        n_ep = r.ue()
+        if n_ep:
+            ln = r.ue() + 1
+            h.entry_points = [r.u(ln) + 1 for _ in range(n_ep)]
     # byte alignment before slice data
     if r.flag() != 1:
         raise ValueError("alignment_bit_equal_to_one missing")

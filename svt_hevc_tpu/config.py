@@ -123,8 +123,11 @@ class EncoderConfig:
             raise NotImplementedError("only low-delay P implemented yet")
         if self.hierarchical_levels != 0:
             raise NotImplementedError("hierarchical GOPs not implemented yet")
-        if self.tile_columns != 1 or self.tile_rows != 1:
-            raise NotImplementedError("tiles not implemented yet")
+        if not (1 <= self.tile_columns <= 20 and 1 <= self.tile_rows <= 22):
+            raise ValueError("tile grid out of range (level 6.x caps: 20x22)")
+        if (self.tile_columns > self.pic_width_in_ctbs
+                or self.tile_rows > self.pic_height_in_ctbs):
+            raise ValueError("more tiles than CTB columns/rows")
         if not (0 <= self.enc_mode <= 11):
             raise ValueError("enc_mode must be in 0..11")
         if self.rate_control_mode not in (0, 1):

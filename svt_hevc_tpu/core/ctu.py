@@ -87,14 +87,25 @@ class PictureState:
         # nonzero-luma-coeff flag of the covering TU (for deblocking bS)
         self.cbf4 = np.zeros((coded_h // 4, coded_w // 4), np.uint8)
 
+    def begin_tile(self) -> None:
+        """Reset tile-local prediction state (HEVC tiles break prediction
+        and entropy dependencies, 6.3.1). The availability / mode / skip
+        maps are only ever consumed tile-locally, so zeroing them makes
+        out-of-tile neighbors unavailable exactly per spec; motion / cbf /
+        edge maps stay (the in-loop filters are picture-level)."""
+        for a in self.avail:
+            a[:] = False
+        self.luma_mode[:] = -1
+        self.skip[:] = False
+
     def mark(self, c_idx: int, x: int, y: int, n: int) -> None:
         self.avail[c_idx][y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
 
 
 def derive_mpm(st: PictureState, xp: int, yp: int) -> list[int]:
     """Luma MPM candidate list (8.4.2). Neighbor modes come from the
-    luma_mode map (-1 = not yet determined => treated DC); the above
-    neighbor is DC when outside the current CTB row."""
+    luma_mode map (-1 = unavailable / inter / other tile => treated DC);
+    the above neighbor is DC when outside the current CTB row."""
     left = None
     if xp > 0:
         m = int(st.luma_mode[yp >> 2, (xp - 1) >> 2])

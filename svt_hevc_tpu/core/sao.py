@@ -73,14 +73,18 @@ def _decode_offset_abs(dec, cmax: int) -> int:
 
 def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
                    slice_sao_luma: bool, slice_sao_chroma: bool,
-                   bit_depth: int = 8) -> None:
+                   bit_depth: int = 8, left_ok: bool | None = None,
+                   up_ok: bool | None = None) -> None:
+    # merge candidates must lie in the same tile (7.4.9.3)
+    left_ok = (cx > 0) if left_ok is None else left_ok
+    up_ok = (cy > 0) if up_ok is None else up_ok
     p = grid[cy][cx]
-    if cx > 0:
+    if left_ok:
         merge_left = int(p == grid[cy][cx - 1])
         bac.encode_bin(Ctx.SAO_MERGE, merge_left)
         if merge_left:
             return
-    if cy > 0:
+    if up_ok:
         merge_up = int(p == grid[cy - 1][cx])
         bac.encode_bin(Ctx.SAO_MERGE, merge_up)
         if merge_up:
@@ -113,11 +117,14 @@ def encode_sao_ctb(bac, grid: list[list[SaoCtbParams]], cx: int, cy: int,
 
 def decode_sao_ctb(dec, grid: list[list[SaoCtbParams]], cx: int, cy: int,
                    slice_sao_luma: bool, slice_sao_chroma: bool,
-                   bit_depth: int = 8) -> None:
-    if cx > 0 and dec.decode_bin(Ctx.SAO_MERGE):
+                   bit_depth: int = 8, left_ok: bool | None = None,
+                   up_ok: bool | None = None) -> None:
+    left_ok = (cx > 0) if left_ok is None else left_ok
+    up_ok = (cy > 0) if up_ok is None else up_ok
+    if left_ok and dec.decode_bin(Ctx.SAO_MERGE):
         grid[cy][cx] = grid[cy][cx - 1].copy()
         return
-    if cy > 0 and dec.decode_bin(Ctx.SAO_MERGE):
+    if up_ok and dec.decode_bin(Ctx.SAO_MERGE):
         grid[cy][cx] = grid[cy - 1][cx].copy()
         return
     p = grid[cy][cx]

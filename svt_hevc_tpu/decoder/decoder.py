@@ -17,7 +17,7 @@ import numpy as np
 from ..bitstream.bitwriter import ebsp_to_rbsp
 from ..bitstream.cabac import CabacDecoder
 from ..bitstream.contexts import init_contexts
-from ..bitstream.headers import parse_pps, parse_slice_header, parse_sps
+from ..bitstream.headers import parse_pps, parse_slice_header, parse_sps, tile_grid
 from ..bitstream.nal import NalUnitType, split_annexb
 from ..core.ctu import CtuDecoder, PictureState
 from ..core.deblock import deblock_picture
@@ -60,8 +60,6 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
         st.max_merge = hdr.max_num_merge_cand
     data = rbsp[hdr.data_bit_offset // 8:]
     init_type = 0 if hdr.slice_type == 2 else 1
-    bac = CabacDecoder(data, init_contexts(hdr.slice_qp, init_type=init_type))
-    dec = CtuDecoder(st, bac)
 
     ctb = 1 << sps.log2_ctb
     n_ctb_x = (sps.width + ctb - 1) // ctb
@@ -69,18 +67,36 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
     sao_on = sps.sao_enabled and (hdr.sao_luma or hdr.sao_chroma)
     sao_grid = [[SaoCtbParams() for _ in range(n_ctb_x)]
                 for _ in range(n_ctb_y)] if sao_on else None
-    for cy in range(n_ctb_y):
-        for cx in range(n_ctb_x):
-            if sao_on:
-                decode_sao_ctb(bac, sao_grid, cx, cy,
-                               hdr.sao_luma, hdr.sao_chroma,
-                               bit_depth=sps.bit_depth)
-            dec.code_ctu(cx * ctb, cy * ctb)
-            end = bac.decode_terminate()
-            last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
-            if bool(end) != bool(last):
-                raise ValueError(
-                    f"end_of_slice_segment_flag mismatch at CTU ({cx},{cy})")
+
+    # tile-scan decode: one independent CABAC substream per tile
+    col_bd, row_bd = tile_grid(n_ctb_x, n_ctb_y, pps.tile_columns, pps.tile_rows)
+    offsets = [0]
+    for sz in hdr.entry_points:
+        offsets.append(offsets[-1] + sz)
+    t_idx = 0
+    for tr in range(pps.tile_rows):
+        for tc in range(pps.tile_columns):
+            st.begin_tile()
+            sub = data[offsets[t_idx]:] if t_idx >= len(hdr.entry_points) \
+                else data[offsets[t_idx]:offsets[t_idx + 1]]
+            bac = CabacDecoder(sub, init_contexts(hdr.slice_qp,
+                                                  init_type=init_type))
+            dec = CtuDecoder(st, bac)
+            for cy in range(row_bd[tr], row_bd[tr + 1]):
+                for cx in range(col_bd[tc], col_bd[tc + 1]):
+                    if sao_on:
+                        decode_sao_ctb(bac, sao_grid, cx, cy,
+                                       hdr.sao_luma, hdr.sao_chroma,
+                                       bit_depth=sps.bit_depth,
+                                       left_ok=cx > col_bd[tc],
+                                       up_ok=cy > row_bd[tr])
+                    dec.code_ctu(cx * ctb, cy * ctb)
+                    end = bac.decode_terminate()
+                    last = (cy == n_ctb_y - 1) and (cx == n_ctb_x - 1)
+                    if bool(end) != bool(last):
+                        raise ValueError(
+                            f"end_of_slice flag mismatch at CTU ({cx},{cy})")
+            t_idx += 1
 
     if not pps.deblocking_disabled:
         deblock_picture(st, beta_offset=pps.beta_offset_div2,

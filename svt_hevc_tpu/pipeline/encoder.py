@@ -21,7 +21,8 @@ from ..bitstream.contexts import init_contexts
 from ..bitstream.estimator import CabacEstimator
 from ..bitstream.recorder import CabacRecorder
 from ..native import cabac_encode_ops
-from ..bitstream.headers import write_pps, write_slice_header, write_sps, write_vps
+from ..bitstream.headers import (tile_grid, write_pps, write_slice_header,
+                                 write_sps, write_vps)
 from ..bitstream.nal import NalUnitType, wrap_nal
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
@@ -155,8 +156,19 @@ class Encoder:
         ctb = cfg.ctb_size
         n_ctb_x = (cw + ctb - 1) // ctb
         n_ctb_y = (ch + ctb - 1) // ctb
-        ctb_order = [(cx * ctb, cy * ctb) for cy in range(n_ctb_y)
-                     for cx in range(n_ctb_x)]
+        # tile partitioning (tile-scan CTU order; reference analogue:
+        # per-tile-group EncDec tasks, EbModeDecisionConfigurationProcess.c
+        # :2086, per-tile entropy EbEntropyCodingProcess.c :313)
+        col_bd, row_bd = tile_grid(n_ctb_x, n_ctb_y,
+                                   cfg.tile_columns, cfg.tile_rows)
+        tiles = []       # [(ctb_order, left_col, top_row)]
+        for tr in range(cfg.tile_rows):
+            for tc in range(cfg.tile_columns):
+                order = [(cx * ctb, cy * ctb)
+                         for cy in range(row_bd[tr], row_bd[tr + 1])
+                         for cx in range(col_bd[tc], col_bd[tc + 1])]
+                tiles.append((order, col_bd[tc], row_bd[tr]))
+        last_xy = tiles[-1][0][-1]
 
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
@@ -171,21 +183,23 @@ class Encoder:
 
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
-        decisions_per_ctb: list = []
-        est_ctx = init_contexts(qp, init_type=init_type)
-        if rd:
-            for x0, y0 in ctb_order:
-                rds = RdSearch(st, src, me_seed=me_seed,
-                               try_nxn=feat.try_nxn, features=feat)
-                decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
-                decisions_per_ctb.append(decisions)
-        else:
-            est = CabacEstimator(est_ctx)
-            enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
-                              part_nxn_policy=part_nxn_policy,
-                              me_seed=me_seed, features=feat)
-            for x0, y0 in ctb_order:
-                enc1.code_ctu(x0, y0)
+        decisions_all: dict = {}
+        for order, _, _ in tiles:
+            st.begin_tile()
+            est_ctx = init_contexts(qp, init_type=init_type)
+            if rd:
+                for x0, y0 in order:
+                    rds = RdSearch(st, src, me_seed=me_seed,
+                                   try_nxn=feat.try_nxn, features=feat)
+                    decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
+                    decisions_all[(x0, y0)] = decisions
+            else:
+                est = CabacEstimator(est_ctx)
+                enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
+                                  part_nxn_policy=part_nxn_policy,
+                                  me_seed=me_seed, features=feat)
+                for x0, y0 in order:
+                    enc1.code_ctu(x0, y0)
 
         if cfg.enable_deblocking:
             deblock_picture(st)
@@ -196,32 +210,44 @@ class Encoder:
             apply_sao(st, sao_grid, True, True)
 
         # ---- pass 2: emit the real CABAC stream (replays identically).
-        # Syntax is recorded as a bin-op stream; the sequential arithmetic
-        # runs in the native C core (svt_hevc_tpu/native/cabac.c) ----
+        # Syntax is recorded per tile as a bin-op stream; each tile's
+        # sequential arithmetic runs independently in the native C core
+        # (svt_hevc_tpu/native/cabac.c) — per-tile parallel CABAC ----
         st2 = new_state()
-        bac = CabacRecorder(init_contexts(qp, init_type=init_type))
-        if not rd:
-            enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
-                             part_nxn_policy=part_nxn_policy,
-                             me_seed=me_seed, features=feat)
-        for i, (x0, y0) in enumerate(ctb_order):
-            if rd:
-                d = decisions_per_ctb[i]
-                enc = CtuEncoder(st2, bac, src,
-                                 split_policy=d.split_policy,
-                                 part_nxn_policy=d.part_nxn_policy,
-                                 mode_policy=d.mode_policy,
+        substreams: list[bytes] = []
+        for t_idx, (order, left_col, top_row) in enumerate(tiles):
+            st2.begin_tile()
+            bac = CabacRecorder(init_contexts(qp, init_type=init_type))
+            if not rd:
+                enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
+                                 part_nxn_policy=part_nxn_policy,
                                  me_seed=me_seed, features=feat)
-            if sao_grid is not None:
-                encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb, True, True,
-                               bit_depth=cfg.bit_depth)
-            enc.code_ctu(x0, y0)
-            last = i == len(ctb_order) - 1
-            bac.encode_terminate(1 if last else 0)
-        payload = finalize_cabac(bac, init_contexts(qp, init_type=init_type))
+            for x0, y0 in order:
+                if rd:
+                    d = decisions_all[(x0, y0)]
+                    enc = CtuEncoder(st2, bac, src,
+                                     split_policy=d.split_policy,
+                                     part_nxn_policy=d.part_nxn_policy,
+                                     mode_policy=d.mode_policy,
+                                     me_seed=me_seed, features=feat)
+                if sao_grid is not None:
+                    encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
+                                   True, True, bit_depth=cfg.bit_depth,
+                                   left_ok=x0 // ctb > left_col,
+                                   up_ok=y0 // ctb > top_row)
+                enc.code_ctu(x0, y0)
+                last = (x0, y0) == last_xy
+                bac.encode_terminate(1 if last else 0)
+            if t_idx != len(tiles) - 1:
+                bac.encode_terminate(1)      # end_of_subset_one_bit
+            substreams.append(
+                finalize_cabac(bac, init_contexts(qp, init_type=init_type)))
+        payload = b"".join(substreams)
+        entry_points = [len(s) for s in substreams[:-1]]
 
         w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
-                               poc=poc, slice_type=slice_type)
+                               poc=poc, slice_type=slice_type,
+                               entry_points=entry_points)
         w.write_bytes(payload)
         nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
         nal = wrap_nal(nal_type, w.get_bytes())

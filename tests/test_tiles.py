@@ -1,0 +1,79 @@
+"""Tile tests: per-tile CABAC substreams with entry points, prediction
+breaks at tile boundaries, bit-exact roundtrip."""
+
+import numpy as np
+import pytest
+
+from svt_hevc_tpu.config import EncoderConfig
+from svt_hevc_tpu.decoder.decoder import decode_stream
+from svt_hevc_tpu.pipeline.encoder import Encoder
+
+from test_endtoend import make_frame
+from test_inter import moving_sequence
+
+
+def _roundtrip_tiles(frame, qp, cols, rows, **kw):
+    cfg = EncoderConfig(width=frame.width, height=frame.height, qp=qp,
+                        tile_columns=cols, tile_rows=rows, **kw)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode([frame])
+    dec = decode_stream(stream)
+    return stream, recons[0], dec[0]
+
+
+@pytest.mark.parametrize("cols,rows", [(2, 1), (1, 2), (2, 2), (3, 2)])
+def test_tiles_bitmatch(cols, rows):
+    frame = make_frame(96, 64, "edges", seed=cols * 10 + rows)
+    _, recon, dec = _roundtrip_tiles(frame, 34, cols, rows)
+    np.testing.assert_array_equal(recon.y, dec.y)
+    np.testing.assert_array_equal(recon.cb, dec.cb)
+    np.testing.assert_array_equal(recon.cr, dec.cr)
+
+
+def test_tiles_entry_points_present():
+    from svt_hevc_tpu.bitstream.bitwriter import ebsp_to_rbsp
+    from svt_hevc_tpu.bitstream.headers import (parse_pps, parse_slice_header,
+                                                parse_sps)
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    frame = make_frame(128, 64, "noise", seed=2)
+    stream, _, _ = _roundtrip_tiles(frame, 35, 2, 1)
+    sps = pps = None
+    for t, ebsp in split_annexb(stream):
+        rbsp = ebsp_to_rbsp(ebsp)
+        if t == NalUnitType.SPS_NUT:
+            sps = parse_sps(rbsp)
+        elif t == NalUnitType.PPS_NUT:
+            pps = parse_pps(rbsp)
+        elif t == NalUnitType.IDR_W_RADL:
+            assert pps.tiles_enabled and pps.tile_columns == 2
+            hdr = parse_slice_header(rbsp, int(t), sps, pps)
+            assert len(hdr.entry_points) == 1
+            assert hdr.entry_points[0] > 0
+
+
+def test_tiles_with_p_frames():
+    frames = moving_sequence(96, 64, 3, dx=2, dy=1, seed=3)
+    cfg = EncoderConfig(width=96, height=64, qp=33, intra_period=-1,
+                        tile_columns=2, tile_rows=1)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+        np.testing.assert_array_equal(r.cb, d.cb)
+        np.testing.assert_array_equal(r.cr, d.cr)
+
+
+def test_tiles_with_rd():
+    frame = make_frame(64, 64, "gradient")
+    cfg = EncoderConfig(width=64, height=64, qp=32, tile_columns=2,
+                        tile_rows=2)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode([frame], rd=True)
+    dec = decode_stream(stream)[0]
+    np.testing.assert_array_equal(recons[0].y, dec.y)
+
+
+def test_tile_validation():
+    with pytest.raises(ValueError):
+        EncoderConfig(width=64, height=64, tile_columns=5).validate()
