@@ -98,7 +98,22 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.flag(0)            # long_term_ref_pics_present_flag
     w.flag(0)            # sps_temporal_mvp_enabled_flag
     w.flag(0)            # strong_intra_smoothing_enabled_flag
-    w.flag(0)            # vui_parameters_present_flag
+    w.flag(1)            # vui_parameters_present_flag
+    # ---- vui_parameters() (E.2.1): timing info only ----
+    w.flag(0)            # aspect_ratio_info_present_flag
+    w.flag(0)            # overscan_info_present_flag
+    w.flag(0)            # video_signal_type_present_flag
+    w.flag(0)            # chroma_loc_info_present_flag
+    w.flag(0)            # neutral_chroma_indication_flag
+    w.flag(0)            # field_seq_flag
+    w.flag(0)            # frame_field_info_present_flag
+    w.flag(0)            # default_display_window_flag
+    w.flag(1)            # vui_timing_info_present_flag
+    w.u(cfg.fps_den, 32)      # vui_num_units_in_tick
+    w.u(cfg.fps_num, 32)      # vui_time_scale
+    w.flag(0)            # vui_poc_proportional_to_timing_flag
+    w.flag(0)            # vui_hrd_parameters_present_flag
+    w.flag(0)            # bitstream_restriction_flag
     w.flag(0)            # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return w.get_bytes()

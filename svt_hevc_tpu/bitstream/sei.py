@@ -1,0 +1,121 @@
+"""SEI message syntax (H.265 Annex D / 7.3.5).
+
+Writers for the metadata SEIs the reference emits (reference:
+Source/Lib/Codec/EbEntropyCoding.c :8349-9191 — user data, recovery point,
+content light level, mastering display) plus parsers for tests. Messages
+are wrapped in PREFIX_SEI NAL units by the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .bitwriter import BitReader, BitWriter
+
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_RECOVERY_POINT = 6
+SEI_ACTIVE_PARAMETER_SETS = 129
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
+
+
+def _wrap_payload(payload_type: int, payload: bytes) -> bytes:
+    """sei_message(): ff-escaped payload type and size + payload."""
+    out = bytearray()
+    t = payload_type
+    while t >= 255:
+        out.append(255)
+        t -= 255
+    out.append(t)
+    s = len(payload)
+    while s >= 255:
+        out.append(255)
+        s -= 255
+    out.append(s)
+    out += payload
+    return bytes(out)
+
+
+def sei_rbsp(messages: list[bytes]) -> bytes:
+    """Assemble one SEI RBSP: the messages + rbsp_trailing_bits."""
+    return b"".join(messages) + b"\x80"
+
+
+def write_user_data_unregistered(uuid: bytes, data: bytes) -> bytes:
+    assert len(uuid) == 16
+    return _wrap_payload(SEI_USER_DATA_UNREGISTERED, uuid + data)
+
+
+def write_recovery_point(recovery_poc_cnt: int = 0, *,
+                         exact_match: bool = True,
+                         broken_link: bool = False) -> bytes:
+    w = BitWriter()
+    w.se(recovery_poc_cnt)
+    w.flag(exact_match)
+    w.flag(broken_link)
+    w.rbsp_trailing_bits()
+    return _wrap_payload(SEI_RECOVERY_POINT, w.get_bytes())
+
+
+def write_content_light_level(max_cll: int, max_fall: int) -> bytes:
+    w = BitWriter()
+    w.u(max_cll, 16)
+    w.u(max_fall, 16)
+    return _wrap_payload(SEI_CONTENT_LIGHT_LEVEL, w.get_bytes())
+
+
+def write_mastering_display(primaries: list[tuple[int, int]],
+                            white_point: tuple[int, int],
+                            max_luma: int, min_luma: int) -> bytes:
+    """display_primaries in 0.00002 units (G, B, R order per spec),
+    luminance in 0.0001 cd/m^2 units."""
+    assert len(primaries) == 3
+    w = BitWriter()
+    for x, y in primaries:
+        w.u(x, 16)
+        w.u(y, 16)
+    w.u(white_point[0], 16)
+    w.u(white_point[1], 16)
+    w.u(max_luma, 32)
+    w.u(min_luma, 32)
+    return _wrap_payload(SEI_MASTERING_DISPLAY, w.get_bytes())
+
+
+def write_active_parameter_sets() -> bytes:
+    w = BitWriter()
+    w.u(0, 4)            # active_video_parameter_set_id
+    w.flag(1)            # self_contained_cvs_flag
+    w.flag(0)            # no_parameter_set_update_flag
+    w.ue(0)              # num_sps_ids_minus1
+    w.ue(0)              # active_seq_parameter_set_id[0]
+    w.rbsp_trailing_bits()
+    return _wrap_payload(SEI_ACTIVE_PARAMETER_SETS, w.get_bytes())
+
+
+@dataclass
+class SeiMessage:
+    payload_type: int
+    payload: bytes
+
+
+def parse_sei_rbsp(rbsp: bytes) -> list[SeiMessage]:
+    """Split an SEI RBSP into messages; the final 0x80 is the RBSP
+    trailing byte."""
+    out = []
+    i = 0
+    while i < len(rbsp) - 1:
+        t = 0
+        while rbsp[i] == 255:
+            t += 255
+            i += 1
+        t += rbsp[i]
+        i += 1
+        s = 0
+        while rbsp[i] == 255:
+            s += 255
+            i += 1
+        s += rbsp[i]
+        i += 1
+        out.append(SeiMessage(t, rbsp[i:i + s]))
+        i += s
+    return out

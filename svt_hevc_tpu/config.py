@@ -60,6 +60,13 @@ class EncoderConfig:
     tile_columns: int = 1
     tile_rows: int = 1
 
+    # --- HDR metadata SEIs (EbApi.h maxCLL/maxFALL/masteringDisplay...) ---
+    max_cll: int = 0             # content light level SEI when nonzero
+    max_fall: int = 0
+    mastering_display: tuple | None = None
+                                 # (gx,gy,bx,by,rx,ry,wx,wy,max_l,min_l)
+    use_recovery_point_sei: bool = False
+
     # ------------------------------------------------------------------ derived
     @property
     def ctb_log2(self) -> int:

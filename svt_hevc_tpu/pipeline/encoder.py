@@ -24,6 +24,7 @@ from ..native import cabac_encode_ops
 from ..bitstream.headers import (tile_grid, write_pps, write_slice_header,
                                  write_sps, write_vps)
 from ..bitstream.nal import NalUnitType, wrap_nal
+from ..bitstream import sei
 from ..config import EncoderConfig
 from ..core.ctu import CtuEncoder, PictureState
 from ..preset import derive_preset
@@ -129,9 +130,21 @@ class Encoder:
 
     def headers(self) -> bytes:
         cfg = self.cfg
-        return (wrap_nal(NalUnitType.VPS_NUT, write_vps(cfg))
-                + wrap_nal(NalUnitType.SPS_NUT, write_sps(cfg))
-                + wrap_nal(NalUnitType.PPS_NUT, write_pps(cfg)))
+        out = (wrap_nal(NalUnitType.VPS_NUT, write_vps(cfg))
+               + wrap_nal(NalUnitType.SPS_NUT, write_sps(cfg))
+               + wrap_nal(NalUnitType.PPS_NUT, write_pps(cfg)))
+        msgs = [sei.write_active_parameter_sets()]
+        if cfg.max_cll or cfg.max_fall:
+            msgs.append(sei.write_content_light_level(cfg.max_cll, cfg.max_fall))
+        if cfg.mastering_display is not None:
+            md = cfg.mastering_display
+            msgs.append(sei.write_mastering_display(
+                [(md[0], md[1]), (md[2], md[3]), (md[4], md[5])],
+                (md[6], md[7]), md[8], md[9]))
+        if cfg.use_recovery_point_sei:
+            msgs.append(sei.write_recovery_point(0))
+        out += wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
+        return out
 
     def encode_frame(self, frame: Frame, *, split_policy=None,
                      part_nxn_policy=None, rd: bool | None = None,
