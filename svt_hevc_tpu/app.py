@@ -27,10 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="svt_hevc_tpu", description="TPU-native HEVC encoder",
         fromfile_prefix_chars="@", add_help=False)
     p.add_argument("--help", action="help")
-    p.add_argument("-i", "--input", required=True,
-                   help="input file (.yuv raw 4:2:0 or .y4m)")
-    p.add_argument("-b", "--bitstream", required=True,
-                   help="output HEVC Annex-B file")
+    p.add_argument("-i", "--input", required=True, action="append",
+                   help="input file (.yuv raw 4:2:0 or .y4m); repeat for "
+                        "multi-channel (reference: up to 6 channels)")
+    p.add_argument("-b", "--bitstream", required=True, action="append",
+                   help="output HEVC Annex-B file (one per -i)")
     p.add_argument("-o", "--recon", help="optional recon YUV output")
     p.add_argument("-w", "--width", type=int, default=0)
     p.add_argument("-h", "--height", type=int, default=0)
@@ -56,25 +57,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full RD mode decision (slower, better)")
     p.add_argument("-lcu", "--ctb-size", type=int, default=32,
                    dest="ctb_size", choices=[16, 32, 64])
+    p.add_argument("-tile-columns", type=int, default=1, dest="tile_columns")
+    p.add_argument("-tile-rows", type=int, default=1, dest="tile_rows")
     return p
 
 
-def frames_from(args):
-    if args.input.endswith(".y4m"):
-        return read_y4m(args.input, max_frames=args.frames)
+def frames_from(args, path):
+    if path.endswith(".y4m"):
+        return read_y4m(path, max_frames=args.frames)
     if not args.width or not args.height:
         raise SystemExit("-w/-h are required for raw .yuv input")
-    return read_yuv420(args.input, args.width, args.height,
+    return read_yuv420(path, args.width, args.height,
                        max_frames=args.frames, bit_depth=args.bit_depth)
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    frames = list(frames_from(args))
+def _encode_channel(args, in_path, out_path, recon_path=None):
+    frames = list(frames_from(args, in_path))
     if not frames:
-        raise SystemExit("no frames read")
+        raise SystemExit(f"no frames read from {in_path}")
     w, h = frames[0].width, frames[0].height
-
     cfg = EncoderConfig(
         width=w, height=h, qp=args.qp, fps_num=args.fps,
         bit_depth=args.bit_depth,
@@ -83,23 +84,41 @@ def main(argv=None) -> int:
         vbv_maxrate=args.vbv_maxrate, vbv_bufsize=args.vbv_bufsize,
         enable_deblocking=bool(args.dlf), enable_sao=bool(args.sao),
         ctb_size=args.ctb_size,
+        tile_columns=args.tile_columns, tile_rows=args.tile_rows,
     )
     enc = Encoder(cfg)
     t0 = time.perf_counter()
     stream, recons = enc.encode(frames, rd=True if args.rd else None)
     dt = time.perf_counter() - t0
 
-    with open(args.bitstream, "wb") as f:
+    with open(out_path, "wb") as f:
         f.write(stream)
-    if args.recon:
-        write_yuv420(args.recon, recons)
+    if recon_path:
+        write_yuv420(recon_path, recons)
 
     n = len(frames)
     psnr = sum(r.psnr(f)[0] for r, f in zip(recons, frames)) / n
     kbps = 8 * len(stream) * (args.fps / n) / 1000.0
-    print(f"encoded {n} frames {w}x{h}: {len(stream)} bytes "
+    print(f"{in_path}: encoded {n} frames {w}x{h}: {len(stream)} bytes "
           f"({kbps:.1f} kbit/s @ {args.fps} fps), "
           f"avg PSNR-Y {psnr:.2f} dB, {n / dt:.2f} fps encode speed")
+    return n, dt
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if len(args.input) != len(args.bitstream):
+        raise SystemExit("need one -b per -i")
+    total_frames = 0
+    total_dt = 0.0
+    for ch, (inp, outp) in enumerate(zip(args.input, args.bitstream)):
+        n, dt = _encode_channel(args, inp, outp,
+                                args.recon if ch == 0 else None)
+        total_frames += n
+        total_dt += dt
+    if len(args.input) > 1:
+        print(f"multi-channel: {len(args.input)} channels, "
+              f"{total_frames / total_dt:.2f} aggregate fps")
     return 0
 
 

@@ -66,3 +66,23 @@ def test_cli_roundtrip(tmp_path):
     assert len(decoded) == len(recons) == 2
     for d, rc_ in zip(decoded, recons):
         np.testing.assert_array_equal(d.y, rc_.y)
+
+
+def test_cli_multichannel(tmp_path):
+    frames = [make_frame(64, 64, "gradient", seed=s) for s in range(2)]
+    y1 = tmp_path / "a.yuv"
+    y2 = tmp_path / "b.yuv"
+    write_yuv420(str(y1), frames)
+    write_yuv420(str(y2), frames)
+    o1, o2 = tmp_path / "a.265", tmp_path / "b.265"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "svt_hevc_tpu.app",
+         "-i", str(y1), "-b", str(o1),
+         "-i", str(y2), "-b", str(o2),
+         "-w", "64", "-h", "64", "-q", "35"],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr
+    assert "multi-channel: 2 channels" in r.stdout
+    assert len(decode_stream(o1.read_bytes())) == 2
+    assert len(decode_stream(o2.read_bytes())) == 2
