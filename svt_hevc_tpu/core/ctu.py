@@ -26,7 +26,8 @@ import numpy as np
 from ..bitstream.contexts import Ctx
 from ..bitstream.residual import decode_residual, encode_residual, select_scan
 from . import intra
-from .inter import amvp_candidates, mc_predict, merge_candidates
+from .inter import (Mi, amvp_candidates, mc_predict_bi, mc_predict_uni,
+                    merge_candidates, uni_mi)
 from .quant import dequantize, quantize
 from .transforms import forward_transform, inverse_transform
 
@@ -77,12 +78,14 @@ class PictureState:
         # edge_h[r, c]: horizontal TB edge at luma row 8r, cols 4c..4c+3
         self.edge_v = np.zeros((coded_h // 4, coded_w // 8), bool)
         self.edge_h = np.zeros((coded_h // 8, coded_w // 4), bool)
-        # inter state (4x4 luma granularity)
+        # inter state (4x4 luma granularity, two reference lists)
         self.slice_type = I_SLICE
-        self.ref_planes: list | None = None    # [ [y, cb, cr], ... ] per ref
+        self.ref_planes: list | None = None    # [lst][ref] -> [y, cb, cr]
+        self.ref_pocs: list = [[], []]         # [lst][ref] -> POC
+        self.poc = 0
         self.max_merge = 5
-        self.mv = np.zeros((coded_h // 4, coded_w // 4, 2), np.int32)
-        self.ref_idx = np.full((coded_h // 4, coded_w // 4), -1, np.int8)
+        self.mv = np.zeros((coded_h // 4, coded_w // 4, 2, 2), np.int32)
+        self.ref_idx = np.full((coded_h // 4, coded_w // 4, 2), -1, np.int8)
         self.skip = np.zeros((coded_h // 4, coded_w // 4), bool)
         # nonzero-luma-coeff flag of the covering TU (for deblocking bS)
         self.cbf4 = np.zeros((coded_h // 4, coded_w // 4), np.uint8)
@@ -270,12 +273,15 @@ class CtuCoderBase:
             inc += int(st.skip[(y0 - 1) >> 2, x0 >> 2])
         return inc
 
-    def _set_motion(self, x0: int, y0: int, n: int, motion, skip: bool) -> None:
+    def _set_motion(self, x0: int, y0: int, n: int, mi: Mi, skip: bool) -> None:
         st = self.st
         ys, xs = slice(y0 >> 2, (y0 + n) >> 2), slice(x0 >> 2, (x0 + n) >> 2)
-        st.mv[ys, xs, 0] = motion[0][0]
-        st.mv[ys, xs, 1] = motion[0][1]
-        st.ref_idx[ys, xs] = motion[1]
+        st.mv[ys, xs, 0, 0] = mi.mv0[0]
+        st.mv[ys, xs, 0, 1] = mi.mv0[1]
+        st.mv[ys, xs, 1, 0] = mi.mv1[0]
+        st.mv[ys, xs, 1, 1] = mi.mv1[1]
+        st.ref_idx[ys, xs, 0] = mi.ref0
+        st.ref_idx[ys, xs, 1] = mi.ref1
         st.skip[ys, xs] = skip
         st.luma_mode[ys, xs] = -1
         # PU/CU boundary deblocking edges on the 8x8 grid
@@ -284,14 +290,24 @@ class CtuCoderBase:
         if y0 % 8 == 0:
             st.edge_h[y0 >> 3, x0 >> 2:(x0 + n) >> 2] = True
 
-    def _inter_nocbf(self, x0: int, y0: int, log2: int, motion,
+    def _predict_mi(self, x0: int, y0: int, n: int, mi: Mi):
+        """Motion-compensated prediction of one CU (uni or bi)."""
+        st = self.st
+        if mi.ref0 >= 0 and mi.ref1 >= 0:
+            return mc_predict_bi(st.ref_planes[0][mi.ref0], mi.mv0,
+                                 st.ref_planes[1][mi.ref1], mi.mv1,
+                                 x0, y0, n, st.bit_depth)
+        lst = 0 if mi.ref0 >= 0 else 1
+        return mc_predict_uni(st.ref_planes[lst][mi.ref(lst)], x0, y0, n,
+                              mi.mv(lst), st.bit_depth)
+
+    def _inter_nocbf(self, x0: int, y0: int, log2: int, mi: Mi,
                      skip: bool) -> None:
         """Skip CU or rqt_root_cbf=0: reconstruction = MC prediction."""
         st = self.st
         n = 1 << log2
-        self._set_motion(x0, y0, n, motion, skip)
-        py, pcb, pcr = mc_predict(st.ref_planes[motion[1]], x0, y0, n,
-                                  motion[0], st.bit_depth)
+        self._set_motion(x0, y0, n, mi, skip)
+        py, pcb, pcr = self._predict_mi(x0, y0, n, mi)
         st.planes[0][y0:y0 + n, x0:x0 + n] = py
         st.planes[1][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcb
         st.planes[2][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcr
@@ -306,22 +322,31 @@ class CtuCoderBase:
         self.sx_part_mode_inter(x0, y0, log2)     # 2Nx2N only
         if self.sx_merge_flag(x0, y0, log2):
             idx = self.sx_merge_idx(x0, y0, log2)
-            motion = merge_candidates(st, x0, y0, n, st.max_merge)[idx]
+            mi = merge_candidates(st, x0, y0, n, st.max_merge)[idx]
         else:
-            # single active reference: ref_idx not signalled
-            mvd = self.sx_mvd(x0, y0, log2)
-            mvp_idx = self.sx_mvp_flag(x0, y0, log2)
-            pred_mv = amvp_candidates(st, x0, y0, n)[mvp_idx]
-            motion = ((pred_mv[0] + mvd[0], pred_mv[1] + mvd[1]), 0)
+            if st.slice_type == B_SLICE:
+                idc = self.sx_inter_pred_idc(x0, y0, log2, depth)
+            else:
+                idc = 0                            # PRED_L0
+            mvs = [(0, 0), (0, 0)]
+            refs = [-1, -1]
+            for lst in (0, 1):
+                if (idc == 2 or idc == lst):       # L0 when 0/BI, L1 when 1/BI
+                    # single active reference: ref_idx not signalled
+                    mvd = self.sx_mvd(x0, y0, log2, lst)
+                    mvp_idx = self.sx_mvp_flag(x0, y0, log2, lst)
+                    pred_mv = amvp_candidates(st, x0, y0, n, lst)[mvp_idx]
+                    mvs[lst] = (pred_mv[0] + mvd[0], pred_mv[1] + mvd[1])
+                    refs[lst] = 0
+            mi = Mi(mvs[0], refs[0], mvs[1], refs[1])
         root_cbf = self.sx_rqt_root_cbf(x0, y0, log2)
         if not root_cbf:
-            self._inter_nocbf(x0, y0, log2, motion, skip=False)
+            self._inter_nocbf(x0, y0, log2, mi, skip=False)
             return
-        self._set_motion(x0, y0, n, motion, skip=False)
-        pred = mc_predict(st.ref_planes[motion[1]], x0, y0, n, motion[0],
-                          st.bit_depth)
+        self._set_motion(x0, y0, n, mi, skip=False)
+        pred = self._predict_mi(x0, y0, n, mi)
         cu = _CuCtx(x0, y0, log2, False, [None], None,
-                    is_inter=True, motion=motion, pred=list(pred))
+                    is_inter=True, motion=mi, pred=list(pred))
         self.prepare_cu(cu)
         self.transform_tree(cu, x0, y0, log2, 0, 0, 1, 1)
 
@@ -389,10 +414,14 @@ class CtuCoderBase:
     def sx_merge_idx(self, x0, y0, log2) -> int:
         raise NotImplementedError
 
-    def sx_mvd(self, x0, y0, log2) -> tuple[int, int]:
+    def sx_inter_pred_idc(self, x0, y0, log2, depth) -> int:
+        """0 = PRED_L0, 1 = PRED_L1, 2 = PRED_BI."""
         raise NotImplementedError
 
-    def sx_mvp_flag(self, x0, y0, log2) -> int:
+    def sx_mvd(self, x0, y0, log2, lst) -> tuple[int, int]:
+        raise NotImplementedError
+
+    def sx_mvp_flag(self, x0, y0, log2, lst) -> int:
         raise NotImplementedError
 
     def sx_rqt_root_cbf(self, x0, y0, log2) -> int:
@@ -499,7 +528,13 @@ class CtuDecoder(CtuCoderBase):
             idx += 1
         return idx
 
-    def sx_mvd(self, x0, y0, log2):
+    def sx_inter_pred_idc(self, x0, y0, log2, depth):
+        # 9.3.3.7: bin0 ctx = cqtDepth; 1 -> BI, else bin1 (ctx 4) L0/L1
+        if self.bac.decode_bin(Ctx.INTER_DIR + depth):
+            return 2
+        return self.bac.decode_bin(Ctx.INTER_DIR + 4)
+
+    def sx_mvd(self, x0, y0, log2, lst):
         bac = self.bac
         gx = bac.decode_bin(Ctx.MVD)
         gy = bac.decode_bin(Ctx.MVD)
@@ -516,7 +551,7 @@ class CtuDecoder(CtuCoderBase):
             out.append(-mag if bac.decode_bypass() else mag)
         return out[0], out[1]
 
-    def sx_mvp_flag(self, x0, y0, log2):
+    def sx_mvp_flag(self, x0, y0, log2, lst):
         return self.bac.decode_bin(Ctx.MVP)
 
     def sx_rqt_root_cbf(self, x0, y0, log2):
@@ -588,16 +623,17 @@ class _InterPlan:
     """The encoder's decided coding of one potential inter CU."""
 
     __slots__ = ("use_inter", "skip", "merge_flag", "merge_idx", "mvd",
-                 "mvp_idx", "motion", "root_cbf")
+                 "mvp_idx", "mi", "idc", "root_cbf")
 
     def __init__(self):
         self.use_inter = False
         self.skip = False
         self.merge_flag = False
         self.merge_idx = 0
-        self.mvd = (0, 0)
-        self.mvp_idx = 0
-        self.motion = ((0, 0), 0)
+        self.mvd = [(0, 0), (0, 0)]      # per list
+        self.mvp_idx = [0, 0]
+        self.mi = Mi()
+        self.idc = 0                      # 0 L0, 1 L1, 2 BI
         self.root_cbf = 1
 
 
@@ -679,7 +715,25 @@ class CtuEncoder(CtuCoderBase):
             self._plans[key] = plan
         return plan
 
-    def _motion_search(self, x0, y0, n, pred_mv):
+    def _pred_luma_mi(self, x0, y0, n, mi: Mi):
+        """Luma-only MC prediction for cost evaluation."""
+        from .inter import interp_luma, interp_luma_raw
+        st = self.st
+        bd = st.bit_depth
+        if mi.ref0 >= 0 and mi.ref1 >= 0:
+            a = interp_luma_raw(st.ref_planes[0][mi.ref0][0], x0, y0, n, n,
+                                mi.mv0[0], mi.mv0[1], bd)
+            b = interp_luma_raw(st.ref_planes[1][mi.ref1][0], x0, y0, n, n,
+                                mi.mv1[0], mi.mv1[1], bd)
+            shift = 15 - bd
+            return np.clip((a + b + (1 << (shift - 1))) >> shift,
+                           0, (1 << bd) - 1)
+        lst = 0 if mi.ref0 >= 0 else 1
+        mv = mi.mv(lst)
+        return interp_luma(st.ref_planes[lst][mi.ref(lst)][0], x0, y0, n, n,
+                           mv[0], mv[1], bd)
+
+    def _motion_search(self, x0, y0, n, pred_mv, lst=0):
         """Integer full search around the better of the AMVP predictor and
         the TPU HME seed, then half- and quarter-pel refinement. Returns
         (sad, (mvx, mvy) quarter-pel). Host analogue of reference
@@ -687,11 +741,11 @@ class CtuEncoder(CtuCoderBase):
         (svt_hevc_tpu.tpu.me) supplies the search centers."""
         from .inter import _gather_window, interp_luma
         st = self.st
-        ref = st.ref_planes[0][0]
+        ref = st.ref_planes[lst][0][0]
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
         centers = [(int(pred_mv[0]) >> 2, int(pred_mv[1]) >> 2)]
         r = self.feat.me_range
-        if self.me_seed is not None:
+        if self.me_seed is not None and lst == 0:
             s = self.me_seed[min((y0 + n // 2) >> 4, self.me_seed.shape[0] - 1),
                              min((x0 + n // 2) >> 4, self.me_seed.shape[1] - 1)]
             centers.append((int(s[0]) >> 2, int(s[1]) >> 2))
@@ -769,39 +823,51 @@ class CtuEncoder(CtuCoderBase):
         return luma, chroma, any_nz
 
     def _compute_plan(self, x0, y0, log2) -> _InterPlan:
-        from .inter import interp_luma
         st = self.st
         n = 1 << log2
+        is_b = st.slice_type == B_SLICE
         plan = _InterPlan()
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
-        ref = st.ref_planes[0][0]
 
         merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
-        amvp = amvp_candidates(st, x0, y0, n)
+        amvp = [amvp_candidates(st, x0, y0, n, 0),
+                amvp_candidates(st, x0, y0, n, 1) if is_b else None]
+
+        def sad_of(mi):
+            p = self._pred_luma_mi(x0, y0, n, mi).astype(np.int64)
+            return int(np.abs(p - src).sum())
 
         # merge candidates (deduped for evaluation)
-        best = None      # (cost, kind, payload...)
+        best = None      # (cost, kind, ...)
         seen = set()
         for idx, m in enumerate(merge_list):
             if m in seen:
                 continue
             seen.add(m)
-            p = interp_luma(ref, x0, y0, n, n, m[0][0], m[0][1],
-                            st.bit_depth).astype(np.int64)
-            cost = int(np.abs(p - src).sum()) + 3 * (2 + idx)
+            cost = sad_of(m) + 3 * (2 + idx)
             if best is None or cost < best[0]:
                 best = (cost, "merge", idx, m)
 
-        # motion search from the AMVP predictor
-        me_sad, me_mv = self._motion_search(x0, y0, n, amvp[0])
-        mvp_idx = 0
-        bits0 = _mvd_bits(me_mv[0] - amvp[0][0]) + _mvd_bits(me_mv[1] - amvp[0][1])
-        bits1 = _mvd_bits(me_mv[0] - amvp[1][0]) + _mvd_bits(me_mv[1] - amvp[1][1])
-        if bits1 < bits0:
-            mvp_idx = 1
-        me_cost = me_sad + 3 * (4 + min(bits0, bits1))
-        if me_cost < best[0]:
-            best = (me_cost, "amvp", mvp_idx, ((me_mv[0], me_mv[1]), 0))
+        # per-list motion search from the AMVP predictors
+        me = {}
+        lists = (0, 1) if is_b else (0,)
+        for lst in lists:
+            sad, mv = self._motion_search(x0, y0, n, amvp[lst][0], lst)
+            b0 = (_mvd_bits(mv[0] - amvp[lst][0][0])
+                  + _mvd_bits(mv[1] - amvp[lst][0][1]))
+            b1 = (_mvd_bits(mv[0] - amvp[lst][1][0])
+                  + _mvd_bits(mv[1] - amvp[lst][1][1]))
+            mvp_i = 1 if b1 < b0 else 0
+            me[lst] = (sad, mv, mvp_i, min(b0, b1))
+            cost = sad + 3 * (4 + min(b0, b1))
+            if cost < best[0]:
+                best = (cost, "amvp", lst, mv, mvp_i)
+
+        if is_b and 0 in me and 1 in me:
+            mi_bi = Mi(me[0][1], 0, me[1][1], 0)
+            cost = sad_of(mi_bi) + 3 * (5 + me[0][3] + me[1][3])
+            if cost < best[0]:
+                best = (cost, "bi", mi_bi)
 
         # intra comparison (2Nx2N SAD)
         cand = derive_mpm(st, x0, y0)
@@ -811,17 +877,27 @@ class CtuEncoder(CtuCoderBase):
             return plan
 
         plan.use_inter = True
-        plan.motion = best[3]
         if best[1] == "merge":
             plan.merge_flag = True
             plan.merge_idx = best[2]
+            plan.mi = best[3]
+        elif best[1] == "bi":
+            plan.mi = best[2]
+            plan.idc = 2
+            for lst in (0, 1):
+                mv = plan.mi.mv(lst)
+                mvp_i = me[lst][2]
+                plan.mvp_idx[lst] = mvp_i
+                plan.mvd[lst] = (mv[0] - amvp[lst][mvp_i][0],
+                                 mv[1] - amvp[lst][mvp_i][1])
         else:
-            plan.merge_flag = False
-            plan.mvp_idx = best[2]
-            mv = best[3][0]
-            plan.mvd = (mv[0] - amvp[best[2]][0], mv[1] - amvp[best[2]][1])
-        pred3 = list(mc_predict(st.ref_planes[plan.motion[1]], x0, y0, n,
-                                plan.motion[0], st.bit_depth))
+            _, kind, lst, mv, mvp_i = best
+            plan.mi = uni_mi(mv, 0, lst)
+            plan.idc = lst
+            plan.mvp_idx[lst] = mvp_i
+            plan.mvd[lst] = (mv[0] - amvp[lst][mvp_i][0],
+                             mv[1] - amvp[lst][mvp_i][1])
+        pred3 = list(self._predict_mi(x0, y0, n, plan.mi))
         _, _, any_nz = self._inter_tb_levels(x0, y0, log2, pred3)
         plan.root_cbf = int(any_nz)
         plan.skip = bool(plan.merge_flag and not any_nz)
@@ -865,8 +941,17 @@ class CtuEncoder(CtuCoderBase):
                     self.bac.encode_bypass(0)
         return idx
 
-    def sx_mvd(self, x0, y0, log2):
-        mvd = self._plan(x0, y0, log2).mvd
+    def sx_inter_pred_idc(self, x0, y0, log2, depth):
+        idc = self._plan(x0, y0, log2).idc
+        if idc == 2:
+            self.bac.encode_bin(Ctx.INTER_DIR + depth, 1)
+        else:
+            self.bac.encode_bin(Ctx.INTER_DIR + depth, 0)
+            self.bac.encode_bin(Ctx.INTER_DIR + 4, idc)
+        return idc
+
+    def sx_mvd(self, x0, y0, log2, lst):
+        mvd = self._plan(x0, y0, log2).mvd[lst]
         bac = self.bac
         bac.encode_bin(Ctx.MVD, int(mvd[0] != 0))
         bac.encode_bin(Ctx.MVD, int(mvd[1] != 0))
@@ -880,8 +965,8 @@ class CtuEncoder(CtuCoderBase):
                 bac.encode_bypass(int(v < 0))
         return mvd
 
-    def sx_mvp_flag(self, x0, y0, log2):
-        idx = self._plan(x0, y0, log2).mvp_idx
+    def sx_mvp_flag(self, x0, y0, log2, lst):
+        idx = self._plan(x0, y0, log2).mvp_idx[lst]
         self.bac.encode_bin(Ctx.MVP, idx)
         return idx
 

@@ -174,47 +174,86 @@ def _filter_chroma_vertical(plane: np.ndarray, bs_luma: np.ndarray,
     plane[rows[:, :, None], cols[:, None, :]] = blk.astype(np.int32)
 
 
+_POC_NONE = -(10 ** 6)
+
+
+def _refpoc_maps(st: PictureState) -> np.ndarray:
+    """Per-4x4 POC of each list's reference (sentinel when unused)."""
+    out = np.full(st.ref_idx.shape, _POC_NONE, np.int64)
+    for lst in (0, 1):
+        pocs = st.ref_pocs[lst] if len(st.ref_pocs) > lst else []
+        for ri, pv in enumerate(pocs):
+            out[..., lst] = np.where(st.ref_idx[..., lst] == ri, pv,
+                                     out[..., lst])
+    return out
+
+
+def _bs_motion_rule(rp, rq, mvp, mvq):
+    """bS=1 motion conditions (8.7.2.4) for inter/inter edges, two-list.
+
+    rp/rq: (..., 2) ref POCs (sentinel = unused); mvp/mvq: (..., 2, 2) MVs.
+    """
+    # reference-picture *sets* as sorted POC pairs
+    sp = np.sort(rp, axis=-1)
+    sq = np.sort(rq, axis=-1)
+    diff_sets = (sp != sq).any(-1)
+
+    both_bi = (rp != _POC_NONE).all(-1) & (rq != _POC_NONE).all(-1)
+    # uni: the single used MV per side
+    up = np.where((rp[..., 0] != _POC_NONE)[..., None],
+                  mvp[..., 0, :], mvp[..., 1, :])
+    uq = np.where((rq[..., 0] != _POC_NONE)[..., None],
+                  mvq[..., 0, :], mvq[..., 1, :])
+    uni_diff = (np.abs(up - uq) >= 4).any(-1)
+
+    # bi with two distinct refs: align pairs by POC
+    same_order = rp[..., 0] == rq[..., 0]
+    d_same = ((np.abs(mvp[..., 0, :] - mvq[..., 0, :]) >= 4).any(-1)
+              | (np.abs(mvp[..., 1, :] - mvq[..., 1, :]) >= 4).any(-1))
+    d_cross = ((np.abs(mvp[..., 0, :] - mvq[..., 1, :]) >= 4).any(-1)
+               | (np.abs(mvp[..., 1, :] - mvq[..., 0, :]) >= 4).any(-1))
+    bi_distinct_diff = np.where(same_order, d_same, d_cross)
+    # bi with the same picture twice: filter only if BOTH pairings differ
+    same_pic_twice = both_bi & (rp[..., 0] == rp[..., 1])
+    bi_same_diff = d_same & d_cross
+
+    mv_rule = np.where(both_bi,
+                       np.where(same_pic_twice, bi_same_diff, bi_distinct_diff),
+                       uni_diff)
+    return diff_sets | mv_rule
+
+
+def _derive_bs(st: PictureState, edge, p_rows, p_cols, q_rows, q_cols):
+    refpoc = _refpoc_maps(st)
+    rp = refpoc[p_rows, p_cols]
+    rq = refpoc[q_rows, q_cols]
+    intra_p = (st.ref_idx[p_rows, p_cols] < 0).all(-1)
+    intra_q = (st.ref_idx[q_rows, q_cols] < 0).all(-1)
+    cbf = (st.cbf4[p_rows, p_cols] | st.cbf4[q_rows, q_cols]) > 0
+    mvp = st.mv[p_rows, p_cols]
+    mvq = st.mv[q_rows, q_cols]
+    bs1 = cbf | _bs_motion_rule(rp, rq, mvp, mvq)
+    bs = np.where(intra_p | intra_q, 2, np.where(bs1, 1, 0)).astype(np.int8)
+    return np.where(edge, bs, 0)
+
+
 def derive_bs_vertical(st: PictureState) -> np.ndarray:
-    """Boundary strength per flagged vertical edge segment (8.7.2.4):
-    2 if either side intra; else 1 on cbf / reference / >=1-sample MV
-    difference; else 0."""
-    ev = st.edge_v
-    ns, nc = ev.shape
+    """Boundary strength per flagged vertical edge segment (8.7.2.4)."""
+    ns, nc = st.edge_v.shape
     cols = np.arange(nc) * 8
-    px = np.maximum(cols - 1, 0) >> 2
-    qx = cols >> 2
-    rows = np.arange(ns)
-    rp = st.ref_idx[rows[:, None], px[None, :]]
-    rq = st.ref_idx[rows[:, None], qx[None, :]]
-    intra_pq = (rp < 0) | (rq < 0)
-    cbf = (st.cbf4[rows[:, None], px[None, :]]
-           | st.cbf4[rows[:, None], qx[None, :]]) > 0
-    mvp = st.mv[rows[:, None], px[None, :]]
-    mvq = st.mv[rows[:, None], qx[None, :]]
-    mvdiff = (np.abs(mvp - mvq) >= 4).any(-1)
-    bs1 = cbf | (rp != rq) | mvdiff
-    bs = np.where(intra_pq, 2, np.where(bs1, 1, 0)).astype(np.int8)
-    return np.where(ev, bs, 0)
+    px = (np.maximum(cols - 1, 0) >> 2)[None, :].repeat(ns, 0)
+    qx = (cols >> 2)[None, :].repeat(ns, 0)
+    rows = np.arange(ns)[:, None].repeat(nc, 1)
+    return _derive_bs(st, st.edge_v, rows, px, rows, qx)
 
 
 def derive_bs_horizontal(st: PictureState) -> np.ndarray:
-    eh = st.edge_h
-    ns, nc = eh.shape           # (H//8, W//4)
+    ns, nc = st.edge_h.shape    # (H//8, W//4)
     rows8 = np.arange(ns) * 8
-    py = np.maximum(rows8 - 1, 0) >> 2
-    qy = rows8 >> 2
-    cols = np.arange(nc)
-    rp = st.ref_idx[py[:, None], cols[None, :]]
-    rq = st.ref_idx[qy[:, None], cols[None, :]]
-    intra_pq = (rp < 0) | (rq < 0)
-    cbf = (st.cbf4[py[:, None], cols[None, :]]
-           | st.cbf4[qy[:, None], cols[None, :]]) > 0
-    mvp = st.mv[py[:, None], cols[None, :]]
-    mvq = st.mv[qy[:, None], cols[None, :]]
-    mvdiff = (np.abs(mvp - mvq) >= 4).any(-1)
-    bs1 = cbf | (rp != rq) | mvdiff
-    bs = np.where(intra_pq, 2, np.where(bs1, 1, 0)).astype(np.int8)
-    return np.where(eh, bs, 0)
+    py = (np.maximum(rows8 - 1, 0) >> 2)[:, None].repeat(nc, 1)
+    qy = (rows8 >> 2)[:, None].repeat(nc, 1)
+    cols = np.arange(nc)[None, :].repeat(ns, 0)
+    return _derive_bs(st, st.edge_h, py, cols, qy, cols)
 
 
 def deblock_picture(st: PictureState, *, beta_offset: int = 0,

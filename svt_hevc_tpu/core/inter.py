@@ -16,6 +16,8 @@ PictureState at 4x4 granularity: st.mv[(y>>2, x>>2)] and st.ref_idx
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 # H.265 Table 8-11: luma 8-tap filters for fractional positions 1..3
@@ -48,17 +50,18 @@ def _gather_window(ref: np.ndarray, x0: int, y0: int, w: int, h: int) -> np.ndar
     return ref[ys[:, None], xs[None, :]]
 
 
-def interp_luma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
-                mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
-    """Uni-pred luma MCP: (n_h, n_w) block at integer position (x0, y0)
-    displaced by quarter-pel MV. Returns clipped samples."""
+def interp_luma_raw(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
+                    mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
+    """Luma fractional interpolation to the 14-bit intermediate domain
+    (8.5.4.2.2.1 predSampleLX, before the weighted-sample rounding) —
+    needed so bi-prediction averages at full precision."""
     ix, fx = x0 + (mvx >> 2), mvx & 3
     iy, fy = y0 + (mvy >> 2), mvy & 3
     shift1 = bit_depth - 8
-    maxval = (1 << bit_depth) - 1
 
     if fx == 0 and fy == 0:
-        return _gather_window(ref, ix, iy, n_w, n_h).astype(np.int32)
+        w = _gather_window(ref, ix, iy, n_w, n_h).astype(np.int64)
+        return w << (14 - bit_depth)
 
     if fx and fy:
         win = _gather_window(ref, ix - 3, iy - 3, n_w + 7, n_h + 7).astype(np.int64)
@@ -74,32 +77,33 @@ def interp_luma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
         f = LUMA_FILTERS[fy]
         second_shift = 6 if fx else shift1
         win = sum(f[k] * win[k:k + n_h, :] for k in range(8)) >> second_shift
-        final_shift = (6 + 6 - shift1) if fx else 6
-    else:
-        final_shift = 6
-    # weighted-sample default process: (val << (6 - passes_shift)) ... for
-    # 8-bit: single-frac: val is 14-bit after >>0 then ... normalise:
-    if fx and fy:
-        # after hor >>shift1 (14-bit) and ver >>6: total downshift needed
-        # to 8-bit: (val + 32) >> 6
-        out = (win + 32) >> 6
-    else:
-        # one pass, value = sum >> shift1; normalise by (val + 32) >> 6
-        out = (win + 32) >> 6
+    return win
+
+
+def interp_luma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
+                mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
+    """Uni-pred luma MCP: (n_h, n_w) block at integer position (x0, y0)
+    displaced by quarter-pel MV. Returns clipped samples."""
+    maxval = (1 << bit_depth) - 1
+    if (mvx & 3) == 0 and (mvy & 3) == 0:
+        return _gather_window(ref, x0 + (mvx >> 2), y0 + (mvy >> 2),
+                              n_w, n_h).astype(np.int32)
+    raw = interp_luma_raw(ref, x0, y0, n_w, n_h, mvx, mvy, bit_depth)
+    shift = 14 - bit_depth
+    out = (raw + (1 << (shift - 1))) >> shift
     return np.clip(out, 0, maxval).astype(np.int32)
 
 
-def interp_chroma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
-                  mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
-    """Uni-pred chroma MCP: chroma-plane coords, MV in eighth-chroma-pel
-    (i.e. the luma quarter-pel MV used directly for 4:2:0)."""
+def interp_chroma_raw(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
+                      mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
+    """Chroma interpolation to the 14-bit intermediate domain."""
     ix, fx = x0 + (mvx >> 3), mvx & 7
     iy, fy = y0 + (mvy >> 3), mvy & 7
     shift1 = bit_depth - 8
-    maxval = (1 << bit_depth) - 1
 
     if fx == 0 and fy == 0:
-        return _gather_window(ref, ix, iy, n_w, n_h).astype(np.int32)
+        w = _gather_window(ref, ix, iy, n_w, n_h).astype(np.int64)
+        return w << (14 - bit_depth)
 
     if fx and fy:
         win = _gather_window(ref, ix - 1, iy - 1, n_w + 3, n_h + 3).astype(np.int64)
@@ -115,13 +119,26 @@ def interp_chroma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
         f = CHROMA_FILTERS[fy]
         second_shift = 6 if fx else shift1
         win = sum(f[k] * win[k:k + n_h, :] for k in range(4)) >> second_shift
-    out = (win + 32) >> 6
+    return win
+
+
+def interp_chroma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
+                  mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
+    """Uni-pred chroma MCP: chroma-plane coords, MV in eighth-chroma-pel
+    (i.e. the luma quarter-pel MV used directly for 4:2:0)."""
+    maxval = (1 << bit_depth) - 1
+    if (mvx & 7) == 0 and (mvy & 7) == 0:
+        return _gather_window(ref, x0 + (mvx >> 3), y0 + (mvy >> 3),
+                              n_w, n_h).astype(np.int32)
+    raw = interp_chroma_raw(ref, x0, y0, n_w, n_h, mvx, mvy, bit_depth)
+    shift = 14 - bit_depth
+    out = (raw + (1 << (shift - 1))) >> shift
     return np.clip(out, 0, maxval).astype(np.int32)
 
 
-def mc_predict(ref_planes, x0: int, y0: int, n: int, mv,
-               bit_depth: int = 8):
-    """Predict luma (n x n at x0,y0) + both chroma (n/2 at x0/2,y0/2)."""
+def mc_predict_uni(ref_planes, x0: int, y0: int, n: int, mv,
+                   bit_depth: int = 8):
+    """Uni-predict luma (n x n at x0,y0) + both chroma (n/2)."""
     mvx, mvy = int(mv[0]), int(mv[1])
     py = interp_luma(ref_planes[0], x0, y0, n, n, mvx, mvy, bit_depth)
     pcb = interp_chroma(ref_planes[1], x0 >> 1, y0 >> 1, n >> 1, n >> 1,
@@ -131,42 +148,88 @@ def mc_predict(ref_planes, x0: int, y0: int, n: int, mv,
     return py, pcb, pcr
 
 
+def mc_predict_bi(ref0, mv0, ref1, mv1, x0: int, y0: int, n: int,
+                  bit_depth: int = 8):
+    """Bi-prediction: average the two 14-bit intermediates (8.5.4.2.3.2,
+    default weighted sample prediction)."""
+    shift = 15 - bit_depth
+    off = 1 << (shift - 1)
+    maxval = (1 << bit_depth) - 1
+    out = []
+    for c_idx in range(3):
+        if c_idx == 0:
+            a = interp_luma_raw(ref0[0], x0, y0, n, n,
+                                int(mv0[0]), int(mv0[1]), bit_depth)
+            b = interp_luma_raw(ref1[0], x0, y0, n, n,
+                                int(mv1[0]), int(mv1[1]), bit_depth)
+        else:
+            a = interp_chroma_raw(ref0[c_idx], x0 >> 1, y0 >> 1, n >> 1,
+                                  n >> 1, int(mv0[0]), int(mv0[1]), bit_depth)
+            b = interp_chroma_raw(ref1[c_idx], x0 >> 1, y0 >> 1, n >> 1,
+                                  n >> 1, int(mv1[0]), int(mv1[1]), bit_depth)
+        out.append(np.clip((a + b + off) >> shift, 0, maxval).astype(np.int32))
+    return tuple(out)
+
+
+def mc_predict(ref_planes, x0: int, y0: int, n: int, mv, bit_depth: int = 8):
+    """Back-compat alias for uni-prediction."""
+    return mc_predict_uni(ref_planes, x0, y0, n, mv, bit_depth)
+
+
 # ------------------------------------------------------- candidate derivation
 
-def _motion_at(st, x: int, y: int):
-    """(mv, ref_idx) at luma position, or None if outside / not inter /
-    not yet decoded."""
+class Mi(NamedTuple):
+    """Motion information of one block: per-list MV + ref idx (-1 = list
+    unused). Uni L0: ref1 == -1; bi: both >= 0."""
+    mv0: tuple[int, int] = (0, 0)
+    ref0: int = -1
+    mv1: tuple[int, int] = (0, 0)
+    ref1: int = -1
+
+    def uses(self, lst: int) -> bool:
+        return (self.ref0 if lst == 0 else self.ref1) >= 0
+
+    def mv(self, lst: int) -> tuple[int, int]:
+        return self.mv0 if lst == 0 else self.mv1
+
+    def ref(self, lst: int) -> int:
+        return self.ref0 if lst == 0 else self.ref1
+
+
+def uni_mi(mv, ref: int = 0, lst: int = 0) -> Mi:
+    if lst == 0:
+        return Mi((int(mv[0]), int(mv[1])), ref, (0, 0), -1)
+    return Mi((0, 0), -1, (int(mv[0]), int(mv[1])), ref)
+
+
+def _motion_at(st, x: int, y: int) -> Mi | None:
+    """Motion info at luma position, or None if outside / intra / not yet
+    decoded (z-order + tile availability via the avail map)."""
     if x < 0 or y < 0 or x >= st.w or y >= st.h:
         return None
     if not st.avail[0][y >> 2, x >> 2]:
         return None
-    r = int(st.ref_idx[y >> 2, x >> 2])
-    if r < 0:
+    r0 = int(st.ref_idx[y >> 2, x >> 2, 0])
+    r1 = int(st.ref_idx[y >> 2, x >> 2, 1])
+    if r0 < 0 and r1 < 0:
         return None
-    return (int(st.mv[y >> 2, x >> 2, 0]), int(st.mv[y >> 2, x >> 2, 1])), r
+    return Mi((int(st.mv[y >> 2, x >> 2, 0, 0]), int(st.mv[y >> 2, x >> 2, 0, 1])),
+              r0,
+              (int(st.mv[y >> 2, x >> 2, 1, 0]), int(st.mv[y >> 2, x >> 2, 1, 1])),
+              r1)
 
 
 def merge_candidates(st, x0: int, y0: int, n: int, max_cand: int = 5):
-    """Spatial merge list (8.5.3.2.3) for a 2Nx2N PU, zero-filled to
-    max_cand (TMVP disabled). Returns list of ((mvx, mvy), ref_idx)."""
+    """Merge list (8.5.3.2.3/4): spatial candidates, then (B slices)
+    combined bi-predictive candidates, then zero candidates. TMVP is
+    disabled (sps_temporal_mvp_enabled_flag = 0). Returns list of Mi."""
     a1 = _motion_at(st, x0 - 1, y0 + n - 1)
     b1 = _motion_at(st, x0 + n - 1, y0 - 1)
     b0 = _motion_at(st, x0 + n, y0 - 1)
     a0 = _motion_at(st, x0 - 1, y0 + n)
     b2 = _motion_at(st, x0 - 1, y0 - 1)
 
-    cand = []
-
-    def push(m, dup_of=None):
-        if m is None:
-            return
-        if dup_of is not None and m == dup_of:
-            return
-        if m not in cand:
-            cand.append(m)
-
-    # spec pairwise pruning: A1; B1 (vs A1); B0 (vs B1); A0 (vs A1); B2
-    # (vs A1 and B1, only if fewer than 4)
+    cand: list[Mi] = []
     if a1 is not None:
         cand.append(a1)
     if b1 is not None and b1 != a1:
@@ -178,31 +241,102 @@ def merge_candidates(st, x0: int, y0: int, n: int, max_cand: int = 5):
     if len(cand) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cand.append(b2)
 
+    is_b = getattr(st, "slice_type", 1) == 0
+    if is_b and len(cand) > 1:
+        # combined bi-predictive candidates (8.5.3.2.4)
+        l0i = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+        l1i = (1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
+        num_orig = len(cand)
+        for k in range(num_orig * (num_orig - 1)):
+            if len(cand) >= max_cand:
+                break
+            i, j = l0i[k], l1i[k]
+            if i >= num_orig or j >= num_orig:
+                break
+            ci, cj = cand[i], cand[j]
+            if not (ci.uses(0) and cj.uses(1)):
+                continue
+            p0 = st.ref_pocs[0][ci.ref0]
+            p1 = st.ref_pocs[1][cj.ref1]
+            if p0 == p1 and ci.mv0 == cj.mv1:
+                continue
+            comb = Mi(ci.mv0, ci.ref0, cj.mv1, cj.ref1)
+            cand.append(comb)
+
+    zero_ref = 0
     while len(cand) < max_cand:
-        cand.append(((0, 0), 0))
+        if is_b:
+            cand.append(Mi((0, 0), zero_ref, (0, 0), zero_ref))
+        else:
+            cand.append(Mi((0, 0), zero_ref, (0, 0), -1))
+        zero_ref = 0   # single active ref per list
     return cand[:max_cand]
 
 
-def amvp_candidates(st, x0: int, y0: int, n: int):
-    """Spatial AMVP list (8.5.3.2.5), 2 entries, zero-filled. All
-    references have the same POC distance in our low-delay single-ref
-    configuration, so no MV scaling is required."""
+def _scale_mv(mv, cur_poc: int, target_ref_poc: int, cand_ref_poc: int):
+    """Temporal MV scaling (8.5.3.2.8)."""
+    tb = max(-128, min(127, cur_poc - target_ref_poc))
+    td = max(-128, min(127, cur_poc - cand_ref_poc))
+    if td == tb or td == 0:
+        return (int(mv[0]), int(mv[1]))
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+    out = []
+    for c in mv:
+        v = dsf * int(c)
+        v = (abs(v) + 127) >> 8
+        v = v if dsf * int(c) >= 0 else -v
+        out.append(max(-32768, min(32767, v)))
+    return (out[0], out[1])
+
+
+def amvp_candidates(st, x0: int, y0: int, n: int, lst: int = 0):
+    """Spatial AMVP list for list `lst` (8.5.3.2.5-7), 2 entries,
+    zero-filled. Single active reference per list; candidates from the
+    other list / other references are POC-scaled."""
+    cur_poc = getattr(st, "poc", 0)
+    target_poc = st.ref_pocs[lst][0]
     a0 = _motion_at(st, x0 - 1, y0 + n)
     a1 = _motion_at(st, x0 - 1, y0 + n - 1)
     b0 = _motion_at(st, x0 + n, y0 - 1)
     b1 = _motion_at(st, x0 + n - 1, y0 - 1)
     b2 = _motion_at(st, x0 - 1, y0 - 1)
 
+    def step1(neighbors):
+        for m in neighbors:
+            if m is None:
+                continue
+            for ll in (lst, 1 - lst):
+                if m.uses(ll) and st.ref_pocs[ll][m.ref(ll)] == target_poc:
+                    return m.mv(ll)
+        return None
+
+    def step2(neighbors):
+        for m in neighbors:
+            if m is None:
+                continue
+            for ll in (lst, 1 - lst):
+                if m.uses(ll):
+                    return _scale_mv(m.mv(ll), cur_poc, target_poc,
+                                     st.ref_pocs[ll][m.ref(ll)])
+        return None
+
+    is_scaled = a0 is not None or a1 is not None
+    mv_a = step1((a0, a1))
+    if mv_a is None and is_scaled:
+        mv_a = step2((a0, a1))
+    mv_b = step1((b0, b1, b2))
+    if not is_scaled:
+        # no left neighbors: B's unscaled result moves to slot A, B re-runs
+        # with scaling (8.5.3.2.6 availableFlagLXA := availableFlagLXB)
+        mv_a = mv_b
+        mv_b = step2((b0, b1, b2))
+
     cand = []
-    for m in (a0, a1):
-        if m is not None:
-            cand.append(m[0])
-            break
-    for m in (b0, b1, b2):
-        if m is not None:
-            if not cand or m[0] != cand[0]:
-                cand.append(m[0])
-            break
+    if mv_a is not None:
+        cand.append(mv_a)
+    if mv_b is not None and mv_b != mv_a:
+        cand.append(mv_b)
     while len(cand) < 2:
         cand.append((0, 0))
     return cand[:2]

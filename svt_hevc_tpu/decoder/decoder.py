@@ -29,6 +29,7 @@ def decode_stream(stream: bytes) -> list[Frame]:
     """Decode an Annex-B byte stream into output frames (cropped)."""
     sps = pps = None
     ref_planes = None         # single-reference low-delay DPB
+    ref_poc = 0
     frames: list[Frame] = []
     for nal_type, ebsp in split_annexb(stream):
         rbsp = ebsp_to_rbsp(ebsp)
@@ -41,13 +42,14 @@ def decode_stream(stream: bytes) -> list[Frame]:
                           NalUnitType.TRAIL_N):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
-            frame, ref_planes = _decode_slice(rbsp, int(nal_type), sps, pps,
-                                              ref_planes)
+            frame, ref_planes, ref_poc = _decode_slice(
+                rbsp, int(nal_type), sps, pps, ref_planes, ref_poc)
             frames.append(frame)
     return frames
 
 
-def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
+def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes,
+                  ref_poc: int):
     hdr = parse_slice_header(rbsp, nal_type, sps, pps)
 
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
@@ -56,7 +58,9 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
         if ref_planes is None:
             raise ValueError("P slice without a decoded reference")
         st.slice_type = hdr.slice_type
-        st.ref_planes = [ref_planes]
+        st.ref_planes = [[ref_planes], []]
+        st.ref_pocs = [[ref_poc], []]
+        st.poc = hdr.poc
         st.max_merge = hdr.max_num_merge_cand
     data = rbsp[hdr.data_bit_offset // 8:]
     init_type = 0 if hdr.slice_type == 2 else 1
@@ -114,4 +118,4 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes):
         cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(dt),
         cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(dt),
     )
-    return frame, [p.copy() for p in st.planes]
+    return frame, [p.copy() for p in st.planes], hdr.poc

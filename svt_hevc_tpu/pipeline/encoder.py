@@ -97,6 +97,7 @@ class Encoder:
         self._sent_headers = False
         self._frame_idx = 0
         self._ref_planes = None      # previous picture planes (post-filter)
+        self._ref_poc = 0
 
     def _frame_is_idr(self, idx: int) -> bool:
         ip = self.cfg.intra_period
@@ -187,7 +188,9 @@ class Encoder:
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
             if not is_idr:
                 s.slice_type = 1
-                s.ref_planes = [self._ref_planes]
+                s.ref_planes = [[self._ref_planes], []]
+                s.ref_pocs = [[self._ref_poc], []]
+                s.poc = poc
             return s
 
         me_seed = None
@@ -268,6 +271,7 @@ class Encoder:
         # update the DPB: the post-filter pass-1 picture is the reference
         # for the next frame (single-ref low-delay)
         self._ref_planes = [p.copy() for p in st.planes]
+        self._ref_poc = poc
 
         # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
         # bit-identical pre-filter by construction
