@@ -166,7 +166,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
 
 def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True,
                        poc: int = 0, slice_type: int = 2,
-                       entry_points: list[int] | None = None) -> BitWriter:
+                       entry_points: list[int] | None = None,
+                       neg_deltas: list[int] | None = None,
+                       pos_deltas: list[int] | None = None) -> BitWriter:
     """Write the slice segment header; returns the open BitWriter so slice
     data (CABAC payload) can be appended after byte alignment.
 
@@ -181,16 +183,27 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     if not is_idr:
         w.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
         w.flag(0)            # short_term_ref_pic_set_sps_flag -> inline RPS
-        # st_ref_pic_set(0): one negative picture at delta 1, used
-        w.ue(1)              # num_negative_pics
-        w.ue(0)              # num_positive_pics
-        w.ue(0)              # delta_poc_s0_minus1[0]
-        w.flag(1)            # used_by_curr_pic_s0_flag[0]
+        negs = neg_deltas if neg_deltas is not None else [1]
+        poss = pos_deltas if pos_deltas is not None else []
+        w.ue(len(negs))      # num_negative_pics
+        w.ue(len(poss))      # num_positive_pics
+        prev = 0
+        for d in negs:       # deltas from current POC, increasing distance
+            w.ue(d - prev - 1)        # delta_poc_s0_minus1
+            w.flag(1)                 # used_by_curr_pic_s0_flag
+            prev = d
+        prev = 0
+        for d in poss:
+            w.ue(d - prev - 1)        # delta_poc_s1_minus1
+            w.flag(1)
+            prev = d
     if cfg.enable_sao:
         w.flag(1)        # slice_sao_luma_flag
         w.flag(1)        # slice_sao_chroma_flag
     if slice_type != 2:
         w.flag(0)        # num_ref_idx_active_override_flag (default: 1 ref)
+        if slice_type == 0:
+            w.flag(0)    # mvd_l1_zero_flag
         w.ue(0)          # five_minus_max_num_merge_cand -> MaxNumMergeCand=5
     w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
     if cfg.enable_sao or cfg.enable_deblocking:
@@ -277,6 +290,8 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     max_num_merge_cand: int = 5
+    neg_deltas: list = field(default_factory=list)     # past-ref POC deltas
+    pos_deltas: list = field(default_factory=list)     # future-ref POC deltas
     entry_points: list = field(default_factory=list)   # substream byte sizes
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
 
@@ -395,29 +410,34 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
         r.flag()                 # no_output_of_prior_pics_flag
     r.ue()                       # slice_pic_parameter_set_id
     h.slice_type = r.ue()
-    if h.slice_type == 0:
-        raise NotImplementedError("B slice parsing")
     if not h.is_idr:
         h.poc = r.u(sps.log2_max_poc_lsb)
         if not r.flag():         # short_term_ref_pic_set_sps_flag == 0
             n_neg = r.ue()
             n_pos = r.ue()
+            prev = 0
             for _ in range(n_neg):
-                r.ue()           # delta_poc_s0_minus1
-                r.flag()         # used_by_curr_pic_s0_flag
+                prev += r.ue() + 1       # delta_poc_s0_minus1
+                if r.flag():             # used_by_curr_pic_s0_flag
+                    h.neg_deltas.append(prev)
+            prev = 0
             for _ in range(n_pos):
-                r.ue()
-                r.flag()
-            if n_neg != 1 or n_pos != 0:
-                raise NotImplementedError("multi-reference RPS")
+                prev += r.ue() + 1
+                if r.flag():
+                    h.pos_deltas.append(prev)
     if sps.sao_enabled:
         h.sao_luma = r.flag()
         h.sao_chroma = r.flag()
     if h.slice_type != 2:
         if r.flag():             # num_ref_idx_active_override_flag
             n_ref = r.ue() + 1
+            if h.slice_type == 0:
+                r.ue()
             if n_ref != 1:
                 raise NotImplementedError("multiple active references")
+        if h.slice_type == 0:
+            if r.flag():         # mvd_l1_zero_flag
+                raise NotImplementedError("mvd_l1_zero")
         h.max_num_merge_cand = 5 - r.ue()
     h.slice_qp = pps.init_qp + r.se()
     if pps.deblocking_control_present and pps.deblocking_override_enabled:

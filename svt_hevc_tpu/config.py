@@ -126,10 +126,14 @@ class EncoderConfig:
             raise ValueError("ctb_size must be 16, 32 or 64")
         if self.intra_period < -1 or self.intra_period > 255:
             raise ValueError("intra_period out of range [-1, 255]")
-        if self.pred_structure != 0:
-            raise NotImplementedError("only low-delay P implemented yet")
-        if self.hierarchical_levels != 0:
-            raise NotImplementedError("hierarchical GOPs not implemented yet")
+        if self.pred_structure not in (0, 1, 2):
+            raise ValueError("pred_structure must be 0 (LDP), 1 (LDB), 2 (RA)")
+        if not (0 <= self.hierarchical_levels <= 3):
+            raise NotImplementedError("hierarchical_levels > 3 not supported")
+        if self.pred_structure == 2 and self.intra_period not in (-1, 0):
+            raise NotImplementedError(
+                "random access supports intra_period -1 (open GOP refresh "
+                "needs CRA leading-picture handling, not yet implemented)")
         if not (1 <= self.tile_columns <= 20 and 1 <= self.tile_rows <= 22):
             raise ValueError("tile grid out of range (level 6.x caps: 20x22)")
         if (self.tile_columns > self.pic_width_in_ctbs

@@ -26,11 +26,13 @@ from ..io.yuv import Frame
 
 
 def decode_stream(stream: bytes) -> list[Frame]:
-    """Decode an Annex-B byte stream into output frames (cropped)."""
+    """Decode an Annex-B byte stream into output frames in display (POC)
+    order. The DPB holds decoded pictures by POC; IDRs start a new coded
+    video sequence."""
     sps = pps = None
-    ref_planes = None         # single-reference low-delay DPB
-    ref_poc = 0
-    frames: list[Frame] = []
+    dpb: dict[int, list] = {}       # poc -> planes
+    out: list[tuple[int, int, Frame]] = []    # (cvs, poc, frame)
+    cvs = 0
     for nal_type, ebsp in split_annexb(stream):
         rbsp = ebsp_to_rbsp(ebsp)
         if nal_type == NalUnitType.SPS_NUT:
@@ -42,28 +44,44 @@ def decode_stream(stream: bytes) -> list[Frame]:
                           NalUnitType.TRAIL_N):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
-            frame, ref_planes, ref_poc = _decode_slice(
-                rbsp, int(nal_type), sps, pps, ref_planes, ref_poc)
-            frames.append(frame)
-    return frames
+            if nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+                dpb.clear()
+                cvs += 1
+            frame, planes, poc = _decode_slice(rbsp, int(nal_type), sps, pps,
+                                               dpb)
+            dpb[poc] = planes
+            out.append((cvs, poc, frame))
+            if len(dpb) > 17:
+                del dpb[min(dpb)]
+    out.sort(key=lambda t: (t[0], t[1]))
+    return [f for _, _, f in out]
 
 
-def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, ref_planes,
-                  ref_poc: int):
+def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, dpb):
     hdr = parse_slice_header(rbsp, nal_type, sps, pps)
 
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                       sps.bit_depth)
     if hdr.slice_type != 2:
-        if ref_planes is None:
-            raise ValueError("P slice without a decoded reference")
+        # reference list construction (8.3.4) with one active ref per
+        # list: L0 = closest past (or closest future if none past);
+        # L1 = closest future (or closest past if none future)
+        past = [hdr.poc - d for d in hdr.neg_deltas]
+        future = [hdr.poc + d for d in hdr.pos_deltas]
+        for rp in past + future:
+            if rp not in dpb:
+                raise ValueError(f"missing reference POC {rp}")
+        l0 = past + future
+        l1 = future + past
+        if not l0:
+            raise ValueError("P/B slice with an empty RPS")
         st.slice_type = hdr.slice_type
-        st.ref_planes = [[ref_planes], []]
-        st.ref_pocs = [[ref_poc], []]
+        st.ref_planes = [[dpb[l0[0]]], [dpb[l1[0]]] if l1 else []]
+        st.ref_pocs = [[l0[0]], [l1[0]] if l1 else []]
         st.poc = hdr.poc
         st.max_merge = hdr.max_num_merge_cand
     data = rbsp[hdr.data_bit_offset // 8:]
-    init_type = 0 if hdr.slice_type == 2 else 1
+    init_type = {2: 0, 1: 1, 0: 2}[hdr.slice_type]
 
     ctb = 1 << sps.log2_ctb
     n_ctb_x = (sps.width + ctb - 1) // ctb

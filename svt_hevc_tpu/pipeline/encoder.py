@@ -87,6 +87,7 @@ class EncodedPicture:
     nal_bytes: bytes          # slice NAL (Annex-B)
     recon: Frame              # cropped reconstruction
     poc: int = 0
+    ref_planes: list | None = None   # full-plane post-filter recon (DPB)
 
 
 class Encoder:
@@ -150,17 +151,25 @@ class Encoder:
     def encode_frame(self, frame: Frame, *, split_policy=None,
                      part_nxn_policy=None, rd: bool | None = None,
                      is_idr: bool | None = None, poc: int = 0,
-                     qp: int | None = None) -> EncodedPicture:
+                     qp: int | None = None, slice_type: int | None = None,
+                     refs_l0=None, refs_l1=None) -> EncodedPicture:
+        """Encode one picture. refs_lX: list of (planes, poc) per list
+        (None => derived from the single-ref low-delay DPB)."""
         cfg = self.cfg
         feat = derive_preset(cfg.enc_mode)
         if rd is None:
             rd = feat.rd_mode_decision
         if is_idr is None:
-            is_idr = self._ref_planes is None
+            is_idr = self._ref_planes is None and refs_l0 is None
         if qp is None:
             qp = cfg.qp
-        slice_type = 2 if is_idr else 1
-        init_type = 0 if is_idr else 1
+        if slice_type is None:
+            slice_type = 2 if is_idr else 1
+        if not is_idr and refs_l0 is None:
+            refs_l0 = [(self._ref_planes, self._ref_poc)]
+        if slice_type == 0 and not refs_l1:
+            refs_l1 = list(refs_l0)          # low-delay B: L1 = L0
+        init_type = {2: 0, 1: 1, 0: 2}[slice_type]
         cw, ch = cfg.coded_width, cfg.coded_height
         src = [
             pad_plane(frame.y.astype(np.int32), cw, ch),
@@ -187,15 +196,17 @@ class Encoder:
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
             if not is_idr:
-                s.slice_type = 1
-                s.ref_planes = [[self._ref_planes], []]
-                s.ref_pocs = [[self._ref_poc], []]
+                s.slice_type = slice_type
+                s.ref_planes = [[r[0] for r in refs_l0],
+                                [r[0] for r in (refs_l1 or [])]]
+                s.ref_pocs = [[r[1] for r in refs_l0],
+                              [r[1] for r in (refs_l1 or [])]]
                 s.poc = poc
             return s
 
         me_seed = None
         if not is_idr:
-            me_seed = tpu_me_field(src[0], self._ref_planes[0])
+            me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
 
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
@@ -261,15 +272,20 @@ class Encoder:
         payload = b"".join(substreams)
         entry_points = [len(s) for s in substreams[:-1]]
 
+        all_ref_pocs = {r[1] for r in (refs_l0 or [])} | \
+                       {r[1] for r in (refs_l1 or [])}
+        negs = sorted(poc - rp for rp in all_ref_pocs if rp < poc)
+        poss = sorted(rp - poc for rp in all_ref_pocs if rp > poc)
         w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
                                poc=poc, slice_type=slice_type,
-                               entry_points=entry_points)
+                               entry_points=entry_points,
+                               neg_deltas=negs, pos_deltas=poss)
         w.write_bytes(payload)
         nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
         nal = wrap_nal(nal_type, w.get_bytes())
 
-        # update the DPB: the post-filter pass-1 picture is the reference
-        # for the next frame (single-ref low-delay)
+        # update the low-delay DPB: the post-filter pass-1 picture is the
+        # default reference for the next frame
         self._ref_planes = [p.copy() for p in st.planes]
         self._ref_poc = poc
 
@@ -281,15 +297,21 @@ class Encoder:
             cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(dt),
             cr=st.planes[2][:frame.height // 2, :frame.width // 2].astype(dt),
         )
-        return EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
+        pic = EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
+        pic.ref_planes = self._ref_planes
+        return pic
 
     def encode(self, frames, *, rd: bool | None = None) -> tuple[bytes, list[Frame]]:
-        """Encode an iterable of frames; returns (annex_b_stream, recons)."""
+        """Encode an iterable of frames; returns (annex_b_stream, recons in
+        display order)."""
+        if self.cfg.pred_structure == 2:
+            return self._encode_random_access(list(frames), rd=rd)
         from .rate_control import RateControl
         rc = RateControl(self.cfg)
         chunks = [self.headers()]
         recons = []
         prev_y = None
+        b_slices = self.cfg.pred_structure == 1     # low-delay B
         for fr in frames:
             idx = self._frame_idx
             self._frame_idx += 1
@@ -303,10 +325,56 @@ class Encoder:
                 self._ref_planes = None
                 self._poc_base = idx
             qp = rc.pick_qp(is_idr)
-            pic = self.encode_frame(fr, rd=rd, is_idr=is_idr,
-                                    poc=idx - getattr(self, "_poc_base", 0),
-                                    qp=qp)
+            pic = self.encode_frame(
+                fr, rd=rd, is_idr=is_idr,
+                poc=idx - getattr(self, "_poc_base", 0), qp=qp,
+                slice_type=2 if is_idr else (0 if b_slices else 1))
             rc.update(8 * len(pic.nal_bytes), qp)
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
+        return b"".join(chunks), recons
+
+    def _encode_random_access(self, frames, *, rd=None):
+        """Hierarchical-B mini-GOPs (reference analogue: random-access
+        prediction structures, EbPredictionStructure.c :72-637): anchors
+        form a P chain, interior pictures are bi-predicted from the two
+        enclosing pictures, recursively. NALs are emitted in decode order;
+        recons are returned in display order."""
+        cfg = self.cfg
+        gop = 1 << max(cfg.hierarchical_levels, 1)
+        n = len(frames)
+
+        schedule = [(0, 2, None, None, 0)]      # (idx, type, l0, l1, layer)
+        pos = 0
+        while pos + 1 < n:
+            end = min(pos + gop, n - 1)
+            schedule.append((end, 1, pos, None, 0))
+
+            def rec(a, b, layer):
+                if b - a < 2:
+                    return
+                m = (a + b) // 2
+                schedule.append((m, 0, a, b, layer))
+                rec(a, m, layer + 1)
+                rec(m, b, layer + 1)
+
+            rec(pos, end, 1)
+            pos = end
+
+        dpb: dict[int, list] = {}               # poc -> planes
+        chunks = [self.headers()]
+        recons: list = [None] * n
+        for idx, stype, l0, l1, layer in schedule:
+            qp = min(cfg.qp + (layer + 1 if stype == 0 else 0), 51)
+            refs_l0 = [(dpb[l0], l0)] if l0 is not None else None
+            refs_l1 = [(dpb[l1], l1)] if l1 is not None else None
+            pic = self.encode_frame(frames[idx], rd=rd, qp=qp, poc=idx,
+                                    is_idr=stype == 2, slice_type=stype,
+                                    refs_l0=refs_l0, refs_l1=refs_l1)
+            dpb[idx] = pic.ref_planes
+            chunks.append(pic.nal_bytes)
+            recons[idx] = pic.recon
+            # prune pictures older than the current mini-GOP window
+            for k in [k for k in dpb if k < idx - 2 * gop]:
+                del dpb[k]
         return b"".join(chunks), recons

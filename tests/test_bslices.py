@@ -1,0 +1,96 @@
+"""B slices: low-delay B and random-access hierarchical-B tests."""
+
+import numpy as np
+import pytest
+
+from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+from svt_hevc_tpu.config import EncoderConfig
+from svt_hevc_tpu.core.inter import Mi, mc_predict_bi, mc_predict_uni
+from svt_hevc_tpu.decoder.decoder import decode_stream
+from svt_hevc_tpu.pipeline.encoder import Encoder
+
+from test_inter import moving_sequence
+
+
+def test_bi_prediction_averages_14bit():
+    rng = np.random.default_rng(0)
+    ref0 = [rng.integers(0, 256, (32, 32)).astype(np.int32) for _ in range(3)]
+    ref1 = [rng.integers(0, 256, (32, 32)).astype(np.int32) for _ in range(3)]
+    ref0[1] = ref0[1][:16, :16]
+    ref0[2] = ref0[2][:16, :16]
+    ref1[1] = ref1[1][:16, :16]
+    ref1[2] = ref1[2][:16, :16]
+    # integer MVs: bi = rounded average of the two uni predictions
+    py, pcb, pcr = mc_predict_bi(ref0, (4, 8), ref1, (-4, 0), 8, 8, 8)
+    u0 = mc_predict_uni(ref0, 8, 8, 8, (4, 8))[0]
+    u1 = mc_predict_uni(ref1, 8, 8, 8, (-4, 0))[0]
+    np.testing.assert_array_equal(py, (u0 + u1 + 1) >> 1)
+
+
+def test_low_delay_b_bitmatch():
+    frames = moving_sequence(64, 64, 3, dx=2, dy=1, seed=11)
+    cfg = EncoderConfig(width=64, height=64, qp=33, intra_period=-1,
+                        pred_structure=1)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == 3
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(r.cb, d.cb)
+        np.testing.assert_array_equal(r.cr, d.cr)
+
+
+@pytest.mark.parametrize("hl,nframes", [(1, 5), (2, 9), (1, 6)])
+def test_random_access_bitmatch(hl, nframes):
+    frames = moving_sequence(64, 64, nframes, dx=2, dy=1, seed=21)
+    cfg = EncoderConfig(width=64, height=64, qp=33, intra_period=-1,
+                        pred_structure=2, hierarchical_levels=hl,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == nframes
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        assert r is not None, f"frame {i} not encoded"
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(r.cb, d.cb)
+        np.testing.assert_array_equal(r.cr, d.cr)
+
+
+def test_random_access_reordering():
+    """NALs are emitted in decode order: anchor P before interior Bs."""
+    frames = moving_sequence(64, 64, 5, seed=5)
+    cfg = EncoderConfig(width=64, height=64, qp=35, intra_period=-1,
+                        pred_structure=2, hierarchical_levels=2,
+                        scene_change_detection=False)
+    stream, _ = Encoder(cfg).encode(frames)
+    slices = [t for t, _ in split_annexb(stream)
+              if t in (NalUnitType.IDR_W_RADL, NalUnitType.TRAIL_R)]
+    # decode order: I0, P4, B2, B1, B3 -> 5 slices, first is IDR
+    assert len(slices) == 5
+    assert slices[0] == NalUnitType.IDR_W_RADL
+    assert all(t == NalUnitType.TRAIL_R for t in slices[1:])
+
+
+def test_random_access_quality():
+    frames = moving_sequence(96, 64, 5, dx=3, dy=1, seed=31)
+    cfg = EncoderConfig(width=96, height=64, qp=30, intra_period=-1,
+                        pred_structure=2, hierarchical_levels=2,
+                        scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    for fr, rec in zip(frames, recons):
+        assert rec.psnr(fr)[0] > 28.0
+
+
+def test_b_frames_beat_p_frames_on_rate():
+    """Hierarchical B with bi-prediction should not be larger than the
+    P-only chain on smooth translating content."""
+    frames = moving_sequence(64, 64, 9, dx=1, dy=1, seed=41)
+    s_p, _ = Encoder(EncoderConfig(width=64, height=64, qp=33,
+                                   intra_period=-1)).encode(frames)
+    s_b, _ = Encoder(EncoderConfig(width=64, height=64, qp=33,
+                                   intra_period=-1, pred_structure=2,
+                                   hierarchical_levels=2,
+                                   scene_change_detection=False)).encode(frames)
+    assert len(s_b) < len(s_p) * 1.15, (len(s_b), len(s_p))
