@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="ctb_size", choices=[16, 32, 64])
     p.add_argument("-tile-columns", type=int, default=1, dest="tile_columns")
     p.add_argument("-tile-rows", type=int, default=1, dest="tile_rows")
+    p.add_argument("-qp-file", dest="qp_file",
+                   help="file with one QP per frame (reference SVTQPFile)")
+    p.add_argument("-speed-ctrl", type=float, default=0, dest="speed_ctrl",
+                   help="dynamic preset toward this encode fps")
+    p.add_argument("-pred-struct", type=int, default=0, dest="pred_struct",
+                   choices=[0, 1, 2], help="0 LDP, 1 LDB, 2 random access")
+    p.add_argument("-hierarchical-levels", type=int, default=0, dest="hl")
     return p
 
 
@@ -85,10 +92,18 @@ def _encode_channel(args, in_path, out_path, recon_path=None):
         enable_deblocking=bool(args.dlf), enable_sao=bool(args.sao),
         ctb_size=args.ctb_size,
         tile_columns=args.tile_columns, tile_rows=args.tile_rows,
+        pred_structure=args.pred_struct, hierarchical_levels=args.hl,
     )
     enc = Encoder(cfg)
+    if args.speed_ctrl:
+        enc.set_speed_control(args.speed_ctrl)
+    frame_qps = None
+    if args.qp_file:
+        with open(args.qp_file) as f:
+            frame_qps = [int(t) for t in f.read().split() if t.strip()]
     t0 = time.perf_counter()
-    stream, recons = enc.encode(frames, rd=True if args.rd else None)
+    stream, recons = enc.encode(frames, rd=True if args.rd else None,
+                                frame_qps=frame_qps)
     dt = time.perf_counter() - t0
 
     with open(out_path, "wb") as f:

@@ -89,6 +89,21 @@ class PictureState:
         self.skip = np.zeros((coded_h // 4, coded_w // 4), bool)
         # nonzero-luma-coeff flag of the covering TU (for deblocking bS)
         self.cbf4 = np.zeros((coded_h // 4, coded_w // 4), np.uint8)
+        # constrained_intra_pred_flag: intra prediction may only reference
+        # intra-coded neighbor samples (7.4.3.3.1)
+        self.constrained_intra = False
+
+    def intra_avail(self, c_idx: int) -> np.ndarray:
+        """Availability map for intra reference samples: the recon map,
+        additionally excluding inter-coded samples under constrained
+        intra prediction."""
+        av = self.avail[c_idx]
+        if not self.constrained_intra:
+            return av
+        not_inter = (self.ref_idx < 0).all(-1)
+        if c_idx > 0:
+            not_inter = not_inter[::2, ::2]
+        return av & not_inter
 
     def begin_tile(self) -> None:
         """Reset tile-local prediction state (HEVC tiles break prediction
@@ -144,7 +159,7 @@ def predict_block(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
     """Normative intra prediction for one TB from current recon state."""
     plane = st.planes[c_idx]
     left, corner, top = intra.build_ref_samples(
-        plane, st.avail[c_idx], x0, y0, n,
+        plane, st.intra_avail(c_idx), x0, y0, n,
         c_idx=c_idx, bit_depth=st.bit_depth)
     left, corner, top = intra.filter_ref_samples(
         left, corner, top, n, mode, c_idx, st.bit_depth)
@@ -690,7 +705,7 @@ class CtuEncoder(CtuCoderBase):
         src = self.src[0][py:py + n, px:px + n].astype(np.int64)
         best_mode, best_cost = 1, None
         left, corner, top = intra.build_ref_samples(
-            self.st.planes[0], self.st.avail[0], px, py, n,
+            self.st.planes[0], self.st.intra_avail(0), px, py, n,
             bit_depth=self.st.bit_depth)
         modes = (range(35) if self.feat.all_intra_modes
                  else sorted({intra.PLANAR, intra.DC, intra.VERTICAL,

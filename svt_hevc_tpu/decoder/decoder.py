@@ -62,6 +62,7 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, dpb):
 
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                       sps.bit_depth)
+    st.constrained_intra = pps.constrained_intra
     if hdr.slice_type != 2:
         # reference list construction (8.3.4) with one active ref per
         # list: L0 = closest past (or closest future if none past);

@@ -99,6 +99,17 @@ class Encoder:
         self._frame_idx = 0
         self._ref_planes = None      # previous picture planes (post-filter)
         self._ref_poc = 0
+        # dynamic preset (reference analogue: SpeedBufferControl,
+        # EbResourceCoordinationProcess.c :68): adjusted in encode() when
+        # speed control is enabled
+        self._dyn_enc_mode: int | None = None
+        self._speed_target_fps: float | None = None
+
+    def set_speed_control(self, target_fps: float) -> None:
+        """Enable dynamic-preset speed control toward a target encode
+        rate; enc_mode then floats in [cfg.enc_mode, 11]."""
+        self._speed_target_fps = target_fps
+        self._dyn_enc_mode = self.cfg.enc_mode
 
     def _frame_is_idr(self, idx: int) -> bool:
         ip = self.cfg.intra_period
@@ -156,7 +167,8 @@ class Encoder:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB)."""
         cfg = self.cfg
-        feat = derive_preset(cfg.enc_mode)
+        feat = derive_preset(self._dyn_enc_mode if self._dyn_enc_mode
+                             is not None else cfg.enc_mode)
         if rd is None:
             rd = feat.rd_mode_decision
         if is_idr is None:
@@ -195,6 +207,7 @@ class Encoder:
 
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
+            s.constrained_intra = cfg.constrained_intra
             if not is_idr:
                 s.slice_type = slice_type
                 s.ref_planes = [[r[0] for r in refs_l0],
@@ -301,9 +314,13 @@ class Encoder:
         pic.ref_planes = self._ref_planes
         return pic
 
-    def encode(self, frames, *, rd: bool | None = None) -> tuple[bytes, list[Frame]]:
+    def encode(self, frames, *, rd: bool | None = None,
+               frame_qps=None) -> tuple[bytes, list[Frame]]:
         """Encode an iterable of frames; returns (annex_b_stream, recons in
-        display order)."""
+        display order). frame_qps: optional per-frame QP list (the
+        reference's qp-on-the-fly / -qp-file path, EbRateControlProcess.c
+        :2439)."""
+        import time as _time
         if self.cfg.pred_structure == 2:
             return self._encode_random_access(list(frames), rd=rd)
         from .rate_control import RateControl
@@ -324,11 +341,22 @@ class Encoder:
             if is_idr:
                 self._ref_planes = None
                 self._poc_base = idx
-            qp = rc.pick_qp(is_idr)
+            if frame_qps is not None and idx < len(frame_qps):
+                qp = int(frame_qps[idx])
+            else:
+                qp = rc.pick_qp(is_idr)
+            t0 = _time.perf_counter()
             pic = self.encode_frame(
                 fr, rd=rd, is_idr=is_idr,
                 poc=idx - getattr(self, "_poc_base", 0), qp=qp,
                 slice_type=2 if is_idr else (0 if b_slices else 1))
+            if self._speed_target_fps is not None:
+                fps = 1.0 / max(_time.perf_counter() - t0, 1e-9)
+                if fps < self._speed_target_fps:
+                    self._dyn_enc_mode = min(self._dyn_enc_mode + 1, 11)
+                elif fps > 2.0 * self._speed_target_fps:
+                    self._dyn_enc_mode = max(self._dyn_enc_mode - 1,
+                                             self.cfg.enc_mode)
             rc.update(8 * len(pic.nal_bytes), qp)
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)

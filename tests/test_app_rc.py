@@ -86,3 +86,37 @@ def test_cli_multichannel(tmp_path):
     assert "multi-channel: 2 channels" in r.stdout
     assert len(decode_stream(o1.read_bytes())) == 2
     assert len(decode_stream(o2.read_bytes())) == 2
+
+
+def test_qp_file_per_frame():
+    from svt_hevc_tpu.bitstream.bitwriter import ebsp_to_rbsp
+    from svt_hevc_tpu.bitstream.headers import (parse_pps, parse_slice_header,
+                                                parse_sps)
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    frames = [make_frame(64, 64, "gradient", seed=s) for s in range(3)]
+    cfg = EncoderConfig(width=64, height=64, qp=30)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames, frame_qps=[24, 38, 30])
+    sps = pps = None
+    qps = []
+    for t, e in split_annexb(stream):
+        rbsp = ebsp_to_rbsp(e)
+        if t == NalUnitType.SPS_NUT:
+            sps = parse_sps(rbsp)
+        elif t == NalUnitType.PPS_NUT:
+            pps = parse_pps(rbsp)
+        elif t == NalUnitType.IDR_W_RADL:
+            qps.append(parse_slice_header(rbsp, int(t), sps, pps).slice_qp)
+    assert qps == [24, 38, 30]
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+
+def test_speed_control_raises_preset_when_slow():
+    frames = [make_frame(64, 64, "noise", seed=s) for s in range(3)]
+    cfg = EncoderConfig(width=64, height=64, qp=32, enc_mode=7)
+    enc = Encoder(cfg)
+    enc.set_speed_control(10 ** 9)     # impossible target -> must speed up
+    enc.encode(frames)
+    assert enc._dyn_enc_mode > 7

@@ -94,3 +94,17 @@ def test_b_frames_beat_p_frames_on_rate():
                                    hierarchical_levels=2,
                                    scene_change_detection=False)).encode(frames)
     assert len(s_b) < len(s_p) * 1.15, (len(s_b), len(s_p))
+
+
+def test_constrained_intra_bitmatch():
+    """With constrained_intra, intra blocks in P frames must not predict
+    from inter-reconstructed neighbors; the stream stays bit-exact."""
+    frames = moving_sequence(64, 64, 3, dx=4, dy=0, seed=51)
+    cfg = EncoderConfig(width=64, height=64, qp=33, intra_period=-1,
+                        constrained_intra=True)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+        np.testing.assert_array_equal(r.cb, d.cb)
