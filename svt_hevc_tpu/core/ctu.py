@@ -28,7 +28,7 @@ from ..bitstream.residual import decode_residual, encode_residual, select_scan
 from . import intra
 from .inter import (Mi, amvp_candidates, mc_predict_bi, mc_predict_uni,
                     merge_candidates, uni_mi)
-from .quant import dequantize, quantize
+from .quant import dequantize, quantize, quantize_rdoq
 from .transforms import forward_transform, inverse_transform
 
 I_SLICE, P_SLICE, B_SLICE = 2, 1, 0
@@ -688,6 +688,16 @@ class CtuEncoder(CtuCoderBase):
         self._pu_modes: dict[tuple[int, int], int] = {}
         self._plans: dict[tuple[int, int, int], _InterPlan] = {}
 
+    def _quant(self, coeff, qp, is_intra):
+        """Preset-selected quantizer: plain scalar quant or RDOQ
+        (reference ladder: RDOQ/PM at M0-M4, SURVEY.md §2.4b)."""
+        if self.feat.rdoq:
+            lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+            return quantize_rdoq(coeff, qp, lam, is_intra=is_intra,
+                                 bit_depth=self.st.bit_depth)
+        return quantize(coeff, qp, is_intra=is_intra,
+                        bit_depth=self.st.bit_depth)
+
     # ------------------------------------------------------------- decisions
     def _default_split(self, x0, y0, log2, depth):
         """Variance heuristic placeholder until RD mode decision lands."""
@@ -804,8 +814,8 @@ class CtuEncoder(CtuCoderBase):
             n = 1 << lg
             p = pred3[0][y - y0:y - y0 + n, x - x0:x - x0 + n]
             resid = self.src[0][y:y + n, x:x + n].astype(np.int64) - p
-            lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
-                          st.qp, is_intra=False, bit_depth=st.bit_depth)
+            lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
+                             st.qp, is_intra=False)
             luma[(x, y)] = lv
             return bool(lv.any())
 
@@ -821,8 +831,8 @@ class CtuEncoder(CtuCoderBase):
             if log2 <= 5:
                 p = pred3[c_idx]
                 resid = self.src[c_idx][yc:yc + nc, xc:xc + nc].astype(np.int64) - p
-                lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
-                              st.qp_c, is_intra=False, bit_depth=st.bit_depth)
+                lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
+                                 st.qp_c, is_intra=False)
                 chroma[(c_idx, xc, yc)] = lv
                 any_nz |= bool(lv.any())
             else:
@@ -831,8 +841,8 @@ class CtuEncoder(CtuCoderBase):
                     p = pred3[c_idx][dy:dy + hc, dx:dx + hc]
                     resid = self.src[c_idx][yc + dy:yc + dy + hc,
                                             xc + dx:xc + dx + hc].astype(np.int64) - p
-                    lv = quantize(forward_transform(resid, st.bit_depth, dst=False),
-                                  st.qp_c, is_intra=False, bit_depth=st.bit_depth)
+                    lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
+                                     st.qp_c, is_intra=False)
                     chroma[(c_idx, xc + dx, yc + dy)] = lv
                     any_nz |= bool(lv.any())
         return luma, chroma, any_nz
@@ -1051,8 +1061,8 @@ class CtuEncoder(CtuCoderBase):
         pred = cu.pred[0][y0 - cu.y0:y0 - cu.y0 + n,
                           x0 - cu.x0:x0 - cu.x0 + n]
         resid = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64) - pred
-        levels = quantize(forward_transform(resid, st.bit_depth, dst=False),
-                          st.qp, is_intra=False, bit_depth=st.bit_depth)
+        levels = self._quant(forward_transform(resid, st.bit_depth, dst=False),
+                             st.qp, is_intra=False)
         cu.luma_levels[(x0, y0)] = levels
         reconstruct_tb(st, 0, x0, y0, n, pred, levels, is_intra=False)
 
@@ -1081,8 +1091,8 @@ class CtuEncoder(CtuCoderBase):
             src = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64)
             resid = src - pred
             coeff = forward_transform(resid, self.st.bit_depth, dst=False)
-            levels = quantize(coeff, self.st.qp_c, is_intra=not cu.is_inter,
-                              bit_depth=self.st.bit_depth)
+            levels = self._quant(coeff, self.st.qp_c,
+                                 is_intra=not cu.is_inter)
             cu.chroma_levels[(c_idx, xc, yc)] = levels
             cu.chroma_cbf[(c_idx, xc, yc)] = int(levels.any())
             reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels,
@@ -1109,8 +1119,7 @@ class CtuEncoder(CtuCoderBase):
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
         resid = src - pred
         coeff = forward_transform(resid, self.st.bit_depth, dst=(n == 4))
-        levels = quantize(coeff, self.st.qp, is_intra=True,
-                          bit_depth=self.st.bit_depth)
+        levels = self._quant(coeff, self.st.qp, is_intra=True)
         cu.luma_levels[(x0, y0)] = levels
         reconstruct_tb(self.st, 0, x0, y0, n, pred, levels)
         cbf = int(levels.any())

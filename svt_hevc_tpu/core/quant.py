@@ -32,6 +32,52 @@ def quantize(coeff: np.ndarray, qp: int, *, is_intra: bool = True,
     return (np.sign(c) * level).astype(np.int32)
 
 
+def quantize_rdoq(coeff: np.ndarray, qp: int, lam: float, *,
+                  is_intra: bool = True, bit_depth: int = 8) -> np.ndarray:
+    """Rate-distortion optimized quantization: per-coefficient level choice
+    L in {0, floor, floor+1} minimising err^2 * Qstep^2 + lambda * bits(L).
+
+    The pixel-domain step for one level error is Qstep =
+    invScale[qp%6] * 2^(qp//6 - 6), independent of TB size and bit depth
+    (the transform normalisation cancels). The rate model is a coarse
+    coefficient-bit estimate (sig + gt1 + gt2 + Golomb tail) — the
+    analogue of the reference's PM two-stage quantizer
+    (EbTransforms.c PerformTwoStagePm :2219) without per-context CABAC
+    state."""
+    n = coeff.shape[-1]
+    log2n = n.bit_length() - 1
+    qbits = 14 + qp // 6 + transform_shift(log2n, bit_depth)
+    f = int(QUANT_SCALES[qp % 6])
+    c = coeff.astype(np.int64)
+    level_f = np.abs(c).astype(np.float64) * f / (1 << qbits)
+    lbase = np.floor(level_f)
+    # dequant gain for one level: invScale[qp%6] << (qp//6), normalised by
+    # the transform's 2^6 pixel-domain factor
+    qstep = float(INV_QUANT_SCALES[qp % 6]) * 2.0 ** ((qp // 6) - 6)
+
+    def bits(lv):
+        out = np.where(lv == 0, 0.5, 2.0)
+        out = out + np.where(lv > 1, 1.0, 0.0)
+        out = out + np.where(lv > 2,
+                             2.0 * np.log2(np.maximum(lv - 1, 2)), 0.0)
+        return out
+
+    best_l = np.zeros_like(lbase)
+    best_j = None
+    for cand in (np.zeros_like(lbase), lbase, lbase + 1.0):
+        cand = np.maximum(cand, 0.0)
+        err = (level_f - cand) * qstep
+        j = err * err + lam * bits(cand)
+        if best_j is None:
+            best_j, best_l = j, cand
+        else:
+            take = j < best_j
+            best_j = np.where(take, j, best_j)
+            best_l = np.where(take, cand, best_l)
+    lv = np.clip(best_l, 0, 32767).astype(np.int64)
+    return (np.sign(c) * lv).astype(np.int32)
+
+
 def dequantize(level: np.ndarray, qp: int, *, bit_depth: int = 8) -> np.ndarray:
     """Normative scaling (8.6.3) for flat (m=16) scaling lists."""
     n = level.shape[-1]

@@ -83,3 +83,20 @@ def test_no_false_cut_on_smooth_motion():
     stream, _ = Encoder(cfg).encode(frames)
     kinds = _slice_types(stream)
     assert kinds == ["I", "P", "P", "P", "P"], kinds
+
+
+def test_rdoq_improves_rd_cost():
+    """RDOQ presets must improve the J = D + lambda*R cost vs plain quant
+    at the same RD search level (M4 vs M5 differ in rdoq + nxn)."""
+    from svt_hevc_tpu.core.rdo import lambda_sse
+    frame = make_frame(96, 96, "gradient")
+    costs = {}
+    for m in (4, 5):
+        cfg = EncoderConfig(width=96, height=96, qp=34, enc_mode=m)
+        stream, recons = Encoder(cfg).encode([frame])
+        d = float(((recons[0].y.astype(np.int64)
+                    - frame.y.astype(np.int64)) ** 2).sum())
+        costs[m] = d + lambda_sse(34) * 8 * len(stream)
+        dec = decode_stream(stream)[0]
+        np.testing.assert_array_equal(recons[0].y, dec.y)
+    assert costs[4] < costs[5], costs
