@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--frames", type=int, default=None,
                    help="number of frames to encode")
     p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("-color-format", type=int, default=1, dest="color_format",
+                   choices=[1, 2, 3],
+                   help="1=420, 2=422, 3=444 (reference: EncoderColorFormat)")
     p.add_argument("-bit-depth", type=int, default=8, dest="bit_depth",
                    choices=[8, 10])
     p.add_argument("-fps", type=int, default=50)
@@ -74,8 +77,10 @@ def frames_from(args, path):
         return read_y4m(path, max_frames=args.frames)
     if not args.width or not args.height:
         raise SystemExit("-w/-h are required for raw .yuv input")
-    return read_yuv420(path, args.width, args.height,
-                       max_frames=args.frames, bit_depth=args.bit_depth)
+    from .io.yuv import read_yuv
+    return read_yuv(path, args.width, args.height,
+                    max_frames=args.frames, bit_depth=args.bit_depth,
+                    chroma_format=args.color_format)
 
 
 def _encode_channel(args, in_path, out_path, recon_path=None):
@@ -85,7 +90,7 @@ def _encode_channel(args, in_path, out_path, recon_path=None):
     w, h = frames[0].width, frames[0].height
     cfg = EncoderConfig(
         width=w, height=h, qp=args.qp, fps_num=args.fps,
-        bit_depth=args.bit_depth,
+        bit_depth=args.bit_depth, chroma_format=args.color_format,
         intra_period=args.intra_period, enc_mode=args.enc_mode,
         rate_control_mode=args.rc, target_bitrate=args.tbr,
         vbv_maxrate=args.vbv_maxrate, vbv_bufsize=args.vbv_bufsize,

@@ -19,20 +19,38 @@ GENERAL_LEVEL_IDC = 120  # level 4.0 default; TODO: derive from level tables
 
 # --------------------------------------------------------------------- writers
 
-def _write_profile_tier_level(w: BitWriter, max_sub_layers_minus1: int = 0,
-                              profile_idc: int = 1) -> None:
-    """profile_tier_level() (H.265 7.3.3): Main (1) or Main10 (2)."""
+def _write_profile_tier_level(w: BitWriter, cfg: EncoderConfig,
+                              max_sub_layers_minus1: int = 0) -> None:
+    """profile_tier_level() (H.265 7.3.3): Main (1), Main10 (2) or
+    format-range extensions (4) with REXT constraint flags — the reference
+    requires REXT for 422/444 (EbEncHandle.c:2454-2456)."""
+    profile_idc = cfg.profile
     w.u(0, 2)            # general_profile_space
     w.flag(0)            # general_tier_flag
     w.u(profile_idc, 5)
+    compat = {4} if profile_idc == 4 else {1, 2}
     for i in range(32):  # general_profile_compatibility_flag[i]
-        w.flag(i in (1, 2))   # Main + Main10 compatible
+        w.flag(i in compat)
     w.flag(1)            # general_progressive_source_flag
     w.flag(0)            # general_interlaced_source_flag
     w.flag(0)            # general_non_packed_constraint_flag
     w.flag(1)            # general_frame_only_constraint_flag
-    w.u(0, 32)           # general_reserved_zero_43bits (part 1)
-    w.u(0, 11)           # general_reserved_zero_43bits (part 2)
+    if profile_idc == 4:
+        # REXT constraint flags (7.3.3): Main 4:2:2 10 / Main 4:4:4 [10]
+        w.flag(1)        # general_max_12bit_constraint_flag
+        w.flag(1)        # general_max_10bit_constraint_flag
+        w.flag(int(cfg.bit_depth == 8 and cfg.chroma_format == 3))  # max_8bit
+        w.flag(int(cfg.chroma_format == 2))   # general_max_422chroma
+        w.flag(0)        # general_max_420chroma_constraint_flag
+        w.flag(0)        # general_max_monochrome_constraint_flag
+        w.flag(0)        # general_intra_constraint_flag
+        w.flag(0)        # general_one_picture_only_constraint_flag
+        w.flag(1)        # general_lower_bit_rate_constraint_flag
+        w.u(0, 32)       # general_reserved_zero_34bits (part 1)
+        w.u(0, 2)        # general_reserved_zero_34bits (part 2)
+    else:
+        w.u(0, 32)       # general_reserved_zero_43bits (part 1)
+        w.u(0, 11)       # general_reserved_zero_43bits (part 2)
     w.flag(0)            # general_reserved_zero_bit / inbld
     w.u(GENERAL_LEVEL_IDC, 8)
     assert max_sub_layers_minus1 == 0
@@ -47,7 +65,7 @@ def write_vps(cfg: EncoderConfig) -> bytes:
     w.u(0, 3)            # vps_max_sub_layers_minus1
     w.flag(1)            # vps_temporal_id_nesting_flag
     w.u(0xFFFF, 16)      # vps_reserved_0xffff_16bits
-    _write_profile_tier_level(w, profile_idc=2 if cfg.bit_depth == 10 else 1)
+    _write_profile_tier_level(w, cfg)
     w.flag(1)            # vps_sub_layer_ordering_info_present_flag
     w.ue(1)              # vps_max_dec_pic_buffering_minus1[0]
     w.ue(0)              # vps_max_num_reorder_pics[0]
@@ -65,9 +83,11 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.u(0, 4)            # sps_video_parameter_set_id
     w.u(0, 3)            # sps_max_sub_layers_minus1
     w.flag(1)            # sps_temporal_id_nesting_flag
-    _write_profile_tier_level(w, profile_idc=2 if cfg.bit_depth == 10 else 1)
+    _write_profile_tier_level(w, cfg)
     w.ue(0)              # sps_seq_parameter_set_id
-    w.ue(cfg.chroma_format)   # chroma_format_idc (1 = 4:2:0)
+    w.ue(cfg.chroma_format)   # chroma_format_idc (1=420, 2=422, 3=444)
+    if cfg.chroma_format == 3:
+        w.flag(0)        # separate_colour_plane_flag
     w.ue(cfg.coded_width)     # pic_width_in_luma_samples
     w.ue(cfg.coded_height)
     crop = cfg.conf_win_right or cfg.conf_win_bottom

@@ -86,12 +86,14 @@ def scan_order(log2: int, scan_idx: int) -> np.ndarray:
     return full
 
 
-def select_scan(log2: int, c_idx: int, intra_mode: int | None) -> int:
-    """Scan selection (spec 7.4.9.11): mode-dependent for intra 4x4/8x8 luma
-    and 4x4 chroma (4:2:0). Matches reference EbEntropyCoding.c:1357-1369."""
+def select_scan(log2: int, c_idx: int, intra_mode: int | None,
+                chroma444: bool = False) -> int:
+    """Scan selection (spec 7.4.9.11): mode-dependent for intra 4x4 TBs and
+    8x8 luma — and 8x8 chroma when ChromaArrayType is 3 (REXT). Matches
+    reference EbEntropyCoding.c:1357-1369."""
     if intra_mode is None:
         return SCAN_DIAG
-    if log2 == 2 or (log2 == 3 and c_idx == 0):
+    if log2 == 2 or (log2 == 3 and (c_idx == 0 or chroma444)):
         if 6 <= intra_mode <= 14:
             return SCAN_VER
         if 22 <= intra_mode <= 30:

@@ -26,7 +26,9 @@ class EncoderConfig:
     width: int = 0
     height: int = 0
     bit_depth: int = 8           # 8 or 10 (Main / Main10)
-    chroma_format: int = 1       # 1 = 4:2:0 (EbApi.h encoderColorFormat)
+    chroma_format: int = 1       # 1=4:2:0, 2=4:2:2, 3=4:4:4 (EbApi.h
+                                 # encoderColorFormat; 422/444 -> MainREXT
+                                 # profile, EbEncHandle.c:2454-2456)
     fps_num: int = 50            # frameRateNumerator
     fps_den: int = 1
 
@@ -92,15 +94,34 @@ class EncoderConfig:
     def padded_height(self) -> int:
         return self.pic_height_in_ctbs * self.ctb_size
 
+    # chroma subsampling factors (spec Table 6-1)
+    @property
+    def sub_width_c(self) -> int:
+        return 2 if self.chroma_format in (1, 2) else 1
+
+    @property
+    def sub_height_c(self) -> int:
+        return 2 if self.chroma_format == 1 else 1
+
+    @property
+    def profile(self) -> int:
+        """general_profile_idc: 1=Main, 2=Main10, 4=MainREXT (the reference
+        requires REXT for 422/444 input, EbEncHandle.c:2454-2456)."""
+        if self.chroma_format != 1:
+            return 4
+        return 2 if self.bit_depth == 10 else 1
+
     # minimum-CU-grid alignment required of the *signalled* picture size
     # (HEVC requires pic dims to be multiples of MinCbSizeY = 8)
     @property
-    def conf_win_right(self) -> int:   # in chroma units for 4:2:0
-        return (align_up(self.width, MIN_CU_SIZE) - self.width) // 2
+    def conf_win_right(self) -> int:   # in units of SubWidthC luma samples
+        return (align_up(self.width, MIN_CU_SIZE) - self.width) \
+            // self.sub_width_c
 
     @property
     def conf_win_bottom(self) -> int:
-        return (align_up(self.height, MIN_CU_SIZE) - self.height) // 2
+        return (align_up(self.height, MIN_CU_SIZE) - self.height) \
+            // self.sub_height_c
 
     @property
     def coded_width(self) -> int:
@@ -118,8 +139,9 @@ class EncoderConfig:
             raise ValueError(f"height {self.height} out of range [64, 4320]")
         if self.bit_depth not in (8, 10):
             raise ValueError("bit_depth must be 8 or 10")
-        if self.chroma_format != 1:
-            raise NotImplementedError("only 4:2:0 is implemented so far")
+        if self.chroma_format not in (1, 2, 3):
+            raise ValueError("chroma_format must be 1 (4:2:0), 2 (4:2:2) "
+                             "or 3 (4:4:4)")
         if not (0 <= self.qp <= 51):
             raise ValueError(f"qp {self.qp} out of range [0, 51]")
         if self.ctb_size not in (16, 32, 64):

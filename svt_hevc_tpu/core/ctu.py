@@ -36,8 +36,17 @@ I_SLICE, P_SLICE, B_SLICE = 2, 1, 0
 # spec Table 8-10 (4:2:0): qPi -> QpC for qPi in 30..43
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
+# spec Table 8-3 (REXT): luma-derived intra mode -> 4:2:2 chroma mode
+MODE_422_MAP = (0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19,
+                20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29,
+                29, 30, 31)
 
-def chroma_qp(qp_y: int, offset: int = 0) -> int:
+
+def chroma_qp(qp_y: int, offset: int = 0, chroma_format: int = 1) -> int:
+    """QpC derivation (8.6.1). The Table 8-10 mapping applies only to
+    ChromaArrayType 1; 4:2:2 / 4:4:4 use QpC = min(qPi, 51)."""
+    if chroma_format != 1:
+        return min(max(qp_y + offset, 0), 51)
     q = min(max(qp_y + offset, 0), 57)
     if q < 30:
         return q
@@ -55,21 +64,26 @@ class PictureState:
     """
 
     def __init__(self, coded_w: int, coded_h: int, qp: int, ctb_log2: int,
-                 bit_depth: int = 8):
+                 bit_depth: int = 8, chroma_format: int = 1):
         self.w, self.h = coded_w, coded_h
         self.qp = qp
-        self.qp_c = chroma_qp(qp)
+        self.chroma_format = chroma_format
+        # chroma subsampling shifts (spec Table 6-1)
+        self.ss_x = 1 if chroma_format in (1, 2) else 0
+        self.ss_y = 1 if chroma_format == 1 else 0
+        self.qp_c = chroma_qp(qp, 0, chroma_format)
         self.ctb_log2 = ctb_log2
         self.bit_depth = bit_depth
+        cw_c, ch_c = coded_w >> self.ss_x, coded_h >> self.ss_y
         self.planes = [
             np.zeros((coded_h, coded_w), np.int32),
-            np.zeros((coded_h // 2, coded_w // 2), np.int32),
-            np.zeros((coded_h // 2, coded_w // 2), np.int32),
+            np.zeros((ch_c, cw_c), np.int32),
+            np.zeros((ch_c, cw_c), np.int32),
         ]
         self.avail = [
             np.zeros((coded_h // 4, coded_w // 4), bool),
-            np.zeros((coded_h // 8, coded_w // 8), bool),
-            np.zeros((coded_h // 8, coded_w // 8), bool),
+            np.zeros((ch_c // 4, cw_c // 4), bool),
+            np.zeros((ch_c // 4, cw_c // 4), bool),
         ]
         self.luma_mode = np.full((coded_h // 4, coded_w // 4), -1, np.int32)
         self.cqt_depth = np.zeros((coded_h // 4, coded_w // 4), np.int32)
@@ -102,7 +116,7 @@ class PictureState:
             return av
         not_inter = (self.ref_idx < 0).all(-1)
         if c_idx > 0:
-            not_inter = not_inter[::2, ::2]
+            not_inter = not_inter[::1 << self.ss_y, ::1 << self.ss_x]
         return av & not_inter
 
     def begin_tile(self) -> None:
@@ -156,14 +170,18 @@ def chroma_cand_list(luma_mode: int) -> list[int]:
 
 def predict_block(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
                   mode: int) -> np.ndarray:
-    """Normative intra prediction for one TB from current recon state."""
+    """Normative intra prediction for one TB from current recon state.
+    In 4:4:4 chroma is filtered like luma (REXT 8.4.4.2.3: cIdx == 0 or
+    ChromaArrayType == 3)."""
     plane = st.planes[c_idx]
+    c444 = st.chroma_format == 3
     left, corner, top = intra.build_ref_samples(
         plane, st.intra_avail(c_idx), x0, y0, n,
         c_idx=c_idx, bit_depth=st.bit_depth)
     left, corner, top = intra.filter_ref_samples(
-        left, corner, top, n, mode, c_idx, st.bit_depth)
-    return intra.predict_intra(left, corner, top, n, mode, c_idx, st.bit_depth)
+        left, corner, top, n, mode, c_idx, st.bit_depth, chroma444=c444)
+    return intra.predict_intra(left, corner, top, n, mode, c_idx,
+                               st.bit_depth, chroma444=c444)
 
 
 def reconstruct_tb(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
@@ -186,22 +204,33 @@ def reconstruct_tb(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
 class _CuCtx:
     """Per-CU transient state shared across the transform tree walk."""
 
-    __slots__ = ("x0", "y0", "log2", "part_nxn", "luma_modes", "chroma_mode",
+    __slots__ = ("x0", "y0", "log2", "part_nxn", "luma_modes", "chroma_modes",
                  "luma_levels", "chroma_levels", "chroma_cbf",
                  "is_inter", "motion", "pred")
 
-    def __init__(self, x0, y0, log2, part_nxn, luma_modes, chroma_mode,
+    def __init__(self, x0, y0, log2, part_nxn, luma_modes, chroma_modes,
                  *, is_inter=False, motion=None, pred=None):
         self.x0, self.y0, self.log2 = x0, y0, log2
         self.part_nxn = part_nxn
         self.luma_modes = luma_modes
-        self.chroma_mode = chroma_mode       # resolved mode (DM applied)
+        self.chroma_modes = chroma_modes     # resolved modes (DM + 422 map
+                                             # applied); list of 1, or 4 for
+                                             # 4:4:4 NxN
         self.luma_levels = {}                # (x, y) -> levels array
         self.chroma_levels = {}              # (c_idx, x, y) -> levels
-        self.chroma_cbf = {}                 # (c_idx, x, y, depth) -> 0/1
+        self.chroma_cbf = {}                 # (c_idx, node_x, node_y,
+                                             #  node_log2, sub) -> 0/1
         self.is_inter = is_inter
         self.motion = motion                 # ((mvx, mvy), ref_idx)
         self.pred = pred                     # [y, cb, cr] full-CU MC pred
+
+    def chroma_mode_at(self, xc: int, yc: int) -> int:
+        """Chroma intra mode for the TB at chroma-plane (xc, yc): for
+        4:4:4 NxN each 4x4 chroma TB follows its own PU's signalled mode."""
+        if len(self.chroma_modes) == 1:
+            return self.chroma_modes[0]
+        idx = (1 if xc != self.x0 else 0) + (2 if yc != self.y0 else 0)
+        return self.chroma_modes[idx]
 
 
 class CtuCoderBase:
@@ -270,10 +299,18 @@ class CtuCoderBase:
             st.luma_mode[py >> 2:(py + pu_sz) >> 2,
                          px >> 2:(px + pu_sz) >> 2] = mode
 
-        chroma_mode = self.sx_chroma_mode(x0, y0, luma_modes[0])
-        cu = _CuCtx(x0, y0, log2, part_nxn, luma_modes, chroma_mode)
+        # intra_chroma_pred_mode: one, or one per PU for 4:4:4 NxN (7.3.8.5);
+        # 4:2:2 remaps the derived mode through Table 8-3
+        if st.chroma_format == 3 and part_nxn:
+            chroma_modes = [self.sx_chroma_mode(px, py, luma_modes[i])
+                            for i, (px, py) in enumerate(pu_pos)]
+        else:
+            chroma_modes = [self.sx_chroma_mode(x0, y0, luma_modes[0])]
+        if st.chroma_format == 2:
+            chroma_modes = [MODE_422_MAP[m] for m in chroma_modes]
+        cu = _CuCtx(x0, y0, log2, part_nxn, luma_modes, chroma_modes)
         self.prepare_cu(cu)
-        self.transform_tree(cu, x0, y0, log2, 0, 0, 1, 1)
+        self.transform_tree(cu, x0, y0, log2, 0, 0, (1,), (1,))
 
     def prepare_cu(self, cu: _CuCtx) -> None:
         """Encoder hook: forward-compute chroma TBs before cbf emission."""
@@ -311,24 +348,26 @@ class CtuCoderBase:
         if mi.ref0 >= 0 and mi.ref1 >= 0:
             return mc_predict_bi(st.ref_planes[0][mi.ref0], mi.mv0,
                                  st.ref_planes[1][mi.ref1], mi.mv1,
-                                 x0, y0, n, st.bit_depth)
+                                 x0, y0, n, st.bit_depth, st.ss_x, st.ss_y)
         lst = 0 if mi.ref0 >= 0 else 1
         return mc_predict_uni(st.ref_planes[lst][mi.ref(lst)], x0, y0, n,
-                              mi.mv(lst), st.bit_depth)
+                              mi.mv(lst), st.bit_depth, st.ss_x, st.ss_y)
 
     def _inter_nocbf(self, x0: int, y0: int, log2: int, mi: Mi,
                      skip: bool) -> None:
         """Skip CU or rqt_root_cbf=0: reconstruction = MC prediction."""
         st = self.st
         n = 1 << log2
+        sx, sy = st.ss_x, st.ss_y
         self._set_motion(x0, y0, n, mi, skip)
         py, pcb, pcr = self._predict_mi(x0, y0, n, mi)
         st.planes[0][y0:y0 + n, x0:x0 + n] = py
-        st.planes[1][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcb
-        st.planes[2][y0 >> 1:(y0 + n) >> 1, x0 >> 1:(x0 + n) >> 1] = pcr
+        st.planes[1][y0 >> sy:(y0 + n) >> sy, x0 >> sx:(x0 + n) >> sx] = pcb
+        st.planes[2][y0 >> sy:(y0 + n) >> sy, x0 >> sx:(x0 + n) >> sx] = pcr
         st.mark(0, x0, y0, n)
-        st.mark(1, x0 >> 1, y0 >> 1, n >> 1)
-        st.mark(2, x0 >> 1, y0 >> 1, n >> 1)
+        for c in (1, 2):
+            st.avail[c][y0 >> sy >> 2:(y0 + n) >> sy >> 2,
+                        x0 >> sx >> 2:(x0 + n) >> sx >> 2] = True
         st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = 0
 
     def _inter_coding_unit(self, x0: int, y0: int, log2: int, depth: int) -> None:
@@ -360,29 +399,53 @@ class CtuCoderBase:
             return
         self._set_motion(x0, y0, n, mi, skip=False)
         pred = self._predict_mi(x0, y0, n, mi)
-        cu = _CuCtx(x0, y0, log2, False, [None], None,
+        cu = _CuCtx(x0, y0, log2, False, [None], [0],
                     is_inter=True, motion=mi, pred=list(pred))
         self.prepare_cu(cu)
-        self.transform_tree(cu, x0, y0, log2, 0, 0, 1, 1)
+        self.transform_tree(cu, x0, y0, log2, 0, 0, (1,), (1,))
 
     # --------------------------------------------------------- transform tree
+    def _chroma_leaf_tbs(self, x0: int, y0: int, log2: int) -> list:
+        """Chroma TBs coded for the leaf/chroma-node at luma (x0, y0, log2):
+        [(xc, yc, log2c)] in chroma-plane coords. 4:2:2 stacks two square
+        TBs vertically (REXT 7.3.8.10); 4:4:4 chroma follows luma size."""
+        cf = self.st.chroma_format
+        if cf == 3:
+            return [(x0, y0, log2)]
+        log2c = max(log2 - 1, 2)
+        if cf == 1:
+            return [(x0 >> 1, y0 >> 1, log2c)]
+        nc = 1 << log2c
+        return [(x0 >> 1, y0, log2c), (x0 >> 1, y0 + nc, log2c)]
+
     def transform_tree(self, cu: _CuCtx, x0: int, y0: int, log2: int,
                        depth: int, blk_idx: int,
-                       parent_cbf_cb: int, parent_cbf_cr: int) -> None:
+                       parent_cbf_cb: tuple, parent_cbf_cr: tuple) -> None:
+        cf = self.st.chroma_format
         split = (log2 > 5) or (cu.part_nxn and depth == 0)
         cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
-        if log2 > 2:
-            cbf_cb = (self.sx_cbf_chroma(cu, x0, y0, log2, depth, 1, split)
-                      if (depth == 0 or parent_cbf_cb) else 0)
-            cbf_cr = (self.sx_cbf_chroma(cu, x0, y0, log2, depth, 2, split)
-                      if (depth == 0 or parent_cbf_cr) else 0)
+        if log2 > 2 or cf == 3:
+            # 4:2:2 signals two flags per component — one per stacked
+            # chroma TB — at leaves and at log2==3 nodes (7.3.8.8)
+            nsub = 2 if (cf == 2 and (not split or log2 == 3)) else 1
+            if depth == 0 or parent_cbf_cb[0]:
+                cbf_cb = tuple(self.sx_cbf_chroma(cu, x0, y0, log2, depth,
+                                                  1, s) for s in range(nsub))
+            else:
+                cbf_cb = (0,) * nsub
+            if depth == 0 or parent_cbf_cr[0]:
+                cbf_cr = tuple(self.sx_cbf_chroma(cu, x0, y0, log2, depth,
+                                                  2, s) for s in range(nsub))
+            else:
+                cbf_cr = (0,) * nsub
         if split:
             half = 1 << (log2 - 1)
             for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half), (half, half))):
                 self.transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
                                     depth + 1, i, cbf_cb, cbf_cr)
         else:
-            if cu.is_inter and depth == 0 and not cbf_cb and not cbf_cr:
+            if cu.is_inter and depth == 0 and not any(cbf_cb) \
+                    and not any(cbf_cr):
                 cbf_luma = 1     # inferred (7.4.9.8): rqt_root_cbf was 1
             else:
                 cbf_luma = self.sx_cbf_luma(cu, x0, y0, log2, depth)
@@ -391,7 +454,7 @@ class CtuCoderBase:
 
     def transform_unit(self, cu: _CuCtx, x0: int, y0: int, log2: int,
                        depth: int, blk_idx: int,
-                       cbf_luma: int, cbf_cb: int, cbf_cr: int) -> None:
+                       cbf_luma: int, cbf_cb: tuple, cbf_cr: tuple) -> None:
         # deblocking edge flags: every luma TB edge on the 8x8 grid has
         # bS=2 in an intra picture (8.7.2.4); CU/PU edges coincide with or
         # contain TB edges in this tree
@@ -403,11 +466,12 @@ class CtuCoderBase:
         st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = cbf_luma
         mode_idx = blk_idx if (cu.part_nxn and depth > 0) else 0
         self.tb_luma(cu, x0, y0, log2, cu.luma_modes[mode_idx], cbf_luma)
-        if log2 > 2:
-            self.tb_chroma(cu, x0 >> 1, y0 >> 1, log2 - 1, cbf_cb, cbf_cr)
+        if log2 > 2 or st.chroma_format == 3:
+            self.tb_chroma(cu, x0, y0, log2, cbf_cb, cbf_cr)
         elif blk_idx == 3:
-            # 4x4 luma TBs: single 4x4 chroma TB coded with the last child
-            self.tb_chroma(cu, (x0 - 4) >> 1, (y0 - 4) >> 1, 2, cbf_cb, cbf_cr)
+            # 4x4 luma TBs (4:2:0/4:2:2): the node's chroma TBs are coded
+            # with the last child
+            self.tb_chroma(cu, x0 - 4, y0 - 4, 3, cbf_cb, cbf_cr)
 
     # ----------------------------------------------- syntax hooks (subclass)
     def sx_split_cu(self, x0, y0, log2, depth, ctx_inc) -> int:
@@ -454,7 +518,8 @@ class CtuCoderBase:
     def sx_chroma_mode(self, x0, y0, luma_mode0) -> int:
         raise NotImplementedError
 
-    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split) -> int:
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub) -> int:
+        """sub: stacked-TB index (0; 1 = lower TB for 4:2:2)."""
         raise NotImplementedError
 
     def sx_cbf_luma(self, cu, x0, y0, log2, depth) -> int:
@@ -463,7 +528,9 @@ class CtuCoderBase:
     def tb_luma(self, cu, x0, y0, log2, mode, cbf) -> None:
         raise NotImplementedError
 
-    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr) -> None:
+    def tb_chroma(self, cu, nx, ny, nlog2, cbf_cb, cbf_cr) -> None:
+        """Code the chroma TBs of the node at luma (nx, ny, nlog2);
+        cbf_cb/cbf_cr are per-stacked-TB tuples."""
         raise NotImplementedError
 
     # --------------------------------------------------------- shared helpers
@@ -594,7 +661,7 @@ class CtuDecoder(CtuCoderBase):
         idx = self.bac.decode_bypass_bins(2)
         return chroma_cand_list(luma_mode0)[idx]
 
-    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split):
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub):
         return self.bac.decode_bin(Ctx.CBF_CHROMA + depth)
 
     def sx_cbf_luma(self, cu, x0, y0, log2, depth):
@@ -614,22 +681,28 @@ class CtuDecoder(CtuCoderBase):
         reconstruct_tb(self.st, 0, x0, y0, n, pred, levels,
                        is_intra=not cu.is_inter)
 
-    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr):
-        n = 1 << log2c
-        mode = cu.chroma_mode
-        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
-            if cu.is_inter:
-                cx0, cy0 = cu.x0 >> 1, cu.y0 >> 1
-                pred = cu.pred[c_idx][yc - cy0:yc - cy0 + n,
-                                      xc - cx0:xc - cx0 + n]
-            else:
-                pred = predict_block(self.st, c_idx, xc, yc, n, mode)
-            levels = None
-            if cbf:
-                scan = select_scan(log2c, 1, None if cu.is_inter else mode)
-                levels = decode_residual(self.bac, log2c, c_idx, scan)
-            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels,
-                           is_intra=not cu.is_inter)
+    def tb_chroma(self, cu, nx, ny, nlog2, cbf_cb, cbf_cr):
+        st = self.st
+        tbs = self._chroma_leaf_tbs(nx, ny, nlog2)
+        c444 = st.chroma_format == 3
+        for c_idx, cbfs in ((1, cbf_cb), (2, cbf_cr)):
+            for sub, (xc, yc, log2c) in enumerate(tbs):
+                n = 1 << log2c
+                mode = cu.chroma_mode_at(xc, yc)
+                if cu.is_inter:
+                    cx0, cy0 = cu.x0 >> st.ss_x, cu.y0 >> st.ss_y
+                    pred = cu.pred[c_idx][yc - cy0:yc - cy0 + n,
+                                          xc - cx0:xc - cx0 + n]
+                else:
+                    pred = predict_block(st, c_idx, xc, yc, n, mode)
+                levels = None
+                if cbfs[sub]:
+                    scan = select_scan(log2c, 1,
+                                       None if cu.is_inter else mode,
+                                       chroma444=c444)
+                    levels = decode_residual(self.bac, log2c, c_idx, scan)
+                reconstruct_tb(st, c_idx, xc, yc, n, pred, levels,
+                               is_intra=not cu.is_inter)
 
 
 # ============================================================ encoder subclass
@@ -819,32 +892,27 @@ class CtuEncoder(CtuCoderBase):
             luma[(x, y)] = lv
             return bool(lv.any())
 
-        if log2 <= 5:
-            any_nz |= luma_tb(x0, y0, log2)
-        else:
+        def chroma_tb(c_idx, xc, yc, log2c):
+            n = 1 << log2c
+            cx0, cy0 = x0 >> st.ss_x, y0 >> st.ss_y
+            p = pred3[c_idx][yc - cy0:yc - cy0 + n, xc - cx0:xc - cx0 + n]
+            resid = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64) - p
+            lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
+                             st.qp_c, is_intra=False)
+            chroma[(c_idx, xc, yc)] = lv
+            return bool(lv.any())
+
+        nodes = [(x0, y0, log2)]
+        if log2 > 5:
             h = 1 << (log2 - 1)
-            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
-                any_nz |= luma_tb(x0 + dx, y0 + dy, log2 - 1)
-        nc = 1 << (log2 - 1)
-        for c_idx in (1, 2):
-            xc, yc = x0 >> 1, y0 >> 1
-            if log2 <= 5:
-                p = pred3[c_idx]
-                resid = self.src[c_idx][yc:yc + nc, xc:xc + nc].astype(np.int64) - p
-                lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
-                                 st.qp_c, is_intra=False)
-                chroma[(c_idx, xc, yc)] = lv
-                any_nz |= bool(lv.any())
-            else:
-                hc = nc >> 1
-                for dx, dy in ((0, 0), (hc, 0), (0, hc), (hc, hc)):
-                    p = pred3[c_idx][dy:dy + hc, dx:dx + hc]
-                    resid = self.src[c_idx][yc + dy:yc + dy + hc,
-                                            xc + dx:xc + dx + hc].astype(np.int64) - p
-                    lv = self._quant(forward_transform(resid, st.bit_depth, dst=False),
-                                     st.qp_c, is_intra=False)
-                    chroma[(c_idx, xc + dx, yc + dy)] = lv
-                    any_nz |= bool(lv.any())
+            nodes = [(x0 + dx, y0 + dy, log2 - 1)
+                     for dx, dy in ((0, 0), (h, 0), (0, h), (h, h))]
+        for nx, ny, lg in nodes:
+            any_nz |= luma_tb(nx, ny, lg)
+        for nx, ny, lg in nodes:
+            for c_idx in (1, 2):
+                for xc, yc, log2c in self._chroma_leaf_tbs(nx, ny, lg):
+                    any_nz |= chroma_tb(c_idx, xc, yc, log2c)
         return luma, chroma, any_nz
 
     def _compute_plan(self, x0, y0, log2) -> _InterPlan:
@@ -1067,39 +1135,46 @@ class CtuEncoder(CtuCoderBase):
         reconstruct_tb(st, 0, x0, y0, n, pred, levels, is_intra=False)
 
     def _chroma_tree(self, cu, x0, y0, log2, depth):
+        """Forward-compute chroma TBs bottom-up; cbf flags are keyed by
+        (c_idx, node_x, node_y, sub) matching the transform-tree signalling
+        positions (aggregate single flag at split nodes)."""
+        st = self.st
+        cf = st.chroma_format
         split = (log2 > 5) or (cu.part_nxn and depth == 0)
-        if split and log2 > 3:
+        if split and (log2 > 3 or cf == 3):
             half = 1 << (log2 - 1)
-            any_cb = any_cr = 0
+            any_cbf = {1: 0, 2: 0}
             for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
                 self._chroma_tree(cu, x0 + dx, y0 + dy, log2 - 1, depth + 1)
-                any_cb |= cu.chroma_cbf[(1, (x0 + dx) >> 1, (y0 + dy) >> 1)]
-                any_cr |= cu.chroma_cbf[(2, (x0 + dx) >> 1, (y0 + dy) >> 1)]
-            cu.chroma_cbf[(1, x0 >> 1, y0 >> 1)] = any_cb
-            cu.chroma_cbf[(2, x0 >> 1, y0 >> 1)] = any_cr
+                for c in (1, 2):
+                    child = (c, x0 + dx, y0 + dy, log2 - 1)
+                    any_cbf[c] |= (cu.chroma_cbf[child + (0,)]
+                                   | cu.chroma_cbf.get(child + (1,), 0))
+            for c in (1, 2):
+                cu.chroma_cbf[(c, x0, y0, log2, 0)] = any_cbf[c]
             return
-        # leaf chroma TB: size = max(log2 - 1, 2) at (x0>>1, y0>>1)
-        log2c = max(log2 - 1, 2)
-        xc, yc = x0 >> 1, y0 >> 1
-        n = 1 << log2c
+        # chroma-leaf node: 1 TB (420/444) or 2 stacked TBs (422)
         for c_idx in (1, 2):
-            if cu.is_inter:
-                pred = cu.pred[c_idx][yc - (cu.y0 >> 1):yc - (cu.y0 >> 1) + n,
-                                      xc - (cu.x0 >> 1):xc - (cu.x0 >> 1) + n]
-            else:
-                pred = predict_block(self.st, c_idx, xc, yc, n, cu.chroma_mode)
-            src = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64)
-            resid = src - pred
-            coeff = forward_transform(resid, self.st.bit_depth, dst=False)
-            levels = self._quant(coeff, self.st.qp_c,
-                                 is_intra=not cu.is_inter)
-            cu.chroma_levels[(c_idx, xc, yc)] = levels
-            cu.chroma_cbf[(c_idx, xc, yc)] = int(levels.any())
-            reconstruct_tb(self.st, c_idx, xc, yc, n, pred, levels,
-                           is_intra=not cu.is_inter)
+            for sub, (xc, yc, log2c) in enumerate(
+                    self._chroma_leaf_tbs(x0, y0, log2)):
+                n = 1 << log2c
+                if cu.is_inter:
+                    cy0, cx0 = cu.y0 >> st.ss_y, cu.x0 >> st.ss_x
+                    pred = cu.pred[c_idx][yc - cy0:yc - cy0 + n,
+                                          xc - cx0:xc - cx0 + n]
+                else:
+                    pred = predict_block(st, c_idx, xc, yc, n,
+                                         cu.chroma_mode_at(xc, yc))
+                src = self.src[c_idx][yc:yc + n, xc:xc + n].astype(np.int64)
+                coeff = forward_transform(src - pred, st.bit_depth, dst=False)
+                levels = self._quant(coeff, st.qp_c, is_intra=not cu.is_inter)
+                cu.chroma_levels[(c_idx, xc, yc)] = levels
+                cu.chroma_cbf[(c_idx, x0, y0, log2, sub)] = int(levels.any())
+                reconstruct_tb(st, c_idx, xc, yc, n, pred, levels,
+                               is_intra=not cu.is_inter)
 
-    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, split):
-        cbf = cu.chroma_cbf[(c_idx, x0 >> 1, y0 >> 1)]
+    def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub):
+        cbf = cu.chroma_cbf[(c_idx, x0, y0, log2, sub)]
         self.bac.encode_bin(Ctx.CBF_CHROMA + depth, cbf)
         return cbf
 
@@ -1132,10 +1207,15 @@ class CtuEncoder(CtuCoderBase):
             scan = select_scan(log2, 0, mode)
             encode_residual(self.bac, cu.luma_levels[(x0, y0)], 0, scan)
 
-    def tb_chroma(self, cu, xc, yc, log2c, cbf_cb, cbf_cr):
-        mode = cu.chroma_mode
-        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
-            if cbf:
-                scan = select_scan(log2c, 1, mode)
-                encode_residual(self.bac, cu.chroma_levels[(c_idx, xc, yc)],
-                                c_idx, scan)
+    def tb_chroma(self, cu, nx, ny, nlog2, cbf_cb, cbf_cr):
+        tbs = self._chroma_leaf_tbs(nx, ny, nlog2)
+        c444 = self.st.chroma_format == 3
+        for c_idx, cbfs in ((1, cbf_cb), (2, cbf_cr)):
+            for sub, (xc, yc, log2c) in enumerate(tbs):
+                if cbfs[sub]:
+                    mode = (None if cu.is_inter
+                            else cu.chroma_mode_at(xc, yc))
+                    scan = select_scan(log2c, 1, mode, chroma444=c444)
+                    encode_residual(self.bac,
+                                    cu.chroma_levels[(c_idx, xc, yc)],
+                                    c_idx, scan)

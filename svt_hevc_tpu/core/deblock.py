@@ -142,13 +142,15 @@ def _filter_luma_vertical(plane: np.ndarray, bs: np.ndarray, qp: int,
 
 def _filter_chroma_vertical(plane: np.ndarray, bs_luma: np.ndarray,
                             qp_c: int, bit_depth: int,
-                            tc_offset: int = 0) -> None:
+                            tc_offset: int = 0, ss_edge: int = 1,
+                            ss_along: int = 1) -> None:
     """Filter vertical chroma edges (only segments with bS == 2, 8.7.2.5.5)
-    on the 8x8 *chroma* grid: luma edge columns at multiples of 16 =>
-    chroma columns at multiples of 8.
+    on the 8x8 *chroma*-sample grid.
 
-    bs_luma: the luma (H//4, W//8) bS map; entries with even column index
-    correspond to chroma edges; each luma 4-row segment is 2 chroma rows.
+    bs_luma: the luma (H//4, W//8) bS map. ss_edge: chroma subsampling
+    across the edge (selects every 2nd bS column for 4:2:0/4:2:2 vertical
+    edges); ss_along: subsampling along the edge (each luma 4-row segment
+    is 4 >> ss_along chroma rows).
     """
     maxval = (1 << bit_depth) - 1
     qt = min(max(qp_c + 2 + (tc_offset << 1), 0), 53)
@@ -156,17 +158,18 @@ def _filter_chroma_vertical(plane: np.ndarray, bs_luma: np.ndarray,
     if tc == 0:
         return
 
-    seg = bs_luma[:, ::2] == 2
+    seg = (bs_luma[:, ::1 << ss_edge] == 2).copy()
     seg[:, 0] = False
     ys, xs = np.nonzero(seg)
     if ys.size == 0:
         return
-    y0 = ys * 2              # chroma rows
+    seg_h = 4 >> ss_along
+    y0 = ys * seg_h          # chroma rows
     x0 = xs * 8              # chroma cols
 
-    rows = y0[:, None] + np.arange(2)
+    rows = y0[:, None] + np.arange(seg_h)
     cols = x0[:, None] + np.arange(-2, 2)
-    blk = plane[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (S,2,4)
+    blk = plane[rows[:, :, None], cols[:, None, :]].astype(np.int64)  # (S,sh,4)
     p1, p0, q0, q1 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
     delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
     blk[..., 1] = _clip3(0, maxval, p0 + delta)
@@ -261,7 +264,7 @@ def deblock_picture(st: PictureState, *, beta_offset: int = 0,
     """Apply the full in-loop deblocking filter to the picture in place.
     Order per spec: all vertical edges first, then all horizontal edges."""
     qp = st.qp
-    qp_c = chroma_qp(qp)
+    qp_c = chroma_qp(qp, 0, st.chroma_format)
     bd = st.bit_depth
 
     bs_v = derive_bs_vertical(st)
@@ -274,7 +277,9 @@ def deblock_picture(st: PictureState, *, beta_offset: int = 0,
     st.planes[0][:] = yt.T
 
     for c_idx in (1, 2):
-        _filter_chroma_vertical(st.planes[c_idx], bs_v, qp_c, bd, tc_offset)
+        _filter_chroma_vertical(st.planes[c_idx], bs_v, qp_c, bd, tc_offset,
+                                ss_edge=st.ss_x, ss_along=st.ss_y)
         ct = np.ascontiguousarray(st.planes[c_idx].T)
-        _filter_chroma_vertical(ct, bs_h.T, qp_c, bd, tc_offset)
+        _filter_chroma_vertical(ct, bs_h.T, qp_c, bd, tc_offset,
+                                ss_edge=st.ss_y, ss_along=st.ss_x)
         st.planes[c_idx][:] = ct.T

@@ -94,11 +94,23 @@ def interp_luma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
     return np.clip(out, 0, maxval).astype(np.int32)
 
 
+def chroma_mv_split(mv_comp: int, ss: int) -> tuple[int, int]:
+    """(integer chroma-sample offset, eighth-pel filter phase) of one MV
+    component (8.5.3.2.2): a subsampled axis uses the quarter-luma-pel MV
+    as eighth-chroma-pel directly; an unsubsampled axis (4:2:2 vertical,
+    4:4:4) doubles the quarter-pel fraction to the eighth-pel phase."""
+    if ss:
+        return mv_comp >> 3, mv_comp & 7
+    return mv_comp >> 2, (mv_comp & 3) << 1
+
+
 def interp_chroma_raw(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
-                      mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
+                      mvx: int, mvy: int, bit_depth: int = 8,
+                      ss_x: int = 1, ss_y: int = 1) -> np.ndarray:
     """Chroma interpolation to the 14-bit intermediate domain."""
-    ix, fx = x0 + (mvx >> 3), mvx & 7
-    iy, fy = y0 + (mvy >> 3), mvy & 7
+    dx, fx = chroma_mv_split(mvx, ss_x)
+    dy, fy = chroma_mv_split(mvy, ss_y)
+    ix, iy = x0 + dx, y0 + dy
     shift1 = bit_depth - 8
 
     if fx == 0 and fy == 0:
@@ -123,33 +135,36 @@ def interp_chroma_raw(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
 
 
 def interp_chroma(ref: np.ndarray, x0: int, y0: int, n_w: int, n_h: int,
-                  mvx: int, mvy: int, bit_depth: int = 8) -> np.ndarray:
-    """Uni-pred chroma MCP: chroma-plane coords, MV in eighth-chroma-pel
-    (i.e. the luma quarter-pel MV used directly for 4:2:0)."""
+                  mvx: int, mvy: int, bit_depth: int = 8,
+                  ss_x: int = 1, ss_y: int = 1) -> np.ndarray:
+    """Uni-pred chroma MCP: chroma-plane coords, quarter-luma-pel MV."""
     maxval = (1 << bit_depth) - 1
-    if (mvx & 7) == 0 and (mvy & 7) == 0:
-        return _gather_window(ref, x0 + (mvx >> 3), y0 + (mvy >> 3),
+    dx, fx = chroma_mv_split(mvx, ss_x)
+    dy, fy = chroma_mv_split(mvy, ss_y)
+    if fx == 0 and fy == 0:
+        return _gather_window(ref, x0 + dx, y0 + dy,
                               n_w, n_h).astype(np.int32)
-    raw = interp_chroma_raw(ref, x0, y0, n_w, n_h, mvx, mvy, bit_depth)
+    raw = interp_chroma_raw(ref, x0, y0, n_w, n_h, mvx, mvy, bit_depth,
+                            ss_x, ss_y)
     shift = 14 - bit_depth
     out = (raw + (1 << (shift - 1))) >> shift
     return np.clip(out, 0, maxval).astype(np.int32)
 
 
 def mc_predict_uni(ref_planes, x0: int, y0: int, n: int, mv,
-                   bit_depth: int = 8):
-    """Uni-predict luma (n x n at x0,y0) + both chroma (n/2)."""
+                   bit_depth: int = 8, ss_x: int = 1, ss_y: int = 1):
+    """Uni-predict luma (n x n at x0,y0) + both chroma planes."""
     mvx, mvy = int(mv[0]), int(mv[1])
     py = interp_luma(ref_planes[0], x0, y0, n, n, mvx, mvy, bit_depth)
-    pcb = interp_chroma(ref_planes[1], x0 >> 1, y0 >> 1, n >> 1, n >> 1,
-                        mvx, mvy, bit_depth)
-    pcr = interp_chroma(ref_planes[2], x0 >> 1, y0 >> 1, n >> 1, n >> 1,
-                        mvx, mvy, bit_depth)
+    pcb = interp_chroma(ref_planes[1], x0 >> ss_x, y0 >> ss_y,
+                        n >> ss_x, n >> ss_y, mvx, mvy, bit_depth, ss_x, ss_y)
+    pcr = interp_chroma(ref_planes[2], x0 >> ss_x, y0 >> ss_y,
+                        n >> ss_x, n >> ss_y, mvx, mvy, bit_depth, ss_x, ss_y)
     return py, pcb, pcr
 
 
 def mc_predict_bi(ref0, mv0, ref1, mv1, x0: int, y0: int, n: int,
-                  bit_depth: int = 8):
+                  bit_depth: int = 8, ss_x: int = 1, ss_y: int = 1):
     """Bi-prediction: average the two 14-bit intermediates (8.5.4.2.3.2,
     default weighted sample prediction)."""
     shift = 15 - bit_depth
@@ -163,16 +178,20 @@ def mc_predict_bi(ref0, mv0, ref1, mv1, x0: int, y0: int, n: int,
             b = interp_luma_raw(ref1[0], x0, y0, n, n,
                                 int(mv1[0]), int(mv1[1]), bit_depth)
         else:
-            a = interp_chroma_raw(ref0[c_idx], x0 >> 1, y0 >> 1, n >> 1,
-                                  n >> 1, int(mv0[0]), int(mv0[1]), bit_depth)
-            b = interp_chroma_raw(ref1[c_idx], x0 >> 1, y0 >> 1, n >> 1,
-                                  n >> 1, int(mv1[0]), int(mv1[1]), bit_depth)
+            a = interp_chroma_raw(ref0[c_idx], x0 >> ss_x, y0 >> ss_y,
+                                  n >> ss_x, n >> ss_y,
+                                  int(mv0[0]), int(mv0[1]), bit_depth,
+                                  ss_x, ss_y)
+            b = interp_chroma_raw(ref1[c_idx], x0 >> ss_x, y0 >> ss_y,
+                                  n >> ss_x, n >> ss_y,
+                                  int(mv1[0]), int(mv1[1]), bit_depth,
+                                  ss_x, ss_y)
         out.append(np.clip((a + b + off) >> shift, 0, maxval).astype(np.int32))
     return tuple(out)
 
 
 def mc_predict(ref_planes, x0: int, y0: int, n: int, mv, bit_depth: int = 8):
-    """Back-compat alias for uni-prediction."""
+    """Back-compat alias for uni-prediction (4:2:0)."""
     return mc_predict_uni(ref_planes, x0, y0, n, mv, bit_depth)
 
 

@@ -116,9 +116,11 @@ def build_ref_samples(plane: np.ndarray, avail4: np.ndarray, x0: int, y0: int,
 
 def filter_ref_samples(left: np.ndarray, corner: int, top: np.ndarray,
                        n: int, mode: int, c_idx: int, bit_depth: int = 8,
-                       strong_smoothing: bool = False) -> tuple:
-    """Mode-dependent [1 2 1] smoothing (8.4.4.2.3); luma only."""
-    if c_idx != 0 or not _filter_flag(mode, n):
+                       strong_smoothing: bool = False,
+                       chroma444: bool = False) -> tuple:
+    """Mode-dependent [1 2 1] smoothing (8.4.4.2.3): luma, and chroma when
+    ChromaArrayType is 3 (REXT)."""
+    if (c_idx != 0 and not chroma444) or not _filter_flag(mode, n):
         return left, corner, top
     n2 = 2 * n
     if strong_smoothing and n == 32:
@@ -156,13 +158,18 @@ def _filter_flag(mode: int, n: int) -> bool:
 
 
 def predict_intra(left: np.ndarray, corner: int, top: np.ndarray, n: int,
-                  mode: int, c_idx: int = 0, bit_depth: int = 8) -> np.ndarray:
-    """Predict an (n, n) block [y][x] from (already filtered) references."""
+                  mode: int, c_idx: int = 0, bit_depth: int = 8,
+                  chroma444: bool = False) -> np.ndarray:
+    """Predict an (n, n) block [y][x] from (already filtered) references.
+    The DC / pure-H / pure-V boundary filters apply to luma and, under
+    REXT, to 4:4:4 chroma (8.4.4.2.5/8.4.4.2.6: cIdx == 0 or
+    ChromaArrayType == 3)."""
+    ci = 0 if chroma444 else c_idx
     if mode == PLANAR:
         return _predict_planar(left, corner, top, n)
     if mode == DC:
-        return _predict_dc(left, corner, top, n, c_idx, bit_depth)
-    return _predict_angular(left, corner, top, n, mode, c_idx, bit_depth)
+        return _predict_dc(left, corner, top, n, ci, bit_depth)
+    return _predict_angular(left, corner, top, n, mode, ci, bit_depth)
 
 
 def _predict_planar(left, corner, top, n):

@@ -39,16 +39,17 @@ class _Region:
 
     def __init__(self, st: PictureState, x0: int, y0: int, n: int):
         self.x0, self.y0, self.n = x0, y0, n
-        xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
+        xc, yc = x0 >> st.ss_x, y0 >> st.ss_y
+        ncx, ncy = n >> st.ss_x, n >> st.ss_y
         self.planes = (
             st.planes[0][y0:y0 + n, x0:x0 + n].copy(),
-            st.planes[1][yc:yc + nc, xc:xc + nc].copy(),
-            st.planes[2][yc:yc + nc, xc:xc + nc].copy(),
+            st.planes[1][yc:yc + ncy, xc:xc + ncx].copy(),
+            st.planes[2][yc:yc + ncy, xc:xc + ncx].copy(),
         )
         self.avail = (
             st.avail[0][y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy(),
-            st.avail[1][yc >> 2:(yc + nc) >> 2, xc >> 2:(xc + nc) >> 2].copy(),
-            st.avail[2][yc >> 2:(yc + nc) >> 2, xc >> 2:(xc + nc) >> 2].copy(),
+            st.avail[1][yc >> 2:(yc + ncy) >> 2, xc >> 2:(xc + ncx) >> 2].copy(),
+            st.avail[2][yc >> 2:(yc + ncy) >> 2, xc >> 2:(xc + ncx) >> 2].copy(),
         )
         self.mode = st.luma_mode[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy()
         self.depth = st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].copy()
@@ -62,13 +63,14 @@ class _Region:
 
     def restore(self, st: PictureState) -> None:
         x0, y0, n = self.x0, self.y0, self.n
-        xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
+        xc, yc = x0 >> st.ss_x, y0 >> st.ss_y
+        ncx, ncy = n >> st.ss_x, n >> st.ss_y
         st.planes[0][y0:y0 + n, x0:x0 + n] = self.planes[0]
-        st.planes[1][yc:yc + nc, xc:xc + nc] = self.planes[1]
-        st.planes[2][yc:yc + nc, xc:xc + nc] = self.planes[2]
+        st.planes[1][yc:yc + ncy, xc:xc + ncx] = self.planes[1]
+        st.planes[2][yc:yc + ncy, xc:xc + ncx] = self.planes[2]
         st.avail[0][y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.avail[0]
-        st.avail[1][yc >> 2:(yc + nc) >> 2, xc >> 2:(xc + nc) >> 2] = self.avail[1]
-        st.avail[2][yc >> 2:(yc + nc) >> 2, xc >> 2:(xc + nc) >> 2] = self.avail[2]
+        st.avail[1][yc >> 2:(yc + ncy) >> 2, xc >> 2:(xc + ncx) >> 2] = self.avail[1]
+        st.avail[2][yc >> 2:(yc + ncy) >> 2, xc >> 2:(xc + ncx) >> 2] = self.avail[2]
         st.luma_mode[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.mode
         st.cqt_depth[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = self.depth
         st.edge_v[y0 >> 2:(y0 + n) >> 2, x0 >> 3:(x0 + n) >> 3] = self.edge_v
@@ -125,12 +127,14 @@ class RdSearch:
     # ------------------------------------------------------------- recursion
     def _ssd(self, x0: int, y0: int, n: int) -> float:
         st, src = self.st, self.src
-        xc, yc, nc = x0 >> 1, y0 >> 1, n >> 1
+        xc, yc = x0 >> st.ss_x, y0 >> st.ss_y
+        ncx, ncy = n >> st.ss_x, n >> st.ss_y
         d = 0.0
-        for c_idx, (px, py, pn) in ((0, (x0, y0, n)), (1, (xc, yc, nc)),
-                                    (2, (xc, yc, nc))):
-            a = st.planes[c_idx][py:py + pn, px:px + pn].astype(np.int64)
-            b = src[c_idx][py:py + pn, px:px + pn].astype(np.int64)
+        for c_idx, (px, py, pw, ph) in (
+                (0, (x0, y0, n, n)), (1, (xc, yc, ncx, ncy)),
+                (2, (xc, yc, ncx, ncy))):
+            a = st.planes[c_idx][py:py + ph, px:px + pw].astype(np.int64)
+            b = src[c_idx][py:py + ph, px:px + pw].astype(np.int64)
             d += float(((a - b) ** 2).sum())
         return d
 

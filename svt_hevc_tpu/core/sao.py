@@ -206,7 +206,8 @@ def apply_sao(st, grid: list[list[SaoCtbParams]],
         c01 = min(comp, 1)
         plane = st.planes[comp]
         pre = plane.copy()
-        cs = ctb if comp == 0 else ctb // 2
+        csx = ctb if comp == 0 else ctb >> st.ss_x
+        csy = ctb if comp == 0 else ctb >> st.ss_y
         cat_maps = {}
         band = None
         for cy in range(ny):
@@ -215,9 +216,9 @@ def apply_sao(st, grid: list[list[SaoCtbParams]],
                 t = p.type_idx[c01]
                 if t == SAO_OFF:
                     continue
-                y0, x0 = cy * cs, cx * cs
-                y1 = min(y0 + cs, plane.shape[0])
-                x1 = min(x0 + cs, plane.shape[1])
+                y0, x0 = cy * csy, cx * csx
+                y1 = min(y0 + csy, plane.shape[0])
+                x1 = min(x0 + csx, plane.shape[1])
                 rect = pre[y0:y1, x0:x1]
                 if t == SAO_EDGE:
                     ec = p.eo_class[c01]
@@ -252,7 +253,8 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
         c01 = min(comp, 1)
         plane = st.planes[comp]
         source = src[comp]
-        cs = ctb if comp == 0 else ctb // 2
+        csx = ctb if comp == 0 else ctb >> st.ss_x
+        csy = ctb if comp == 0 else ctb >> st.ss_y
         diff = source.astype(np.int64) - plane.astype(np.int64)
         cat_maps = [_eo_category_map(plane, ec) for ec in range(4)]
         band = _band_map(plane, st.bit_depth)
@@ -260,9 +262,9 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
 
         for cy in range(ny):
             for cx in range(nx):
-                y0, x0 = cy * cs, cx * cs
-                y1 = min(y0 + cs, plane.shape[0])
-                x1 = min(x0 + cs, plane.shape[1])
+                y0, x0 = cy * csy, cx * csx
+                y1 = min(y0 + csy, plane.shape[0])
+                x1 = min(x0 + csx, plane.shape[1])
                 d = diff[y0:y1, x0:x1]
                 p = grid[cy][cx]
 

@@ -61,7 +61,7 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, dpb):
     hdr = parse_slice_header(rbsp, nal_type, sps, pps)
 
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
-                      sps.bit_depth)
+                      sps.bit_depth, chroma_format=sps.chroma_format_idc)
     st.constrained_intra = pps.constrained_intra
     if hdr.slice_type != 2:
         # reference list construction (8.3.4) with one active ref per
@@ -127,14 +127,17 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, dpb):
     if sao_on:
         apply_sao(st, sao_grid, hdr.sao_luma, hdr.sao_chroma)
 
-    # conformance window crop (offsets are in chroma units for 4:2:0)
+    # conformance window crop (offsets in SubWidthC/SubHeightC luma units)
     left, right, top, bottom = sps.conf_win
-    w = sps.width - 2 * (left + right)
-    h = sps.height - 2 * (top + bottom)
+    swc = 2 if sps.chroma_format_idc in (1, 2) else 1
+    shc = 2 if sps.chroma_format_idc == 1 else 1
+    w = sps.width - swc * (left + right)
+    h = sps.height - shc * (top + bottom)
     dt = np.uint8 if sps.bit_depth == 8 else np.uint16
+    lx, ly = swc * left, shc * top
     frame = Frame(
-        y=st.planes[0][2 * top:2 * top + h, 2 * left:2 * left + w].astype(dt),
-        cb=st.planes[1][top:top + h // 2, left:left + w // 2].astype(dt),
-        cr=st.planes[2][top:top + h // 2, left:left + w // 2].astype(dt),
+        y=st.planes[0][ly:ly + h, lx:lx + w].astype(dt),
+        cb=st.planes[1][top:top + (h // shc), left:left + (w // swc)].astype(dt),
+        cr=st.planes[2][top:top + (h // shc), left:left + (w // swc)].astype(dt),
     )
     return frame, [p.copy() for p in st.planes], hdr.poc

@@ -15,7 +15,8 @@ import numpy as np
 
 @dataclass
 class Frame:
-    """One planar YUV frame. y: (H, W); cb/cr: (H/2, W/2) for 4:2:0."""
+    """One planar YUV frame. y: (H, W); cb/cr: (H/2, W/2) for 4:2:0,
+    (H, W/2) for 4:2:2, (H, W) for 4:4:4."""
     y: np.ndarray
     cb: np.ndarray
     cr: np.ndarray
@@ -40,36 +41,43 @@ class Frame:
         return tuple(out)  # type: ignore[return-value]
 
 
-def read_yuv420(f: BinaryIO | str, width: int, height: int,
-                max_frames: int | None = None,
-                bit_depth: int = 8) -> Iterator[Frame]:
-    """Iterate planar 4:2:0 frames from a raw YUV file. 10-bit input uses
-    2 bytes/sample little-endian (the reference's "unpacked" mode,
-    EbApi.h compressedTenBitFormat=0)."""
+def read_yuv(f: BinaryIO | str, width: int, height: int,
+             max_frames: int | None = None, bit_depth: int = 8,
+             chroma_format: int = 1) -> Iterator[Frame]:
+    """Iterate planar YUV frames (P420/P422/P444) from a raw file. 10-bit
+    input uses 2 bytes/sample little-endian (the reference's "unpacked"
+    mode, EbApi.h compressedTenBitFormat=0)."""
     close = False
     if isinstance(f, str):
         f = open(f, "rb")
         close = True
     dt = np.uint8 if bit_depth == 8 else np.dtype("<u2")
-    bps = dt.itemsize if hasattr(dt, "itemsize") else np.dtype(dt).itemsize
+    bps = np.dtype(dt).itemsize
+    cw = width // (2 if chroma_format in (1, 2) else 1)
+    ch = height // (2 if chroma_format == 1 else 1)
     try:
-        ysz, csz = width * height, (width // 2) * (height // 2)
-        nbytes = (ysz + 2 * csz) * np.dtype(dt).itemsize
+        ysz, csz = width * height, cw * ch
+        nbytes = (ysz + 2 * csz) * bps
         n = 0
         while max_frames is None or n < max_frames:
             buf = f.read(nbytes)
             if len(buf) < nbytes:
                 return
             y = np.frombuffer(buf, dt, ysz).reshape(height, width)
-            cb = np.frombuffer(buf, dt, csz, ysz * np.dtype(dt).itemsize
-                               ).reshape(height // 2, width // 2)
-            cr = np.frombuffer(buf, dt, csz, (ysz + csz) * np.dtype(dt).itemsize
-                               ).reshape(height // 2, width // 2)
+            cb = np.frombuffer(buf, dt, csz, ysz * bps).reshape(ch, cw)
+            cr = np.frombuffer(buf, dt, csz, (ysz + csz) * bps).reshape(ch, cw)
             yield Frame(y.copy(), cb.copy(), cr.copy())
             n += 1
     finally:
         if close:
             f.close()
+
+
+def read_yuv420(f: BinaryIO | str, width: int, height: int,
+                max_frames: int | None = None,
+                bit_depth: int = 8) -> Iterator[Frame]:
+    """Iterate planar 4:2:0 frames from a raw YUV file."""
+    yield from read_yuv(f, width, height, max_frames, bit_depth, 1)
 
 
 def write_yuv420(f: BinaryIO | str, frames) -> None:
@@ -89,7 +97,7 @@ def write_yuv420(f: BinaryIO | str, frames) -> None:
 
 
 def read_y4m(f: BinaryIO | str, max_frames: int | None = None) -> Iterator[Frame]:
-    """Iterate frames from a Y4M container (C420 8-bit only).
+    """Iterate frames from a Y4M container (C420 / C422 / C444, 8-bit).
 
     Header parsing mirrors the reference's Y4M reader
     (Source/App/EbAppInputy4m.c) without the interlacing/aspect plumbing.
@@ -109,13 +117,23 @@ def read_y4m(f: BinaryIO | str, max_frames: int | None = None) -> Iterator[Frame
         if fields[0] != "YUV4MPEG2":
             raise ValueError("not a y4m stream")
         width = height = 0
+        chroma_format = 1
         for tok in fields[1:]:
             if tok[0] == "W":
                 width = int(tok[1:])
             elif tok[0] == "H":
                 height = int(tok[1:])
-            elif tok[0] == "C" and not tok[1:].startswith("420"):
-                raise NotImplementedError(f"y4m chroma format {tok} unsupported")
+            elif tok[0] == "C":
+                cs = tok[1:]
+                if cs.startswith("420"):
+                    chroma_format = 1
+                elif cs.startswith("422"):
+                    chroma_format = 2
+                elif cs.startswith("444"):
+                    chroma_format = 3
+                else:
+                    raise NotImplementedError(
+                        f"y4m chroma format {tok} unsupported")
         if not width or not height:
             raise ValueError("y4m header missing W/H")
         n = 0
@@ -132,7 +150,8 @@ def read_y4m(f: BinaryIO | str, max_frames: int | None = None) -> Iterator[Frame
                 line += c
             if not line.startswith(b"FRAME"):
                 raise ValueError("bad y4m frame marker")
-            frames = read_yuv420(f, width, height, max_frames=1)
+            frames = read_yuv(f, width, height, max_frames=1,
+                              chroma_format=chroma_format)
             fr = next(iter(frames), None)
             if fr is None:
                 return

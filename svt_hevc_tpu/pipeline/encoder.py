@@ -183,10 +183,11 @@ class Encoder:
             refs_l1 = list(refs_l0)          # low-delay B: L1 = L0
         init_type = {2: 0, 1: 1, 0: 2}[slice_type]
         cw, ch = cfg.coded_width, cfg.coded_height
+        cw_c, ch_c = cw // cfg.sub_width_c, ch // cfg.sub_height_c
         src = [
             pad_plane(frame.y.astype(np.int32), cw, ch),
-            pad_plane(frame.cb.astype(np.int32), cw // 2, ch // 2),
-            pad_plane(frame.cr.astype(np.int32), cw // 2, ch // 2),
+            pad_plane(frame.cb.astype(np.int32), cw_c, ch_c),
+            pad_plane(frame.cr.astype(np.int32), cw_c, ch_c),
         ]
         ctb = cfg.ctb_size
         n_ctb_x = (cw + ctb - 1) // ctb
@@ -206,7 +207,8 @@ class Encoder:
         last_xy = tiles[-1][0][-1]
 
         def new_state():
-            s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth)
+            s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,
+                             chroma_format=cfg.chroma_format)
             s.constrained_intra = cfg.constrained_intra
             if not is_idr:
                 s.slice_type = slice_type
@@ -305,10 +307,11 @@ class Encoder:
         # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
         # bit-identical pre-filter by construction
         dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+        hc, wc = frame.cb.shape
         recon = Frame(
             y=st.planes[0][:frame.height, :frame.width].astype(dt),
-            cb=st.planes[1][:frame.height // 2, :frame.width // 2].astype(dt),
-            cr=st.planes[2][:frame.height // 2, :frame.width // 2].astype(dt),
+            cb=st.planes[1][:hc, :wc].astype(dt),
+            cr=st.planes[2][:hc, :wc].astype(dt),
         )
         pic = EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
         pic.ref_planes = self._ref_planes
