@@ -47,6 +47,9 @@ class EncoderConfig:
     target_bitrate: int = 0      # bits/s (rate_control_mode 1)
     vbv_maxrate: int = 0         # bits/s
     vbv_bufsize: int = 0         # bits
+    look_ahead_distance: int = -1   # -1 = auto (17 for VBR, like the
+                                 # reference default EbEncHandle.c:1888);
+                                 # 0 = reactive only; N = window length
 
     # --- block structure ---
     ctb_size: int = 32           # luma CTB size (32 or 64)
@@ -167,7 +170,16 @@ class EncoderConfig:
             raise ValueError("rate_control_mode must be 0 (CQP) or 1 (VBR)")
         if self.rate_control_mode == 1 and self.target_bitrate <= 0:
             raise ValueError("VBR requires a positive target_bitrate")
+        if not (-1 <= self.look_ahead_distance <= 250):
+            raise ValueError("look_ahead_distance out of range [-1, 250]")
         return self
+
+    @property
+    def lookahead(self) -> int:
+        """Resolved lookahead window length."""
+        if self.look_ahead_distance >= 0:
+            return self.look_ahead_distance
+        return 17 if self.rate_control_mode == 1 else 0
 
     def replace(self, **kw) -> "EncoderConfig":
         return dataclasses.replace(self, **kw)

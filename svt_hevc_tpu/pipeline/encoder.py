@@ -328,11 +328,15 @@ class Encoder:
             return self._encode_random_access(list(frames), rd=rd)
         from .rate_control import RateControl
         rc = RateControl(self.cfg)
+        la = (self.cfg.lookahead
+              if rc.mode == 1 and rc.target_bits and frame_qps is None else 0)
+        stream = (self._la_frames(frames, la) if la > 0
+                  else ((fr, None) for fr in frames))
         chunks = [self.headers()]
         recons = []
         prev_y = None
         b_slices = self.cfg.pred_structure == 1     # low-delay B
-        for fr in frames:
+        for fr, window in stream:
             idx = self._frame_idx
             self._frame_idx += 1
             is_idr = self._frame_is_idr(idx)
@@ -347,7 +351,7 @@ class Encoder:
             if frame_qps is not None and idx < len(frame_qps):
                 qp = int(frame_qps[idx])
             else:
-                qp = rc.pick_qp(is_idr)
+                qp = rc.pick_qp(is_idr, window=window)
             t0 = _time.perf_counter()
             pic = self.encode_frame(
                 fr, rd=rd, is_idr=is_idr,
@@ -360,10 +364,69 @@ class Encoder:
                 elif fps > 2.0 * self._speed_target_fps:
                     self._dyn_enc_mode = max(self._dyn_enc_mode - 1,
                                              self.cfg.enc_mode)
-            rc.update(8 * len(pic.nal_bytes), qp)
+            if window is not None:
+                rc.update_lookahead(8 * len(pic.nal_bytes), qp, window[0],
+                                    is_idr=is_idr)
+            else:
+                rc.update(8 * len(pic.nal_bytes), qp)
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons
+
+    # ------------------------------------------------------------ lookahead
+    @staticmethod
+    def _la_complexities(lumas: list[np.ndarray], prev_y) -> list[float]:
+        """Per-picture complexities for the lookahead RC: one batched TPU
+        graph (tpu.analysis.lookahead_stats) over [prev] + lumas. The
+        zero-MV decimated SAD vs the predecessor is the complexity; the
+        stream's very first picture (no predecessor) falls back to a
+        variance-derived intra proxy."""
+        import jax.numpy as jnp
+
+        from ..tpu.analysis import lookahead_stats
+        h, w = lumas[0].shape
+        h4, w4 = (h + 3) // 4 * 4, (w + 3) // 4 * 4
+        first = prev_y if prev_y is not None else lumas[0]
+        stack = np.stack([pad_plane(p.astype(np.int32), w4, h4)
+                          for p in [first] + lumas])
+        st = lookahead_stats(jnp.asarray(stack))
+        zz = np.asarray(st["zz_sad"], np.float64)
+        if prev_y is None:
+            var = float(np.asarray(st["variance"])[0])
+            zz[0] = max(float(np.sqrt(var)) / 4.0, 1e-3)
+        return [max(float(c), 1e-3) for c in zz]
+
+    def _la_frames(self, frames, la: int):
+        """Sliding lookahead queue (reference analogue: the lookahead
+        window between PictureDecision and RateControl,
+        EbInitialRateControlProcess.c:849). Yields (frame, window) where
+        window = [this frame's complexity, next <= la complexities];
+        refills in (la+1)-frame batches so the TPU stats stay batched."""
+        import itertools
+
+        from collections import deque
+        it = iter(frames)
+        buf: deque = deque()            # (frame, complexity)
+        prev_y = None
+        done = False
+        while True:
+            if not done and len(buf) < la + 1:
+                batch = []
+                while len(batch) < 2 * (la + 1) - len(buf):
+                    try:
+                        batch.append(next(it))
+                    except StopIteration:
+                        done = True
+                        break
+                if batch:
+                    ys = [np.asarray(f.y) for f in batch]
+                    cxs = self._la_complexities(ys, prev_y)
+                    prev_y = ys[-1]
+                    buf.extend(zip(batch, cxs))
+            if not buf:
+                return
+            fr, c0 = buf.popleft()
+            yield fr, [c0] + [c for _, c in itertools.islice(buf, la)]
 
     def _encode_random_access(self, frames, *, rd=None):
         """Hierarchical-B mini-GOPs (reference analogue: random-access

@@ -1,13 +1,26 @@
-"""Rate control: CQP and frame-level ABR with a VBV clamp.
+"""Rate control: CQP, frame-level ABR, lookahead high-level VBR, VBV clamp.
 
-Round-1 scope of the reference's rate-control process (reference:
+Analogue of the reference's rate-control stack (reference:
 Source/Lib/Codec/EbRateControlProcess.c — CQP path :2422, VBR
 HighLevelRcInputPictureMode2 :296 / FrameLevelRcInputPictureMode2 :878,
-VBV Vbv_Buf_Calc :2177): a pure host-side pytree-of-scalars controller.
-Frame QP adapts multiplicatively toward the target bits/frame from the
-running complexity estimate; the VBV model clamps QP upward when the
-buffer would underflow. State is trivially checkpointable (plain attrs),
-matching the survey note (SURVEY.md §5 checkpoint/resume).
+feedback :1664/:2088, VBV Vbv_Buf_Calc :2177; lookahead window feed
+EbInitialRateControlProcess.c:849): a pure host-side
+pytree-of-scalars controller.
+
+Two VBR operating points:
+ - reactive (no lookahead): frame QP adapts multiplicatively toward the
+   target bits/frame from a running complexity estimate;
+ - lookahead high-level RC: the window's per-picture complexities
+   (TPU-batched decimated zero-MV SADs, svt_hevc_tpu.tpu.analysis
+   .lookahead_stats) apportion the window bit budget per picture
+   (the reference's histogram-queue bit budgeting), and a calibrated
+   bits = gain * complexity * 2^(-qp/6) model converts the picture target
+   to QP, with feedback updating the gain and a deficit term steering the
+   long-run average to the target.
+
+The VBV model clamps QP upward when the buffer would underflow. State is
+trivially checkpointable (plain attrs), matching the survey note
+(SURVEY.md §5 checkpoint/resume).
 """
 
 from __future__ import annotations
@@ -36,10 +49,21 @@ class RateControl:
         self.vbv_maxrate = float(cfg.vbv_maxrate or cfg.target_bitrate or 0)
         self.vbv_fill = self.vbv_bufsize * 0.9
 
+        # lookahead high-level RC state (used when a stats window is given):
+        # per-picture-type rate-model gain, bits = gain * cplx * 2^(-qp/6)
+        # (the reference keeps distinct I/P models, EbRateControlProcess.c
+        # rate tables per slice type)
+        self._gain: dict = {}
+        self._deficit = 0.0        # coded bits minus budget so far
+
     # ------------------------------------------------------------------ api
-    def pick_qp(self, is_idr: bool) -> int:
+    def pick_qp(self, is_idr: bool, window=None) -> int:
+        """window: optional list of per-picture complexities (current frame
+        first, then the lookahead frames) from the TPU lookahead stats."""
         if self.mode == 0 or not self.target_bits:
             return self.cfg.qp
+        if window:
+            return self._pick_qp_lookahead(is_idr, window)
         qp = self.qp
         if self._cplx is not None:
             # predicted bits at current qp from the complexity model
@@ -55,6 +79,54 @@ class RateControl:
             if headroom < 0.15:
                 qp += 6.0 * (0.15 - headroom) / 0.15
         return int(min(max(round(qp), 1), 51))
+
+    # -------------------------------------------- lookahead high-level RC
+    def _pick_qp_lookahead(self, is_idr: bool, window) -> int:
+        """Apportion the window budget over the lookahead complexities
+        (reference HighLevelRcInputPictureMode2: bit budgeting across the
+        lookahead histogram queue), then map the picture target to QP via
+        the calibrated rate model."""
+        c0 = max(float(window[0]), 1e-3)
+        total = sum(max(float(c), 1e-3) for c in window)
+        budget = self.target_bits * len(window)
+        # steer the long-run average: repay the accumulated deficit over
+        # roughly one window
+        budget -= self._deficit
+        target = max(budget * c0 / total, self.target_bits * 0.1)
+        if is_idr:
+            # I pictures borrow from the window (repaid via the deficit)
+            target *= 2.5
+        gain = self._gain.get(is_idr, self._gain.get(not is_idr))
+        if gain is None:
+            # bootstrap: start from the configured QP, calibrate from frame 1
+            qp = self.qp
+        else:
+            qp = 6.0 * math.log2(max(gain * c0 / target, 1e-9))
+            # slew limit vs the previous picture (reference: QP smoothing)
+            qp = min(max(qp, self.qp - 6.0), self.qp + 6.0)
+        if self.vbv_bufsize > 0:
+            headroom = self.vbv_fill / self.vbv_bufsize
+            if headroom < 0.15:
+                qp += 6.0 * (0.15 - headroom) / 0.15
+        self.qp = min(max(qp, 1.0), 51.0)
+        return int(min(max(round(qp), 1), 51))
+
+    def update_lookahead(self, coded_bits: int, used_qp: int,
+                         cplx: float, is_idr: bool = False) -> None:
+        """Feedback for the lookahead model (reference
+        FrameLevelRcFeedbackPictureMode2 :1664): recalibrate the rate-model
+        gain and integrate the bit deficit."""
+        c = max(float(cplx), 1e-3)
+        g = coded_bits * 2.0 ** (used_qp / 6.0) / c
+        prev = self._gain.get(is_idr)
+        self._gain[is_idr] = g if prev is None else 0.6 * prev + 0.4 * g
+        self._deficit += coded_bits - self.target_bits
+        # cap runaway deficit (e.g. after a scene cut burst)
+        lim = 32.0 * self.target_bits
+        self._deficit = min(max(self._deficit, -lim), lim)
+        if self.vbv_bufsize > 0:
+            self.vbv_fill += self.vbv_maxrate / self.fps - coded_bits
+            self.vbv_fill = min(max(self.vbv_fill, 0.0), self.vbv_bufsize)
 
     def update(self, coded_bits: int, used_qp: int) -> None:
         if self.mode == 0 or not self.target_bits:

@@ -118,6 +118,34 @@ def block_variance(y: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 @jax.jit
+def lookahead_stats(ys: jnp.ndarray) -> dict:
+    """Batched lookahead statistics for a run of consecutive lumas.
+
+    ys: (T, H, W) — frame 0 is the predecessor of the window (the last
+    already-analyzed frame); stats are returned for frames 1..T-1.
+
+    One jit graph over the whole batch (the TPU-native shape of the
+    reference's per-picture lookahead kernels): 1/16-area decimation by
+    4x4 mean pooling (reference DecimateInputPicture,
+    EbPictureAnalysisProcess.c:4139), zero-MV decimated SAD vs the
+    previous frame (ComputeDecimatedZzSad,
+    EbMotionEstimationProcess.c:828), per-frame variance, and 32-bin luma
+    histograms (the scene-change / RC histogram queue feed,
+    EbInitialRateControlProcess.c:766).
+    """
+    yf = ys.astype(jnp.float32)
+    t, h, w = yf.shape
+    dec = yf.reshape(t, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
+    zz = jnp.abs(dec[1:] - dec[:-1]).mean(axis=(1, 2))       # (T-1,)
+    mean = yf.mean(axis=(1, 2))
+    var = ((yf - mean[:, None, None]) ** 2).mean(axis=(1, 2))
+    bins = jnp.clip(yf // 8.0, 0, 31).astype(jnp.int32)
+    hist = jax.vmap(lambda b: jnp.zeros(32, jnp.int32).at[b.ravel()].add(1))(
+        bins)                                                # (T, 32)
+    return {"zz_sad": zz, "variance": var[1:], "hist": hist[1:]}
+
+
+@jax.jit
 def analyze_frame(y: jnp.ndarray) -> dict:
     """Full analysis graph for one luma plane (uint8/float32 (H, W), dims
     multiple of 64). Returns a pytree of analysis products."""

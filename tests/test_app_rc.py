@@ -120,3 +120,48 @@ def test_speed_control_raises_preset_when_slow():
     enc.set_speed_control(10 ** 9)     # impossible target -> must speed up
     enc.encode(frames)
     assert enc._dyn_enc_mode > 7
+
+
+def test_lookahead_vbr_hits_target_rate():
+    """Lookahead high-level RC: budget apportioned over the window must
+    still land near the target and keep QP far steadier than the
+    reactive controller on stationary content."""
+    frames = moving_sequence(64, 64, 24, dx=2, dy=1, seed=9)
+    fps = 25
+    target = 150_000
+    cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=-1,
+                        fps_num=fps, rate_control_mode=1,
+                        target_bitrate=target, look_ahead_distance=8)
+    assert cfg.lookahead == 8
+    enc = Encoder(cfg)
+    stream, recons = enc.encode(frames)
+    achieved = 8 * len(stream) * fps / len(frames)
+    assert 0.6 * target < achieved < 1.7 * target, achieved
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+
+def test_lookahead_default_resolution():
+    cfg = EncoderConfig(width=64, height=64, rate_control_mode=1,
+                        target_bitrate=100_000)
+    assert cfg.lookahead == 17          # reference VBR default
+    assert EncoderConfig(width=64, height=64).lookahead == 0
+    cfg2 = EncoderConfig(width=64, height=64, look_ahead_distance=40)
+    assert cfg2.lookahead == 40
+
+
+def test_lookahead_window_shapes():
+    """The sliding queue yields every frame once, with windows of
+    complexities: full length mid-stream, shrinking at the tail."""
+    frames = moving_sequence(64, 64, 9, dx=1, dy=1, seed=3)
+    cfg = EncoderConfig(width=64, height=64, rate_control_mode=1,
+                        target_bitrate=100_000, look_ahead_distance=4)
+    enc = Encoder(cfg)
+    out = list(enc._la_frames(frames, 4))
+    assert len(out) == 9
+    assert [len(w) for _, w in out] == [5] * 5 + [4, 3, 2, 1]
+    assert all(c > 0 for _, w in out for c in w)
+    # the frames come through unmodified and in order
+    for (fr, _), orig in zip(out, frames):
+        np.testing.assert_array_equal(np.asarray(fr.y), np.asarray(orig.y))
