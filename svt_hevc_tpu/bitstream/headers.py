@@ -153,7 +153,10 @@ def write_pps(cfg: EncoderConfig) -> bytes:
     w.se(0)              # init_qp_minus26
     w.flag(1 if cfg.constrained_intra else 0)  # constrained_intra_pred_flag
     w.flag(0)            # transform_skip_enabled_flag
-    w.flag(0)            # cu_qp_delta_enabled_flag
+    aqp = getattr(cfg, "adaptive_qp", False)
+    w.flag(1 if aqp else 0)      # cu_qp_delta_enabled_flag
+    if aqp:
+        w.ue(0)                  # diff_cu_qp_delta_depth (QG = CTB)
     w.se(0)              # pps_cb_qp_offset
     w.se(0)              # pps_cr_qp_offset
     w.flag(0)            # pps_slice_chroma_qp_offsets_present_flag

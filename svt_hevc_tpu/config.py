@@ -60,6 +60,11 @@ class EncoderConfig:
     enable_sao: bool = True           # enableSaoFlag analogue
     scene_change_detection: bool = True   # EbApi.h sceneChangeDetection
     constrained_intra: bool = False
+    # per-LCU adaptive QP, the reference's QPM visual-quality tools
+    # (EbApi.h improveSharpness / bitRateReduction; derivation
+    # EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919)
+    improve_sharpness: bool = False
+    bit_rate_reduction: bool = False
 
     # --- tiles (EbApi.h tileColumnCount/tileRowCount) ---
     tile_columns: int = 1
@@ -173,6 +178,11 @@ class EncoderConfig:
         if not (-1 <= self.look_ahead_distance <= 250):
             raise ValueError("look_ahead_distance out of range [-1, 250]")
         return self
+
+    @property
+    def adaptive_qp(self) -> bool:
+        """True when per-CTB QP maps (cu_qp_delta signalling) are active."""
+        return self.improve_sharpness or self.bit_rate_reduction
 
     @property
     def lookahead(self) -> int:

@@ -106,6 +106,54 @@ class PictureState:
         # constrained_intra_pred_flag: intra prediction may only reference
         # intra-coded neighbor samples (7.4.3.3.1)
         self.constrained_intra = False
+        # per-CTB adaptive QP (cu_qp_delta, QG = CTB since
+        # diff_cu_qp_delta_depth = 0). Reference analogue: QPM per-LCU QP
+        # (EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919, applied :2840).
+        self.cu_qp_delta_enabled = False
+        self.slice_qp = qp           # SliceQpY (qPY_PREV reset value)
+        self.qp_map = None           # encoder: desired per-CTB QP grid
+        self.ctb_qp = None           # final per-CTB QP grid (both roles)
+        self.prev_qp = qp            # qPY_PREV chain (8.6.1)
+        self.qg_pred = qp            # predicted QP of the current QG
+        self.qg_qp_coded = False     # IsCuQpDeltaCoded
+
+    def set_qp(self, qp: int) -> None:
+        self.qp = qp
+        self.qp_c = chroma_qp(qp, 0, self.chroma_format)
+
+    def enable_cu_qp_delta(self, qp_map=None) -> None:
+        """Turn on cu_qp_delta coding. qp_map: encoder's desired per-CTB
+        QP grid (decoder passes None and learns QPs from the stream)."""
+        self.cu_qp_delta_enabled = True
+        self.qp_map = qp_map
+        ctb = 1 << self.ctb_log2
+        self.ctb_qp = np.full(((self.h + ctb - 1) // ctb,
+                               (self.w + ctb - 1) // ctb),
+                              self.slice_qp, np.int32)
+
+    def qg_begin(self, cx: int, cy: int) -> None:
+        """Start the quantization group of CTB (cx, cy): derive qPY_PRED
+        (8.6.1; with QG == CTB both spatial neighbors fall outside the QG's
+        CTB, so the predictor is always qPY_PREV) and set the working QP —
+        the encoder's desired QP, or the prediction until a delta arrives."""
+        if not self.cu_qp_delta_enabled:
+            return
+        self.qg_pred = self.prev_qp
+        self.qg_qp_coded = False
+        if self.qp_map is not None:
+            self.set_qp(int(self.qp_map[cy, cx]))
+        else:
+            self.set_qp(self.qg_pred)
+
+    def qg_end(self, cx: int, cy: int) -> None:
+        """Close the QG: if no cu_qp_delta was coded (no cbf anywhere in
+        the CTB) the QP is inferred as the prediction (7.4.9.14)."""
+        if not self.cu_qp_delta_enabled:
+            return
+        final = self.qp if self.qg_qp_coded else self.qg_pred
+        self.set_qp(final)
+        self.prev_qp = final
+        self.ctb_qp[cy, cx] = final
 
     def intra_avail(self, c_idx: int) -> np.ndarray:
         """Availability map for intra reference samples: the recon map,
@@ -129,6 +177,7 @@ class PictureState:
             a[:] = False
         self.luma_mode[:] = -1
         self.skip[:] = False
+        self.prev_qp = self.slice_qp     # qPY_PREV resets per tile (8.6.1)
 
     def mark(self, c_idx: int, x: int, y: int, n: int) -> None:
         self.avail[c_idx][y >> 2:(y + n) >> 2, x >> 2:(x + n) >> 2] = True
@@ -244,7 +293,10 @@ class CtuCoderBase:
 
     # ------------------------------------------------------------ entry point
     def code_ctu(self, x0: int, y0: int) -> None:
-        self.coding_quadtree(x0, y0, self.st.ctb_log2, 0)
+        st = self.st
+        st.qg_begin(x0 >> st.ctb_log2, y0 >> st.ctb_log2)
+        self.coding_quadtree(x0, y0, st.ctb_log2, 0)
+        st.qg_end(x0 >> st.ctb_log2, y0 >> st.ctb_log2)
 
     # -------------------------------------------------------- coding quadtree
     def coding_quadtree(self, x0: int, y0: int, log2: int, depth: int) -> None:
@@ -464,6 +516,11 @@ class CtuCoderBase:
         if y0 % 8 == 0:
             st.edge_h[y0 >> 3, x0 >> 2:(x0 + n) >> 2] = True
         st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = cbf_luma
+        # cu_qp_delta: once per QG, at the first TU with any coded cbf
+        # (7.3.8.10 — the covering node's chroma cbfs count for every child)
+        if (st.cu_qp_delta_enabled and not st.qg_qp_coded
+                and (cbf_luma or any(cbf_cb) or any(cbf_cr))):
+            self.sx_cu_qp_delta()
         mode_idx = blk_idx if (cu.part_nxn and depth > 0) else 0
         self.tb_luma(cu, x0, y0, log2, cu.luma_modes[mode_idx], cbf_luma)
         if log2 > 2 or st.chroma_format == 3:
@@ -523,6 +580,10 @@ class CtuCoderBase:
         raise NotImplementedError
 
     def sx_cbf_luma(self, cu, x0, y0, log2, depth) -> int:
+        raise NotImplementedError
+
+    def sx_cu_qp_delta(self) -> None:
+        """Code cu_qp_delta_abs/sign (9.3.3.10) and resolve the QG's QP."""
         raise NotImplementedError
 
     def tb_luma(self, cu, x0, y0, log2, mode, cbf) -> None:
@@ -666,6 +727,25 @@ class CtuDecoder(CtuCoderBase):
 
     def sx_cbf_luma(self, cu, x0, y0, log2, depth):
         return self.bac.decode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0))
+
+    def sx_cu_qp_delta(self):
+        """Parse cu_qp_delta_abs (TR cMax=5, bin0 ctx 0, bins 1-4 ctx 1,
+        EG0 bypass suffix) + sign; derive QpY per 8.6.1."""
+        bac = self.bac
+        a = 0
+        if bac.decode_bin(Ctx.DQP):
+            a = 1
+            while a < 5 and bac.decode_bin(Ctx.DQP + 1):
+                a += 1
+            if a == 5:
+                a += _decode_egk(bac, 0)
+        delta = 0
+        if a:
+            delta = -a if bac.decode_bypass() else a
+        st = self.st
+        off = 6 * (st.bit_depth - 8)          # QpBdOffsetY
+        st.set_qp(((st.qg_pred + delta + 52 + 2 * off) % (52 + off)) - off)
+        st.qg_qp_coded = True
 
     def tb_luma(self, cu, x0, y0, log2, mode, cbf):
         n = 1 << log2
@@ -1200,6 +1280,22 @@ class CtuEncoder(CtuCoderBase):
         cbf = int(levels.any())
         self.bac.encode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0), cbf)
         return cbf
+
+    def sx_cu_qp_delta(self):
+        """Emit the QG's cu_qp_delta (desired QP minus qPY_PRED)."""
+        st, bac = self.st, self.bac
+        delta = st.qp - st.qg_pred
+        a = abs(delta)
+        bac.encode_bin(Ctx.DQP, int(a > 0))
+        if a:
+            for _ in range(min(a, 5) - 1):
+                bac.encode_bin(Ctx.DQP + 1, 1)
+            if a < 5:
+                bac.encode_bin(Ctx.DQP + 1, 0)
+            else:
+                _encode_egk(bac, a - 5, 0)
+            bac.encode_bypass(int(delta < 0))
+        st.qg_qp_coded = True
 
     # ------------------------------------------------------------ tb payload
     def tb_luma(self, cu, x0, y0, log2, mode, cbf):

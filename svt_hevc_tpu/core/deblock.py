@@ -49,23 +49,25 @@ def _filter_luma_vertical(plane: np.ndarray, bs: np.ndarray, qp: int,
 
     plane: (H, W) int32; bs: (H//4, W//8) int — boundary strength of the
     vertical edge at column 8c for rows 4s..4s+3. Column 0 (picture
-    boundary) is never filtered.
+    boundary) is never filtered. qp: scalar, or an (H//4, W//8) per-edge
+    qpL map (8.7.2.5.3) when the picture carries per-CTB QPs.
     """
     maxval = (1 << bit_depth) - 1
-    qb = min(max(qp + (beta_offset << 1), 0), 51)
-    beta = int(BETA_TABLE[qb]) << (bit_depth - 8)
-    if beta == 0:
-        return
-
     seg = bs > 0
     seg[:, 0] = False
     ys, xs = np.nonzero(seg)
     if ys.size == 0:
         return
+    qpa = np.asarray(qp, np.int32)
+    qps = qpa if qpa.ndim == 0 else qpa[ys, xs]                # (S,) or 0-d
+    qb = np.clip(qps + (beta_offset << 1), 0, 51)
+    beta = (BETA_TABLE[qb] << (bit_depth - 8)).astype(np.int64)
+    if not np.any(beta):
+        return
     y0 = ys * 4
     x0 = xs * 8
     # per-segment tc from bS (8.7.2.5.3: Q = qp + 2*(bS-1) + 2*tc_offset)
-    qts = np.clip(qp + 2 * (bs[ys, xs].astype(np.int32) - 1)
+    qts = np.clip(qps + 2 * (bs[ys, xs].astype(np.int32) - 1)
                   + (tc_offset << 1), 0, 53)
     tcs = (TC_TABLE[qts] << (bit_depth - 8)).astype(np.int64)  # (S,)
     tc = tcs[:, None]                                          # per-line
@@ -150,19 +152,22 @@ def _filter_chroma_vertical(plane: np.ndarray, bs_luma: np.ndarray,
     bs_luma: the luma (H//4, W//8) bS map. ss_edge: chroma subsampling
     across the edge (selects every 2nd bS column for 4:2:0/4:2:2 vertical
     edges); ss_along: subsampling along the edge (each luma 4-row segment
-    is 4 >> ss_along chroma rows).
+    is 4 >> ss_along chroma rows). qp_c: scalar, or per-edge QpC map with
+    the bs_luma layout.
     """
     maxval = (1 << bit_depth) - 1
-    qt = min(max(qp_c + 2 + (tc_offset << 1), 0), 53)
-    tc = int(TC_TABLE[qt]) << (bit_depth - 8)
-    if tc == 0:
-        return
-
     seg = (bs_luma[:, ::1 << ss_edge] == 2).copy()
     seg[:, 0] = False
     ys, xs = np.nonzero(seg)
     if ys.size == 0:
         return
+    qpa = np.asarray(qp_c, np.int32)
+    qps = qpa if qpa.ndim == 0 else qpa[:, ::1 << ss_edge][ys, xs]
+    qt = np.clip(qps + 2 + (tc_offset << 1), 0, 53)
+    tc_s = (TC_TABLE[qt] << (bit_depth - 8)).astype(np.int64)
+    if not np.any(tc_s):
+        return
+    tc = tc_s if tc_s.ndim == 0 else tc_s[:, None]
     seg_h = 4 >> ss_along
     y0 = ys * seg_h          # chroma rows
     x0 = xs * 8              # chroma cols
@@ -259,12 +264,39 @@ def derive_bs_horizontal(st: PictureState) -> np.ndarray:
     return _derive_bs(st, st.edge_h, py, cols, qy, cols)
 
 
+def _edge_qp(st: PictureState, vertical: bool):
+    """Per-edge (qpL, QpC) maps from the per-CTB QP grid (8.7.2.5.3:
+    qpL = (QpQ + QpP + 1) >> 1 across the edge)."""
+    lg = st.ctb_log2
+    shape = st.edge_v.shape if vertical else st.edge_h.shape
+    ns, nc = shape
+    if vertical:
+        rows = (np.arange(ns) * 4) >> lg
+        cq = (np.arange(nc) * 8) >> lg
+        cp = np.maximum(np.arange(nc) * 8 - 1, 0) >> lg
+        qpp = st.ctb_qp[rows[:, None], cp[None, :]]
+        qpq = st.ctb_qp[rows[:, None], cq[None, :]]
+    else:
+        cols = (np.arange(nc) * 4) >> lg
+        rq = (np.arange(ns) * 8) >> lg
+        rp = np.maximum(np.arange(ns) * 8 - 1, 0) >> lg
+        qpp = st.ctb_qp[rp[:, None], cols[None, :]]
+        qpq = st.ctb_qp[rq[:, None], cols[None, :]]
+    qpl = (qpp + qpq + 1) >> 1
+    cmap = np.array([chroma_qp(q, 0, st.chroma_format) for q in range(52)],
+                    np.int32)
+    return qpl, cmap[np.clip(qpl, 0, 51)]
+
+
 def deblock_picture(st: PictureState, *, beta_offset: int = 0,
                     tc_offset: int = 0) -> None:
     """Apply the full in-loop deblocking filter to the picture in place.
     Order per spec: all vertical edges first, then all horizontal edges."""
-    qp = st.qp
-    qp_c = chroma_qp(qp, 0, st.chroma_format)
+    if st.ctb_qp is not None:
+        (qp, qp_c), (qp_h, qpc_h) = _edge_qp(st, True), _edge_qp(st, False)
+    else:
+        qp = qp_h = st.qp
+        qp_c = qpc_h = chroma_qp(st.qp, 0, st.chroma_format)
     bd = st.bit_depth
 
     bs_v = derive_bs_vertical(st)
@@ -273,13 +305,15 @@ def deblock_picture(st: PictureState, *, beta_offset: int = 0,
     # horizontal edges: same core on the transposed plane. bs_h is
     # (H//8, W//4); transposed it has exactly the vertical layout.
     yt = np.ascontiguousarray(st.planes[0].T)
-    _filter_luma_vertical(yt, bs_h.T, qp, bd, beta_offset, tc_offset)
+    qp_ht = qp_h if np.ndim(qp_h) == 0 else qp_h.T
+    qpc_ht = qpc_h if np.ndim(qpc_h) == 0 else qpc_h.T
+    _filter_luma_vertical(yt, bs_h.T, qp_ht, bd, beta_offset, tc_offset)
     st.planes[0][:] = yt.T
 
     for c_idx in (1, 2):
         _filter_chroma_vertical(st.planes[c_idx], bs_v, qp_c, bd, tc_offset,
                                 ss_edge=st.ss_x, ss_along=st.ss_y)
         ct = np.ascontiguousarray(st.planes[c_idx].T)
-        _filter_chroma_vertical(ct, bs_h.T, qp_c, bd, tc_offset,
+        _filter_chroma_vertical(ct, bs_h.T, qpc_ht, bd, tc_offset,
                                 ss_edge=st.ss_y, ss_along=st.ss_x)
         st.planes[c_idx][:] = ct.T

@@ -153,7 +153,9 @@ def _filter_flag(mode: int, n: int) -> bool:
     if mode == DC or n == 4:
         return False
     min_dist = min(abs(mode - 26), abs(mode - 10))
-    thresh = {8: 7, 16: 1, 32: 0}[n]
+    # n == 64 occurs only in encoder-side mode *evaluation* of a 64x64 CU
+    # (its coded TBs are always <= 32, 7.4.3.2 MaxTbLog2SizeY); filter like 32
+    thresh = {8: 7, 16: 1, 32: 0, 64: 0}[n]
     return min_dist > thresh
 
 

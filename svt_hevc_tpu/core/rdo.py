@@ -35,7 +35,7 @@ class _Region:
     """Snapshot of all mutable picture state covering one luma rect."""
 
     __slots__ = ("x0", "y0", "n", "planes", "avail", "mode", "depth",
-                 "edge_v", "edge_h", "mv", "ref", "skip", "cbf4")
+                 "edge_v", "edge_h", "mv", "ref", "skip", "cbf4", "qg")
 
     def __init__(self, st: PictureState, x0: int, y0: int, n: int):
         self.x0, self.y0, self.n = x0, y0, n
@@ -60,6 +60,8 @@ class _Region:
         self.ref = st.ref_idx[ys, xs].copy()
         self.skip = st.skip[ys, xs].copy()
         self.cbf4 = st.cbf4[ys, xs].copy()
+        # quantization-group scalars (cu_qp_delta emission state)
+        self.qg = (st.qp, st.qp_c, st.qg_qp_coded)
 
     def restore(self, st: PictureState) -> None:
         x0, y0, n = self.x0, self.y0, self.n
@@ -80,6 +82,7 @@ class _Region:
         st.ref_idx[ys, xs] = self.ref
         st.skip[ys, xs] = self.skip
         st.cbf4[ys, xs] = self.cbf4
+        st.qp, st.qp_c, st.qg_qp_coded = self.qg
 
 
 class Decisions:
@@ -109,6 +112,7 @@ class RdSearch:
                  features=None):
         self.st = st
         self.src = src
+        self._lam_auto = lam is None
         self.lam = lambda_sse(st.qp) if lam is None else lam
         self.mode_candidates = mode_candidates
         self.try_nxn = try_nxn
@@ -120,8 +124,13 @@ class RdSearch:
         """RD-search one CTB. On return the PictureState holds the winning
         reconstruction, and `ctx` is NOT consumed (callers re-walk with the
         real coder). Returns (decisions, estimator ctx after the CTB)."""
+        st = self.st
+        st.qg_begin(x0 >> st.ctb_log2, y0 >> st.ctb_log2)
+        if self._lam_auto:
+            self.lam = lambda_sse(st.qp)     # per-CTB lambda under QPM
         dec = Decisions()
-        _, ctx_out = self._compress(x0, y0, self.st.ctb_log2, 0, ctx, dec)
+        _, ctx_out = self._compress(x0, y0, st.ctb_log2, 0, ctx, dec)
+        st.qg_end(x0 >> st.ctb_log2, y0 >> st.ctb_log2)
         return dec, ctx_out
 
     # ------------------------------------------------------------- recursion

@@ -63,6 +63,10 @@ def _decode_slice(rbsp: bytes, nal_type: int, sps, pps, dpb):
     st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                       sps.bit_depth, chroma_format=sps.chroma_format_idc)
     st.constrained_intra = pps.constrained_intra
+    if pps.cu_qp_delta_enabled:
+        if pps.diff_cu_qp_delta_depth != 0:
+            raise NotImplementedError("QG smaller than CTB")
+        st.enable_cu_qp_delta()
     if hdr.slice_type != 2:
         # reference list construction (8.3.4) with one active ref per
         # list: L0 = closest past (or closest future if none past);

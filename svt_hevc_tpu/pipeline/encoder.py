@@ -159,13 +159,38 @@ class Encoder:
         out += wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
         return out
 
+    def _derive_qp_map(self, y_plane: np.ndarray, base_qp: int) -> np.ndarray:
+        """Per-CTB desired QP from TPU spatial activity (reference QPM,
+        EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919): textured CTBs
+        (high masking) take a higher QP, smooth ones a lower QP when
+        improve_sharpness; bit_rate_reduction biases the map upward."""
+        import jax.numpy as jnp
+
+        from ..tpu.analysis import ctb_activity
+        cfg = self.cfg
+        ctb = cfg.ctb_size
+        hh = (y_plane.shape[0] + ctb - 1) // ctb * ctb
+        ww = (y_plane.shape[1] + ctb - 1) // ctb * ctb
+        yp = pad_plane(y_plane.astype(np.int32), ww, hh)
+        act = np.asarray(ctb_activity(jnp.asarray(yp, jnp.float32), ctb))
+        act = np.maximum(act, 1.0)
+        gmean = float(np.exp(np.log(act).mean()))
+        delta = np.round(1.5 * np.log2(act / gmean))
+        lo = -3 if cfg.improve_sharpness else 0
+        delta = np.clip(delta, lo, 3)
+        if cfg.bit_rate_reduction:
+            delta += 1
+        return np.clip(base_qp + delta, 1, 51).astype(np.int32)
+
     def encode_frame(self, frame: Frame, *, split_policy=None,
                      part_nxn_policy=None, rd: bool | None = None,
                      is_idr: bool | None = None, poc: int = 0,
                      qp: int | None = None, slice_type: int | None = None,
-                     refs_l0=None, refs_l1=None) -> EncodedPicture:
+                     refs_l0=None, refs_l1=None,
+                     qp_map: np.ndarray | None = None) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
-        (None => derived from the single-ref low-delay DPB)."""
+        (None => derived from the single-ref low-delay DPB). qp_map:
+        explicit per-CTB QP grid (overrides the derived QPM map)."""
         cfg = self.cfg
         feat = derive_preset(self._dyn_enc_mode if self._dyn_enc_mode
                              is not None else cfg.enc_mode)
@@ -206,10 +231,15 @@ class Encoder:
                 tiles.append((order, col_bd[tc], row_bd[tr]))
         last_xy = tiles[-1][0][-1]
 
+        if qp_map is None and cfg.adaptive_qp:
+            qp_map = self._derive_qp_map(np.asarray(frame.y), qp)
+
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,
                              chroma_format=cfg.chroma_format)
             s.constrained_intra = cfg.constrained_intra
+            if qp_map is not None:
+                s.enable_cu_qp_delta(qp_map)
             if not is_idr:
                 s.slice_type = slice_type
                 s.ref_planes = [[r[0] for r in refs_l0],

@@ -117,6 +117,18 @@ def block_variance(y: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.mean((b - m) ** 2, axis=(-2, -1))
 
 
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def ctb_activity(y: jnp.ndarray, ctb: int) -> jnp.ndarray:
+    """Per-CTB spatial activity: mean of the 8x8 sample variances inside
+    each CTB (reference ComputePictureSpatialStatistics,
+    EbPictureAnalysisProcess.c:3879 — the QPM complexity feed). y must be
+    padded to CTB multiples."""
+    v8 = block_variance(y.astype(jnp.float32), 8)
+    k = ctb // 8
+    h8, w8 = v8.shape
+    return v8.reshape(h8 // k, k, w8 // k, k).mean(axis=(1, 3))
+
+
 @jax.jit
 def lookahead_stats(ys: jnp.ndarray) -> dict:
     """Batched lookahead statistics for a run of consecutive lumas.
