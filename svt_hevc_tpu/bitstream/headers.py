@@ -132,11 +132,53 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.u(cfg.fps_den, 32)      # vui_num_units_in_tick
     w.u(cfg.fps_num, 32)      # vui_time_scale
     w.flag(0)            # vui_poc_proportional_to_timing_flag
-    w.flag(0)            # vui_hrd_parameters_present_flag
+    hrd = getattr(cfg, "enable_hrd", False)
+    w.flag(1 if hrd else 0)   # vui_hrd_parameters_present_flag
+    if hrd:
+        _write_hrd_parameters(w, cfg)
     w.flag(0)            # bitstream_restriction_flag
     w.flag(0)            # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return w.get_bytes()
+
+
+# HRD scales: BitRate = (value+1) << (6+scale), CpbSize = (value+1) << (4+scale)
+HRD_BIT_RATE_SCALE = 4       # 1024-bit/s units
+HRD_CPB_SIZE_SCALE = 6       # 1024-bit units
+
+
+def hrd_rate_size(cfg) -> tuple[int, int]:
+    """(max bitrate, CPB size) in bits as actually signalled (rounded up to
+    the HRD scale granularity)."""
+    rate = cfg.vbv_maxrate or cfg.target_bitrate
+    size = cfg.vbv_bufsize or rate
+    rv = max((rate + (1 << (6 + HRD_BIT_RATE_SCALE)) - 1)
+             >> (6 + HRD_BIT_RATE_SCALE), 1)
+    sv = max((size + (1 << (4 + HRD_CPB_SIZE_SCALE)) - 1)
+             >> (4 + HRD_CPB_SIZE_SCALE), 1)
+    return rv << (6 + HRD_BIT_RATE_SCALE), sv << (4 + HRD_CPB_SIZE_SCALE)
+
+
+def _write_hrd_parameters(w: BitWriter, cfg) -> None:
+    """hrd_parameters() (E.2.2): NAL HRD, one CPB, no sub-pic timing
+    (reference analogue: EbEntropyCoding.c CodeHrdParameters :5504)."""
+    rate, size = hrd_rate_size(cfg)
+    w.flag(1)            # nal_hrd_parameters_present_flag
+    w.flag(0)            # vcl_hrd_parameters_present_flag
+    w.flag(0)            # sub_pic_hrd_params_present_flag
+    w.u(HRD_BIT_RATE_SCALE, 4)
+    w.u(HRD_CPB_SIZE_SCALE, 4)
+    w.u(23, 5)           # initial_cpb_removal_delay_length_minus1 (24 bits)
+    w.u(15, 5)           # au_cpb_removal_delay_length_minus1 (16 bits)
+    w.u(5, 5)            # dpb_output_delay_length_minus1 (6 bits)
+    # sub-layer 0
+    w.flag(1)            # fixed_pic_rate_general_flag
+    w.ue(0)              # elemental_duration_in_tc_minus1
+    w.ue(0)              # cpb_cnt_minus1
+    # nal sub_layer_hrd_parameters(0)
+    w.ue((rate >> (6 + HRD_BIT_RATE_SCALE)) - 1)   # bit_rate_value_minus1
+    w.ue((size >> (4 + HRD_CPB_SIZE_SCALE)) - 1)   # cpb_size_value_minus1
+    w.flag(0)            # cbr_flag (VBR operation)
 
 
 def write_pps(cfg: EncoderConfig) -> bytes:
@@ -191,17 +233,23 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
                        poc: int = 0, slice_type: int = 2,
                        entry_points: list[int] | None = None,
                        neg_deltas: list[int] | None = None,
-                       pos_deltas: list[int] | None = None) -> BitWriter:
+                       pos_deltas: list[int] | None = None,
+                       first_slice: bool = True,
+                       slice_address: int = 0) -> BitWriter:
     """Write the slice segment header; returns the open BitWriter so slice
     data (CABAC payload) can be appended after byte alignment.
 
     slice_type: 2 = I, 1 = P (single negative-delta-1 short-term RPS,
-    single active reference)."""
+    single active reference). Non-first slices carry slice_segment_address
+    (the first CTB's raster address, 7.4.7.1)."""
     w = BitWriter()
-    w.flag(1)            # first_slice_segment_in_pic_flag
+    w.flag(1 if first_slice else 0)  # first_slice_segment_in_pic_flag
     if is_idr:
         w.flag(0)        # no_output_of_prior_pics_flag
     w.ue(0)              # slice_pic_parameter_set_id
+    if not first_slice:
+        n_ctbs = cfg.pic_width_in_ctbs * cfg.pic_height_in_ctbs
+        w.u(slice_address, max((n_ctbs - 1).bit_length(), 1))
     w.ue(slice_type)
     if not is_idr:
         w.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
@@ -317,6 +365,8 @@ class SliceHeader:
     pos_deltas: list = field(default_factory=list)     # future-ref POC deltas
     entry_points: list = field(default_factory=list)   # substream byte sizes
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
+    first_slice: bool = True
+    slice_address: int = 0       # first CTB raster address (7.4.7.1)
 
 
 def _parse_profile_tier_level(r: BitReader, max_sub_layers_minus1: int = 0) -> None:
@@ -426,12 +476,17 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
     r = BitReader(rbsp)
     h = SliceHeader()
     h.is_idr = nal_type in (19, 20)
-    first = r.flag()
-    if not first:
-        raise NotImplementedError("multi-slice pictures")
+    h.first_slice = bool(r.flag())
     if 16 <= nal_type <= 23:     # IRAP
         r.flag()                 # no_output_of_prior_pics_flag
     r.ue()                       # slice_pic_parameter_set_id
+    if not h.first_slice:
+        # dependent_slice_segment_flag absent: parse_pps rejects streams
+        # with dependent_slice_segments_enabled_flag set
+        ctb = 1 << sps.log2_ctb
+        n_ctbs = (((sps.width + ctb - 1) // ctb)
+                  * ((sps.height + ctb - 1) // ctb))
+        h.slice_address = r.u(max((n_ctbs - 1).bit_length(), 1))
     h.slice_type = r.ue()
     if not h.is_idr:
         h.poc = r.u(sps.log2_max_poc_lsb)

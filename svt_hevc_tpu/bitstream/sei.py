@@ -12,11 +12,19 @@ from dataclasses import dataclass
 
 from .bitwriter import BitReader, BitWriter
 
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_RECOVERY_POINT = 6
 SEI_ACTIVE_PARAMETER_SETS = 129
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
+
+# HRD timing-field lengths signalled in hrd_parameters() (headers.py):
+# initial_cpb_removal 24 bits, au_cpb_removal 16 bits, dpb_output 6 bits
+INITIAL_CPB_LEN = 24
+AU_CPB_LEN = 16
+DPB_OUT_LEN = 6
 
 
 def _wrap_payload(payload_type: int, payload: bytes) -> bytes:
@@ -39,6 +47,35 @@ def _wrap_payload(payload_type: int, payload: bytes) -> bytes:
 def sei_rbsp(messages: list[bytes]) -> bytes:
     """Assemble one SEI RBSP: the messages + rbsp_trailing_bits."""
     return b"".join(messages) + b"\x80"
+
+
+def write_buffering_period(initial_cpb_removal_delay: int,
+                           initial_cpb_removal_offset: int) -> bytes:
+    """buffering_period SEI (D.2.2), NAL HRD only, one CPB, no sub-pic
+    params (reference analogue: EbEntropyCoding.c buffering-period SEI,
+    :8349+). Delays in 90 kHz clock units, coded in INITIAL_CPB_LEN bits."""
+    w = BitWriter()
+    w.ue(0)                   # bp_seq_parameter_set_id
+    w.flag(0)                 # irap_cpb_params_present_flag
+    w.flag(0)                 # concatenation_flag
+    w.u(0, AU_CPB_LEN)        # au_cpb_removal_delay_delta_minus1
+    w.u(min(initial_cpb_removal_delay, (1 << INITIAL_CPB_LEN) - 1),
+        INITIAL_CPB_LEN)      # nal_initial_cpb_removal_delay[0]
+    w.u(min(initial_cpb_removal_offset, (1 << INITIAL_CPB_LEN) - 1),
+        INITIAL_CPB_LEN)      # nal_initial_cpb_removal_offset[0]
+    w.rbsp_trailing_bits()
+    return _wrap_payload(SEI_BUFFERING_PERIOD, w.get_bytes())
+
+
+def write_pic_timing(au_cpb_removal_delay_minus1: int,
+                     pic_dpb_output_delay: int) -> bytes:
+    """pic_timing SEI (D.2.3) with frame_field_info off: only the CPB/DPB
+    delays (CpbDpbDelaysPresentFlag = 1 via hrd_parameters)."""
+    w = BitWriter()
+    w.u(min(au_cpb_removal_delay_minus1, (1 << AU_CPB_LEN) - 1), AU_CPB_LEN)
+    w.u(min(pic_dpb_output_delay, (1 << DPB_OUT_LEN) - 1), DPB_OUT_LEN)
+    w.rbsp_trailing_bits()
+    return _wrap_payload(SEI_PIC_TIMING, w.get_bytes())
 
 
 def write_user_data_unregistered(uuid: bytes, data: bytes) -> bytes:

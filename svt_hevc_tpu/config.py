@@ -50,6 +50,10 @@ class EncoderConfig:
     look_ahead_distance: int = -1   # -1 = auto (17 for VBR, like the
                                  # reference default EbEncHandle.c:1888);
                                  # 0 = reactive only; N = window length
+    enable_hrd: bool = False     # signal HRD (VUI hrd_parameters +
+                                 # buffering period / pic timing SEIs;
+                                 # reference: hrdFlag EbApi.h, Vbv_Buf_Calc
+                                 # EbRateControlProcess.c:2177)
 
     # --- block structure ---
     ctb_size: int = 32           # luma CTB size (32 or 64)
@@ -66,9 +70,11 @@ class EncoderConfig:
     improve_sharpness: bool = False
     bit_rate_reduction: bool = False
 
-    # --- tiles (EbApi.h tileColumnCount/tileRowCount) ---
+    # --- tiles (EbApi.h tileColumnCount/tileRowCount/tileSliceMode) ---
     tile_columns: int = 1
     tile_rows: int = 1
+    tile_slice_mode: int = 0     # 1: one independent slice per tile (MCTS
+                                 # packaging; reference tileSliceMode)
 
     # --- HDR metadata SEIs (EbApi.h maxCLL/maxFALL/masteringDisplay...) ---
     max_cll: int = 0             # content light level SEI when nonzero
@@ -177,6 +183,8 @@ class EncoderConfig:
             raise ValueError("VBR requires a positive target_bitrate")
         if not (-1 <= self.look_ahead_distance <= 250):
             raise ValueError("look_ahead_distance out of range [-1, 250]")
+        if self.enable_hrd and not (self.vbv_maxrate or self.target_bitrate):
+            raise ValueError("enable_hrd needs vbv_maxrate or target_bitrate")
         return self
 
     @property

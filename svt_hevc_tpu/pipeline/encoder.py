@@ -159,6 +159,23 @@ class Encoder:
         out += wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
         return out
 
+    def _hrd_sei(self, is_idr: bool, dpb_output_delay: int = 0) -> bytes:
+        """Per-AU HRD timing SEIs (reference: EbPacketizationProcess.c
+        buffering period / pic timing emission): buffering_period at each
+        IDR, pic_timing on every picture."""
+        from ..bitstream.headers import hrd_rate_size
+        msgs = []
+        if is_idr or not hasattr(self, "_au_since_bp"):
+            rate, size = hrd_rate_size(self.cfg)
+            delay = int(90000 * 0.9 * size / rate)
+            offset = int(90000 * size / rate) - delay
+            msgs.append(sei.write_buffering_period(delay, offset))
+            self._au_since_bp = 0
+        msgs.append(sei.write_pic_timing(max(self._au_since_bp - 1, 0),
+                                         dpb_output_delay))
+        self._au_since_bp += 1
+        return wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
+
     def _derive_qp_map(self, y_plane: np.ndarray, base_qp: int) -> np.ndarray:
         """Per-CTB desired QP from TPU spatial activity (reference QPM,
         EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919): textured CTBs
@@ -286,6 +303,7 @@ class Encoder:
         # sequential arithmetic runs independently in the native C core
         # (svt_hevc_tpu/native/cabac.c) — per-tile parallel CABAC ----
         st2 = new_state()
+        slice_per_tile = bool(cfg.tile_slice_mode) and len(tiles) > 1
         substreams: list[bytes] = []
         for t_idx, (order, left_col, top_row) in enumerate(tiles):
             st2.begin_tile()
@@ -308,26 +326,46 @@ class Encoder:
                                    left_ok=x0 // ctb > left_col,
                                    up_ok=y0 // ctb > top_row)
                 enc.code_ctu(x0, y0)
-                last = (x0, y0) == last_xy
+                # end_of_slice_segment_flag: last CTB of the slice (the
+                # tile in tile-slice mode, the picture otherwise)
+                last = (x0, y0) == (order[-1] if slice_per_tile else last_xy)
                 bac.encode_terminate(1 if last else 0)
-            if t_idx != len(tiles) - 1:
+            if not slice_per_tile and t_idx != len(tiles) - 1:
                 bac.encode_terminate(1)      # end_of_subset_one_bit
             substreams.append(
                 finalize_cabac(bac, init_contexts(qp, init_type=init_type)))
-        payload = b"".join(substreams)
-        entry_points = [len(s) for s in substreams[:-1]]
 
         all_ref_pocs = {r[1] for r in (refs_l0 or [])} | \
                        {r[1] for r in (refs_l1 or [])}
         negs = sorted(poc - rp for rp in all_ref_pocs if rp < poc)
         poss = sorted(rp - poc for rp in all_ref_pocs if rp > poc)
-        w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
-                               poc=poc, slice_type=slice_type,
-                               entry_points=entry_points,
-                               neg_deltas=negs, pos_deltas=poss)
-        w.write_bytes(payload)
         nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
-        nal = wrap_nal(nal_type, w.get_bytes())
+        if slice_per_tile:
+            # one independent slice NAL per tile (reference tileSliceMode,
+            # EbApi.h:360; MCTS packaging tested by the reference's
+            # FunctionalTests MCTS check)
+            nals = []
+            for t_idx, (order, _, _) in enumerate(tiles):
+                ax, ay = order[0]
+                addr = (ay >> cfg.ctb_log2) * n_ctb_x + (ax >> cfg.ctb_log2)
+                w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
+                                       poc=poc, slice_type=slice_type,
+                                       entry_points=[], neg_deltas=negs,
+                                       pos_deltas=poss,
+                                       first_slice=t_idx == 0,
+                                       slice_address=addr)
+                w.write_bytes(substreams[t_idx])
+                nals.append(wrap_nal(nal_type, w.get_bytes()))
+            nal = b"".join(nals)
+        else:
+            payload = b"".join(substreams)
+            entry_points = [len(s) for s in substreams[:-1]]
+            w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
+                                   poc=poc, slice_type=slice_type,
+                                   entry_points=entry_points,
+                                   neg_deltas=negs, pos_deltas=poss)
+            w.write_bytes(payload)
+            nal = wrap_nal(nal_type, w.get_bytes())
 
         # update the low-delay DPB: the post-filter pass-1 picture is the
         # default reference for the next frame
@@ -399,6 +437,8 @@ class Encoder:
                                     is_idr=is_idr)
             else:
                 rc.update(8 * len(pic.nal_bytes), qp)
+            if self.cfg.enable_hrd:
+                chunks.append(self._hrd_sei(is_idr))
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons
@@ -488,7 +528,11 @@ class Encoder:
         dpb: dict[int, list] = {}               # poc -> planes
         chunks = [self.headers()]
         recons: list = [None] * n
-        for idx, stype, l0, l1, layer in schedule:
+        # DPB output delays: display index minus decode index, shifted so
+        # the minimum is zero (output times stay causal under reordering)
+        raw = [i - d for d, (i, *_rest) in enumerate(schedule)]
+        base_delay = -min(raw) if raw else 0
+        for dec_idx, (idx, stype, l0, l1, layer) in enumerate(schedule):
             qp = min(cfg.qp + (layer + 1 if stype == 0 else 0), 51)
             refs_l0 = [(dpb[l0], l0)] if l0 is not None else None
             refs_l1 = [(dpb[l1], l1)] if l1 is not None else None
@@ -496,6 +540,9 @@ class Encoder:
                                     is_idr=stype == 2, slice_type=stype,
                                     refs_l0=refs_l0, refs_l1=refs_l1)
             dpb[idx] = pic.ref_planes
+            if cfg.enable_hrd:
+                chunks.append(self._hrd_sei(
+                    stype == 2, idx - dec_idx + base_delay))
             chunks.append(pic.nal_bytes)
             recons[idx] = pic.recon
             # prune pictures older than the current mini-GOP window

@@ -62,3 +62,66 @@ def test_vui_timing_in_sps():
     # via bit scan): search for time_scale value 60000 in the bitstream
     bits = "".join(f"{b:08b}" for b in data)
     assert f"{1001:032b}" + f"{60000:032b}" in bits
+
+
+def test_hrd_buffering_period_and_pic_timing():
+    """enable_hrd: SPS VUI carries hrd_parameters; each IDR AU gets a
+    buffering_period SEI and every AU a pic_timing SEI; the stream still
+    decodes bit-exact (SEI NALs are transparent to the decoder)."""
+    import numpy as np
+    from svt_hevc_tpu.bitstream import sei as sei_mod
+    from svt_hevc_tpu.bitstream.bitwriter import ebsp_to_rbsp
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    from svt_hevc_tpu.config import EncoderConfig
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    from svt_hevc_tpu.pipeline.encoder import Encoder
+    from test_endtoend import make_frame
+
+    frames = [make_frame(64, 64, "gradient", seed=s) for s in range(4)]
+    cfg = EncoderConfig(width=64, height=64, qp=34, intra_period=1,
+                        rate_control_mode=1, target_bitrate=200_000,
+                        vbv_maxrate=250_000, vbv_bufsize=250_000,
+                        enable_hrd=True, scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    bp = pt = 0
+    for t, e in split_annexb(stream):
+        if t == NalUnitType.PREFIX_SEI_NUT:
+            for m in sei_mod.parse_sei_rbsp(ebsp_to_rbsp(e)):
+                if m.payload_type == sei_mod.SEI_BUFFERING_PERIOD:
+                    bp += 1
+                elif m.payload_type == sei_mod.SEI_PIC_TIMING:
+                    pt += 1
+    assert bp == 2          # IDRs at frame 0 and 2 (intra_period=1)
+    assert pt == 4          # every AU
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+
+def test_hrd_random_access_output_delays():
+    from svt_hevc_tpu.config import EncoderConfig
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    from svt_hevc_tpu.pipeline.encoder import Encoder
+    from test_inter import moving_sequence
+    import numpy as np
+
+    frames = moving_sequence(64, 64, 9, dx=1, dy=1, seed=2)
+    cfg = EncoderConfig(width=64, height=64, qp=34, pred_structure=2,
+                        hierarchical_levels=2, intra_period=-1,
+                        target_bitrate=300_000, enable_hrd=True)
+    stream, recons = Encoder(cfg).encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == len(recons)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+
+def test_hrd_rate_size_rounding():
+    from svt_hevc_tpu.bitstream.headers import hrd_rate_size
+    from svt_hevc_tpu.config import EncoderConfig
+    cfg = EncoderConfig(width=64, height=64, rate_control_mode=1,
+                        target_bitrate=1_000_000, vbv_maxrate=1_000_000,
+                        vbv_bufsize=2_000_000, enable_hrd=True)
+    rate, size = hrd_rate_size(cfg)
+    assert rate >= 1_000_000 and rate % 1024 == 0
+    assert size >= 2_000_000 and size % 1024 == 0

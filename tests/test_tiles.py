@@ -77,3 +77,47 @@ def test_tiles_with_rd():
 def test_tile_validation():
     with pytest.raises(ValueError):
         EncoderConfig(width=64, height=64, tile_columns=5).validate()
+
+
+def test_tile_slice_mode_one_slice_per_tile():
+    """tileSliceMode analogue: each tile is an independent slice NAL with
+    slice_segment_address; the decoder reassembles the picture."""
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    frame = make_frame(128, 96, "noise", seed=17)
+    cfg = EncoderConfig(width=128, height=96, qp=32, ctb_size=32,
+                        tile_columns=2, tile_rows=2, tile_slice_mode=1)
+    enc = Encoder(cfg)
+    stream, recons = enc.encode([frame])
+    n_slices = sum(1 for t, _ in split_annexb(stream)
+                   if t == NalUnitType.IDR_W_RADL)
+    assert n_slices == 4
+    decoded = decode_stream(stream)
+    np.testing.assert_array_equal(decoded[0].y, recons[0].y)
+    np.testing.assert_array_equal(decoded[0].cb, recons[0].cb)
+    np.testing.assert_array_equal(decoded[0].cr, recons[0].cr)
+
+
+def test_tile_slice_mode_inter_multiframe():
+    from test_inter import moving_sequence
+    frames = moving_sequence(128, 64, 4, dx=2, dy=0, seed=18)
+    cfg = EncoderConfig(width=128, height=64, qp=33, ctb_size=32,
+                        intra_period=-1, tile_columns=2, tile_rows=1,
+                        tile_slice_mode=1)
+    stream, recons = Encoder(cfg).encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == len(recons)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+        np.testing.assert_array_equal(r.cb, d.cb)
+
+
+def test_tile_slice_mode_with_adaptive_qp():
+    """Per-tile slices x per-CTB QP: the QP prediction chain must reset at
+    each tile/slice and survive the multi-slice decode."""
+    frame = make_frame(128, 64, "noise", seed=19)
+    cfg = EncoderConfig(width=128, height=64, qp=30, ctb_size=32,
+                        tile_columns=2, tile_rows=1, tile_slice_mode=1,
+                        improve_sharpness=True)
+    stream, recons = Encoder(cfg).encode([frame])
+    decoded = decode_stream(stream)
+    np.testing.assert_array_equal(decoded[0].y, recons[0].y)
