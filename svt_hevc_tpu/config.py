@@ -62,6 +62,8 @@ class EncoderConfig:
     # --- tools (EbApi.h flags) ---
     enable_deblocking: bool = True    # disableDlfFlag analogue
     enable_sao: bool = True           # enableSaoFlag analogue
+    enable_denoise: bool = False      # EbApi.h enableDenoiseFlag: filter
+                                      # noisy sources before encoding
     scene_change_detection: bool = True   # EbApi.h sceneChangeDetection
     constrained_intra: bool = False
     # per-LCU adaptive QP, the reference's QPM visual-quality tools

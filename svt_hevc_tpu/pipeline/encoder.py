@@ -209,6 +209,8 @@ class Encoder:
         (None => derived from the single-ref low-delay DPB). qp_map:
         explicit per-CTB QP grid (overrides the derived QPM map)."""
         cfg = self.cfg
+        if cfg.enable_denoise:
+            frame = self._denoise(frame)
         feat = derive_preset(self._dyn_enc_mode if self._dyn_enc_mode
                              is not None else cfg.enc_mode)
         if rd is None:
@@ -442,6 +444,27 @@ class Encoder:
             chunks.append(pic.nal_bytes)
             recons.append(pic.recon)
         return b"".join(chunks), recons
+
+    def _denoise(self, frame: Frame) -> Frame:
+        """Source denoising (reference PictureAnalysis denoise stage,
+        EbPictureAnalysisProcess.c:1020-1320): noise-class-gated TPU
+        filtering of all three planes; chroma follows the luma decision
+        only when the luma is noisy."""
+        import jax.numpy as jnp
+
+        from ..tpu.analysis import denoise_plane
+        maxval = (1 << self.cfg.bit_depth) - 1
+        y, sigma = denoise_plane(jnp.asarray(np.asarray(frame.y), jnp.float32),
+                                 maxval=maxval)
+        dt = frame.y.dtype
+        if float(sigma) < 0.004 * maxval:
+            return frame
+        cb, _ = denoise_plane(jnp.asarray(np.asarray(frame.cb), jnp.float32),
+                              maxval=maxval)
+        cr, _ = denoise_plane(jnp.asarray(np.asarray(frame.cr), jnp.float32),
+                              maxval=maxval)
+        return Frame(y=np.asarray(y).astype(dt), cb=np.asarray(cb).astype(dt),
+                     cr=np.asarray(cr).astype(dt))
 
     # ------------------------------------------------------------ lookahead
     @staticmethod

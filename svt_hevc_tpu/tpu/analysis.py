@@ -117,6 +117,42 @@ def block_variance(y: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.mean((b - m) ** 2, axis=(-2, -1))
 
 
+def _binomial5(p: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5-tap binomial ([1,4,6,4,1]/16) blur, edge-replicated.
+    Written as shift-adds: XLA fuses the whole stencil into one pass."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    e = jnp.pad(p, ((2, 2), (0, 0)), mode="edge")
+    p = sum(k[i] * e[i:i + p.shape[0], :] for i in range(5))
+    e = jnp.pad(p, ((0, 0), (2, 2)), mode="edge")
+    return sum(k[i] * e[:, i:i + p.shape[1]] for i in range(5))
+
+
+@functools.partial(jax.jit, static_argnames=("maxval",))
+def denoise_plane(p: jnp.ndarray, maxval: int = 255):
+    """Noise-class-gated denoise of one plane (TPU re-design of the
+    reference's noise extraction + strong/weak denoisers,
+    EbPictureAnalysisProcess.c noiseExtract* :1020-1320): estimate the
+    noise level from the flat-region residual of a binomial blur, then
+    apply no / weak / strong filtering with an edge-preserving clamp of
+    the correction to +-3 sigma. Returns (filtered plane, sigma)."""
+    yf = p.astype(jnp.float32)
+    weak = _binomial5(yf)
+    strong = _binomial5(weak)
+    resid = jnp.abs(yf - weak)
+    gx = jnp.abs(jnp.diff(yf, axis=1, prepend=yf[:, :1]))
+    gy = jnp.abs(jnp.diff(yf, axis=0, prepend=yf[:1, :]))
+    flat = ((gx + gy) < 0.06 * maxval).astype(jnp.float32)
+    sigma = jnp.sum(resid * flat) / (jnp.sum(flat) + 1.0)
+
+    def clamped(f):
+        return yf + jnp.clip(f - yf, -(3.0 * sigma + 1.0), 3.0 * sigma + 1.0)
+
+    lo, hi = 0.004 * maxval, 0.012 * maxval      # noise-class thresholds
+    out = jnp.where(sigma < lo, yf,
+                    jnp.where(sigma < hi, clamped(weak), clamped(strong)))
+    return jnp.clip(jnp.round(out), 0, maxval), sigma
+
+
 @functools.partial(jax.jit, static_argnames=("ctb",))
 def ctb_activity(y: jnp.ndarray, ctb: int) -> jnp.ndarray:
     """Per-CTB spatial activity: mean of the 8x8 sample variances inside
