@@ -13,11 +13,18 @@ Public API (analogue of Source/API/EbApi.h):
     from svt_hevc_tpu import Encoder, EncoderConfig
     enc = Encoder(EncoderConfig(width=..., height=..., qp=32))
     stream: bytes = enc.encode(frames)         # Annex-B byte stream
+
+Streaming API (EbH265EncSendPicture / EbH265GetPacket analogue):
+    from svt_hevc_tpu import EncoderHandle
+    h = EncoderHandle(cfg); h.send_picture(f); ...; h.send_eos()
+    for pkt in h.packets(): out.write(pkt.data)
 """
 
+from .api import EncoderHandle, Packet
 from .config import EncoderConfig
 from .pipeline.encoder import Encoder
 
 __version__ = "0.1.0"
 
-__all__ = ["Encoder", "EncoderConfig", "__version__"]
+__all__ = ["Encoder", "EncoderConfig", "EncoderHandle", "Packet",
+           "__version__"]

@@ -62,6 +62,26 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="ctb_size", choices=[16, 32, 64])
     p.add_argument("-tile-columns", type=int, default=1, dest="tile_columns")
     p.add_argument("-tile-rows", type=int, default=1, dest="tile_rows")
+    p.add_argument("-tile-slice-mode", type=int, default=0,
+                   dest="tile_slice_mode", choices=[0, 1],
+                   help="1: one slice NAL per tile (reference tileSliceMode)")
+    p.add_argument("-lad", "--look-ahead", type=int, default=-1, dest="lad",
+                   help="lookahead distance for VBR (-1 auto, reference "
+                        "lookAheadDistance)")
+    p.add_argument("-hrd", type=int, default=0,
+                   help="signal HRD (VUI + buffering period / pic timing)")
+    p.add_argument("-denoise", type=int, default=0,
+                   help="source denoise (reference enableDenoiseFlag)")
+    p.add_argument("-sharp", type=int, default=0,
+                   help="adaptive QP for sharpness (reference "
+                        "improveSharpness)")
+    p.add_argument("-brr", type=int, default=0,
+                   help="masking-based bitrate reduction (reference "
+                        "bitRateReduction)")
+    p.add_argument("-scd", type=int, default=1,
+                   help="scene change detection on/off")
+    p.add_argument("-cip", "--constrained-intra", type=int, default=0,
+                   dest="cip", help="constrained intra prediction")
     p.add_argument("-qp-file", dest="qp_file",
                    help="file with one QP per frame (reference SVTQPFile)")
     p.add_argument("-speed-ctrl", type=float, default=0, dest="speed_ctrl",
@@ -97,7 +117,13 @@ def _encode_channel(args, in_path, out_path, recon_path=None):
         enable_deblocking=bool(args.dlf), enable_sao=bool(args.sao),
         ctb_size=args.ctb_size,
         tile_columns=args.tile_columns, tile_rows=args.tile_rows,
+        tile_slice_mode=args.tile_slice_mode,
         pred_structure=args.pred_struct, hierarchical_levels=args.hl,
+        look_ahead_distance=args.lad, enable_hrd=bool(args.hrd),
+        enable_denoise=bool(args.denoise),
+        improve_sharpness=bool(args.sharp), bit_rate_reduction=bool(args.brr),
+        scene_change_detection=bool(args.scd),
+        constrained_intra=bool(args.cip),
     )
     enc = Encoder(cfg)
     if args.speed_ctrl:

@@ -90,6 +90,20 @@ class EncodedPicture:
     ref_planes: list | None = None   # full-plane post-filter recon (DPB)
 
 
+@dataclass
+class EncodedAu:
+    """One coded access unit from the streaming API (the analogue of the
+    reference's EB_BUFFERHEADERTYPE output, EbApi.h)."""
+
+    data: bytes               # slice NAL(s) + per-AU SEI (Annex-B)
+    recon: Frame
+    poc: int
+    slice_type: int           # 2 I, 1 P, 0 B
+    is_idr: bool
+    display_idx: int
+    decode_idx: int
+
+
 class Encoder:
     """HEVC encoder (CQP): all-intra or low-delay P per cfg.intra_period."""
 
@@ -393,17 +407,31 @@ class Encoder:
         display order). frame_qps: optional per-frame QP list (the
         reference's qp-on-the-fly / -qp-file path, EbRateControlProcess.c
         :2439)."""
-        import time as _time
         if self.cfg.pred_structure == 2:
             return self._encode_random_access(list(frames), rd=rd)
+        chunks = [self.headers()]
+        recons = []
+        for au in self.encode_pictures(frames, rd=rd, frame_qps=frame_qps):
+            chunks.append(au.data)
+            recons.append(au.recon)
+        return b"".join(chunks), recons
+
+    def encode_pictures(self, frames, *, rd: bool | None = None,
+                        frame_qps=None):
+        """Streaming form of encode(): yields one EncodedAu per picture in
+        decode order, without the parameter-set headers (the reference's
+        EbH265GetPacket surface; headers come from headers() like
+        EbH265EncStreamHeader)."""
+        import time as _time
+        if self.cfg.pred_structure == 2:
+            yield from self._ra_pictures(list(frames), rd=rd)
+            return
         from .rate_control import RateControl
         rc = RateControl(self.cfg)
         la = (self.cfg.lookahead
               if rc.mode == 1 and rc.target_bits and frame_qps is None else 0)
         stream = (self._la_frames(frames, la) if la > 0
                   else ((fr, None) for fr in frames))
-        chunks = [self.headers()]
-        recons = []
         prev_y = None
         b_slices = self.cfg.pred_structure == 1     # low-delay B
         for fr, window in stream:
@@ -439,11 +467,12 @@ class Encoder:
                                     is_idr=is_idr)
             else:
                 rc.update(8 * len(pic.nal_bytes), qp)
+            data = pic.nal_bytes
             if self.cfg.enable_hrd:
-                chunks.append(self._hrd_sei(is_idr))
-            chunks.append(pic.nal_bytes)
-            recons.append(pic.recon)
-        return b"".join(chunks), recons
+                data = self._hrd_sei(is_idr) + data
+            yield EncodedAu(data=data, recon=pic.recon, poc=pic.poc,
+                            slice_type=2 if is_idr else (0 if b_slices else 1),
+                            is_idr=is_idr, display_idx=idx, decode_idx=idx)
 
     def _denoise(self, frame: Frame) -> Frame:
         """Source denoising (reference PictureAnalysis denoise stage,
@@ -522,11 +551,20 @@ class Encoder:
             yield fr, [c0] + [c for _, c in itertools.islice(buf, la)]
 
     def _encode_random_access(self, frames, *, rd=None):
+        frames = list(frames)
+        chunks = [self.headers()]
+        recons: list = [None] * len(frames)
+        for au in self._ra_pictures(frames, rd=rd):
+            chunks.append(au.data)
+            recons[au.display_idx] = au.recon
+        return b"".join(chunks), recons
+
+    def _ra_pictures(self, frames, *, rd=None):
         """Hierarchical-B mini-GOPs (reference analogue: random-access
         prediction structures, EbPredictionStructure.c :72-637): anchors
         form a P chain, interior pictures are bi-predicted from the two
-        enclosing pictures, recursively. NALs are emitted in decode order;
-        recons are returned in display order."""
+        enclosing pictures, recursively. AUs are yielded in decode order;
+        display_idx gives the presentation order."""
         cfg = self.cfg
         gop = 1 << max(cfg.hierarchical_levels, 1)
         n = len(frames)
@@ -549,8 +587,6 @@ class Encoder:
             pos = end
 
         dpb: dict[int, list] = {}               # poc -> planes
-        chunks = [self.headers()]
-        recons: list = [None] * n
         # DPB output delays: display index minus decode index, shifted so
         # the minimum is zero (output times stay causal under reordering)
         raw = [i - d for d, (i, *_rest) in enumerate(schedule)]
@@ -563,12 +599,13 @@ class Encoder:
                                     is_idr=stype == 2, slice_type=stype,
                                     refs_l0=refs_l0, refs_l1=refs_l1)
             dpb[idx] = pic.ref_planes
+            data = pic.nal_bytes
             if cfg.enable_hrd:
-                chunks.append(self._hrd_sei(
-                    stype == 2, idx - dec_idx + base_delay))
-            chunks.append(pic.nal_bytes)
-            recons[idx] = pic.recon
+                data = self._hrd_sei(stype == 2,
+                                     idx - dec_idx + base_delay) + data
+            yield EncodedAu(data=data, recon=pic.recon, poc=idx,
+                            slice_type=stype, is_idr=stype == 2,
+                            display_idx=idx, decode_idx=dec_idx)
             # prune pictures older than the current mini-GOP window
             for k in [k for k in dpb if k < idx - 2 * gop]:
                 del dpb[k]
-        return b"".join(chunks), recons
