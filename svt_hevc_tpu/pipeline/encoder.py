@@ -218,7 +218,8 @@ class Encoder:
                      is_idr: bool | None = None, poc: int = 0,
                      qp: int | None = None, slice_type: int | None = None,
                      refs_l0=None, refs_l1=None,
-                     qp_map: np.ndarray | None = None) -> EncodedPicture:
+                     qp_map: np.ndarray | None = None,
+                     non_ref: bool = False) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB). qp_map:
         explicit per-CTB QP grid (overrides the derived QPM map)."""
@@ -355,7 +356,9 @@ class Encoder:
                        {r[1] for r in (refs_l1 or [])}
         negs = sorted(poc - rp for rp in all_ref_pocs if rp < poc)
         poss = sorted(rp - poc for rp in all_ref_pocs if rp > poc)
-        nal_type = NalUnitType.IDR_W_RADL if is_idr else NalUnitType.TRAIL_R
+        nal_type = (NalUnitType.IDR_W_RADL if is_idr
+                    else NalUnitType.TRAIL_N if non_ref
+                    else NalUnitType.TRAIL_R)
         if slice_per_tile:
             # one independent slice NAL per tile (reference tileSliceMode,
             # EbApi.h:360; MCTS packaging tested by the reference's
@@ -434,6 +437,14 @@ class Encoder:
                   else ((fr, None) for fr in frames))
         prev_y = None
         b_slices = self.cfg.pred_structure == 1     # low-delay B
+        # hierarchical low-delay: temporal layers within 2^hl mini-GOPs.
+        # Layer-L pictures reference the most recent lower-layer picture,
+        # top-layer pictures are non-referenced (droppable TRAIL_N), and
+        # CQP adds per-layer QP offsets (reference analogue:
+        # MOD_QP_OFFSET_LAYER_ARRAY, EbRateControlProcess.h:46; LD
+        # prediction structures EbPredictionStructure.c:72-236)
+        hl = self.cfg.hierarchical_levels
+        ll_last: dict[int, tuple] = {}       # layer -> (idx, planes, poc)
         for fr, window in stream:
             idx = self._frame_idx
             self._frame_idx += 1
@@ -446,15 +457,29 @@ class Encoder:
             if is_idr:
                 self._ref_planes = None
                 self._poc_base = idx
+                ll_last.clear()
+            rel = idx - getattr(self, "_poc_base", 0)
+            pos = rel % (1 << hl) if hl else 0
+            layer = 0 if pos == 0 else hl - ((pos & -pos).bit_length() - 1)
+            non_ref = hl > 0 and layer == hl
+            refs_l0 = None
+            if hl > 0 and not is_idr:
+                lower = [e for l, e in ll_last.items() if l < max(layer, 1)]
+                ref = max(lower, key=lambda e: e[0])
+                refs_l0 = [(ref[1], ref[2])]
             if frame_qps is not None and idx < len(frame_qps):
                 qp = int(frame_qps[idx])
             else:
                 qp = rc.pick_qp(is_idr, window=window)
+                if rc.mode == 0 and layer > 0:
+                    qp = min(qp + layer + 1, 51)
             t0 = _time.perf_counter()
             pic = self.encode_frame(
-                fr, rd=rd, is_idr=is_idr,
-                poc=idx - getattr(self, "_poc_base", 0), qp=qp,
-                slice_type=2 if is_idr else (0 if b_slices else 1))
+                fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,
+                slice_type=2 if is_idr else (0 if b_slices else 1),
+                refs_l0=refs_l0, non_ref=non_ref)
+            if hl > 0 and (layer < hl or is_idr):
+                ll_last[0 if is_idr else layer] = (idx, pic.ref_planes, rel)
             if self._speed_target_fps is not None:
                 fps = 1.0 / max(_time.perf_counter() - t0, 1e-9)
                 if fps < self._speed_target_fps:

@@ -108,3 +108,52 @@ def test_constrained_intra_bitmatch():
     for r, d in zip(recons, decoded):
         np.testing.assert_array_equal(r.y, d.y)
         np.testing.assert_array_equal(r.cb, d.cb)
+
+
+def test_low_delay_temporal_layers():
+    """Hierarchical low-delay (reference LD prediction structures,
+    EbPredictionStructure.c:72-236): 2^hl mini-GOPs, layer-L pictures
+    reference a lower layer, top layer is non-ref TRAIL_N with a CQP
+    offset, and the stream survives dropping the top layer."""
+    from svt_hevc_tpu.bitstream.bitwriter import ebsp_to_rbsp
+    from svt_hevc_tpu.bitstream.headers import (parse_pps, parse_slice_header,
+                                                parse_sps)
+    from svt_hevc_tpu.bitstream.nal import (NalUnitType, nal_header,
+                                            split_annexb)
+    frames = moving_sequence(64, 64, 9, dx=1, dy=1, seed=31)
+    cfg = EncoderConfig(width=64, height=64, qp=30, intra_period=-1,
+                        hierarchical_levels=2, scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+
+    sps = pps = None
+    kinds, qps = [], []
+    for t, e in split_annexb(stream):
+        rbsp = ebsp_to_rbsp(e)
+        if t == NalUnitType.SPS_NUT:
+            sps = parse_sps(rbsp)
+        elif t == NalUnitType.PPS_NUT:
+            pps = parse_pps(rbsp)
+        if t in (NalUnitType.IDR_W_RADL, NalUnitType.TRAIL_R,
+                 NalUnitType.TRAIL_N):
+            kinds.append(int(t))
+            qps.append(parse_slice_header(rbsp, int(t), sps, pps).slice_qp)
+    # layers over a GOP of 4: pos 0->L0, 1->L2(non-ref), 2->L1, 3->L2
+    TN, TR = int(NalUnitType.TRAIL_N), int(NalUnitType.TRAIL_R)
+    assert kinds[0] == int(NalUnitType.IDR_W_RADL)
+    assert kinds[1:] == [TN, TR, TN, TR, TN, TR, TN, TR][:len(kinds) - 1]
+    assert qps[0] == 30
+    assert qps[1:5] == [33, 32, 33, 30]      # +L+1 offsets, anchor back to 30
+
+    # full stream decodes bit-exact
+    decoded = decode_stream(stream)
+    for r, d in zip(recons, decoded):
+        np.testing.assert_array_equal(r.y, d.y)
+
+    # dropping every TRAIL_N still decodes (no one references them)
+    dropped = b"".join(
+        b"\x00\x00\x00\x01" + nal_header(t) + e
+        for t, e in split_annexb(stream) if t != NalUnitType.TRAIL_N)
+    sub = decode_stream(dropped)
+    assert len(sub) == sum(1 for k in kinds if k != TN)
+    np.testing.assert_array_equal(sub[0].y, recons[0].y)
+    np.testing.assert_array_equal(sub[1].y, recons[2].y)   # layer-1 picture
