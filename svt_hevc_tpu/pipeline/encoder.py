@@ -209,6 +209,13 @@ class Encoder:
         delta = np.round(1.5 * np.log2(act / gmean))
         lo = -3 if cfg.improve_sharpness else 0
         delta = np.clip(delta, lo, 3)
+        if cfg.improve_sharpness:
+            # dark-area protection (reference SourceBasedOperations dark
+            # LCU classification, EbSourceBasedOperationsProcess.c:1159+):
+            # banding in dark regions is highly visible — spend more bits
+            means = yp.reshape(hh // ctb, ctb, ww // ctb, ctb).mean((1, 3))
+            delta = np.where(means < 0.2 * (1 << cfg.bit_depth),
+                             delta - 1, delta)
         if cfg.bit_rate_reduction:
             delta += 1
         return np.clip(base_qp + delta, 1, 51).astype(np.int32)
@@ -537,7 +544,10 @@ class Encoder:
         stack = np.stack([pad_plane(p.astype(np.int32), w4, h4)
                           for p in [first] + lumas])
         st = lookahead_stats(jnp.asarray(stack))
-        zz = np.asarray(st["zz_sad"], np.float64)
+        # global-motion-compensated SAD: under a pan the zero-MV SAD
+        # overstates complexity; the gm search (EbHevcDetectGlobalMotion
+        # analogue) removes the translation component
+        zz = np.asarray(st["gm_sad"], np.float64)
         if prev_y is None:
             var = float(np.asarray(st["variance"])[0])
             zz[0] = max(float(np.sqrt(var)) / 4.0, 1e-3)

@@ -165,6 +165,9 @@ def ctb_activity(y: jnp.ndarray, ctb: int) -> jnp.ndarray:
     return v8.reshape(h8 // k, k, w8 // k, k).mean(axis=(1, 3))
 
 
+_GM_R = 8       # global-motion search radius in 1/16-decimated pixels
+
+
 @jax.jit
 def lookahead_stats(ys: jnp.ndarray) -> dict:
     """Batched lookahead statistics for a run of consecutive lumas.
@@ -177,20 +180,43 @@ def lookahead_stats(ys: jnp.ndarray) -> dict:
     4x4 mean pooling (reference DecimateInputPicture,
     EbPictureAnalysisProcess.c:4139), zero-MV decimated SAD vs the
     previous frame (ComputeDecimatedZzSad,
-    EbMotionEstimationProcess.c:828), per-frame variance, and 32-bin luma
-    histograms (the scene-change / RC histogram queue feed,
+    EbMotionEstimationProcess.c:828), global motion detection over a
+    +-8-decimated-pel displacement grid (EbHevcDetectGlobalMotion,
+    EbInitialRateControlProcess.c:218 — gm_sad is the motion-compensated
+    complexity, gm_mv the [dx, dy] full-pel pan), per-frame variance, and
+    32-bin luma histograms (the scene-change / RC histogram queue feed,
     EbInitialRateControlProcess.c:766).
     """
     yf = ys.astype(jnp.float32)
     t, h, w = yf.shape
     dec = yf.reshape(t, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
     zz = jnp.abs(dec[1:] - dec[:-1]).mean(axis=(1, 2))       # (T-1,)
+
+    # global translation search: SAD of every +-R decimated displacement,
+    # all frame pairs at once (vmapped shifts over the padded predecessor)
+    r = _GM_R
+    hd, wd = h // 4, w // 4
+    pad = jnp.pad(dec[:-1], ((0, 0), (r, r), (r, r)), mode="edge")
+    disp = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
+                                  jnp.arange(2 * r + 1),
+                                  indexing="ij"), -1).reshape(-1, 2)
+
+    def one(d):
+        sh = jax.lax.dynamic_slice(pad, (0, d[0], d[1]), (t - 1, hd, wd))
+        return jnp.abs(dec[1:] - sh).mean(axis=(1, 2))
+    sads = jax.vmap(one)(disp)                               # (S, T-1)
+    k = jnp.argmin(sads, axis=0)                             # (T-1,)
+    gm_sad = jnp.min(sads, axis=0)
+    s2 = 2 * r + 1
+    gm_mv = jnp.stack([(k % s2 - r) * 4, (k // s2 - r) * 4], -1)  # full-pel
+
     mean = yf.mean(axis=(1, 2))
     var = ((yf - mean[:, None, None]) ** 2).mean(axis=(1, 2))
     bins = jnp.clip(yf // 8.0, 0, 31).astype(jnp.int32)
     hist = jax.vmap(lambda b: jnp.zeros(32, jnp.int32).at[b.ravel()].add(1))(
         bins)                                                # (T, 32)
-    return {"zz_sad": zz, "variance": var[1:], "hist": hist[1:]}
+    return {"zz_sad": zz, "gm_sad": gm_sad, "gm_mv": gm_mv,
+            "variance": var[1:], "hist": hist[1:]}
 
 
 @jax.jit

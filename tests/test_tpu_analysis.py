@@ -103,3 +103,34 @@ def test_flat_block_prefers_dc_or_planar():
     y = np.full((64, 64), 100.0, np.float32)
     mode, cost = intra_search_size(jnp.asarray(y), 16)
     assert np.asarray(cost).max() < 1.0
+
+
+def test_lookahead_global_motion():
+    """A pure pan: zero-MV SAD is large, gm-compensated SAD ~ 0 and the
+    detected global MV equals the pan (EbHevcDetectGlobalMotion
+    analogue)."""
+    import jax.numpy as jnp
+    from svt_hevc_tpu.tpu.analysis import lookahead_stats
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (64, 128)).astype(np.float32)
+    ys = np.stack([np.roll(base, (0, 8 * i), (0, 1)) for i in range(3)])
+    st = lookahead_stats(jnp.asarray(ys))
+    zz = np.asarray(st["zz_sad"])
+    gm = np.asarray(st["gm_sad"])
+    mv = np.asarray(st["gm_mv"])
+    assert (gm < 0.2 * zz).all(), (gm, zz)
+    # pan of +8 luma pels per frame = 2 decimated pels
+    assert abs(int(mv[0, 0])) == 8 and int(mv[0, 1]) == 0
+    assert abs(int(mv[1, 0])) == 8 and int(mv[1, 1]) == 0
+
+
+def test_lookahead_static_gm_matches_zz():
+    import jax.numpy as jnp
+    from svt_hevc_tpu.tpu.analysis import lookahead_stats
+    rng = np.random.default_rng(8)
+    ys = rng.integers(0, 255, (3, 64, 64)).astype(np.float32)
+    ys[1] = ys[0]                      # identical pair: both SADs zero
+    st = lookahead_stats(jnp.asarray(ys))
+    assert float(np.asarray(st["gm_sad"])[0]) == 0.0
+    assert tuple(np.asarray(st["gm_mv"])[0]) == (0, 0)
+    assert np.asarray(st["gm_sad"])[1] <= np.asarray(st["zz_sad"])[1]
