@@ -805,6 +805,24 @@ class _InterPlan:
         self.root_cbf = 1
 
 
+_H2 = np.array([[1, 1], [1, -1]], np.int64)
+_H4 = np.block([[_H2, _H2], [_H2, -_H2]])
+_H8 = np.block([[_H4, _H4], [_H4, -_H4]])
+
+
+def _satd_host(diff: np.ndarray) -> float:
+    """Blockwise Hadamard SATD of an (n, n) residual, ~2x SAD scale
+    (reference analogue: EbHmCode.c Compute4x4Satd/8x8 used by the MD
+    fast loop)."""
+    n = diff.shape[0]
+    k = 4 if n == 4 else 8
+    h = _H4 if k == 4 else _H8
+    b = (diff.reshape(n // k, k, n // k, k).transpose(0, 2, 1, 3)
+         .astype(np.int64))
+    t = h @ b @ h.T
+    return float(np.abs(t).sum()) / (k // 2)
+
+
 def _mvd_bits(v: int) -> int:
     a = abs(v)
     if a == 0:
@@ -829,7 +847,7 @@ class CtuEncoder(CtuCoderBase):
 
     def __init__(self, state, bac, src_planes, *, split_policy=None,
                  part_nxn_policy=None, mode_policy=None, me_seed=None,
-                 features=None):
+                 features=None, ois=None):
         super().__init__(state, bac)
         from ..preset import derive_preset
         self.src = src_planes        # [y, cb, cr] int arrays, coded dims
@@ -838,6 +856,10 @@ class CtuEncoder(CtuCoderBase):
         self.mode_policy = mode_policy    # optional (x,y,size)->mode override
         self.me_seed = me_seed       # (H//16, W//16, 2) quarter-pel MV field
         self.feat = features if features is not None else derive_preset(7)
+        # TPU open-loop intra search products: {n: (mode_map, cost_map)}
+        # for n in 4/8/16/32 (reference analogue: OIS results driving MD
+        # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
+        self.ois = ois
         self._pu_modes: dict[tuple[int, int], int] = {}
         self._plans: dict[tuple[int, int, int], _InterPlan] = {}
 
@@ -859,6 +881,15 @@ class CtuEncoder(CtuCoderBase):
         blk = self.src[0][y0:y0 + (1 << log2), x0:x0 + (1 << log2)]
         return float(np.var(blk.astype(np.float64))) > 900.0
 
+    def _ois_mode(self, px, py, n) -> int | None:
+        """Open-loop best mode of the block from the TPU OIS maps (64-CU
+        PUs fall back to the covering 32 map)."""
+        if self.ois is None:
+            return None
+        k = min(n, 32)
+        mode_map = self.ois[k][0]
+        return int(mode_map[py // k, px // k])
+
     def _choose_luma_mode(self, px, py, n, cand):
         """Returns (mode, sad_cost)."""
         if self.mode_policy is not None:
@@ -870,16 +901,25 @@ class CtuEncoder(CtuCoderBase):
         left, corner, top = intra.build_ref_samples(
             self.st.planes[0], self.st.intra_avail(0), px, py, n,
             bit_depth=self.st.bit_depth)
-        modes = (range(35) if self.feat.all_intra_modes
-                 else sorted({intra.PLANAR, intra.DC, intra.VERTICAL,
-                              intra.HORIZONTAL, *cand}))
+        ois_mode = self._ois_mode(px, py, n) if self.feat.ois_intra else None
+        if ois_mode is not None:
+            # OIS-driven shortlist: open-loop winner + MPMs + planar/DC
+            # refined closed-loop (reference enhanced-I MD candidates)
+            modes = sorted({ois_mode, intra.PLANAR, intra.DC, *cand})
+        elif self.feat.all_intra_modes:
+            modes = range(35)
+        else:
+            modes = sorted({intra.PLANAR, intra.DC, intra.VERTICAL,
+                            intra.HORIZONTAL, *cand})
         for mode in modes:
             fl, fc, ft = intra.filter_ref_samples(
                 left, corner, top, n, mode, 0, self.st.bit_depth)
             pred = intra.predict_intra(fl, fc, ft, n, mode, 0, self.st.bit_depth)
             bits = (1 + (1 if cand.index(mode) == 0 else 2)
                     if mode in cand else 6)
-            cost = int(np.abs(pred - src).sum()) + 3 * bits
+            # SATD ranking (~2x SAD scale), like the reference's MD fast
+            # loop and the TPU OIS — SAD misranks directional residuals
+            cost = _satd_host(pred - src) + 6 * bits
             if best_cost is None or cost < best_cost:
                 best_mode, best_cost = mode, cost
         return best_mode, best_cost
@@ -943,8 +983,11 @@ class CtuEncoder(CtuCoderBase):
         best_mv = ((cx - x0 + dx - r) << 2, (cy - y0 + dy - r) << 2)
         best_sad = int(sad[dy, dx])
         steps = (2, 1) if self.feat.subpel_me else ()
+        if best_sad <= n * n:        # < 1 LSB/px residual: subpel can't pay
+            steps = ()
         for step in steps:           # half-pel, then quarter-pel
             bx, by = best_mv
+            improved = False
             for ox, oy in ((-step, 0), (step, 0), (0, -step), (0, step),
                            (-step, -step), (step, step), (-step, step),
                            (step, -step)):
@@ -954,6 +997,9 @@ class CtuEncoder(CtuCoderBase):
                 s = int(np.abs(p - src).sum())
                 if s < best_sad:
                     best_sad, best_mv = s, mv
+                    improved = True
+            if not improved:         # flat subpel surface: stop refining
+                break
         return best_sad, best_mv
 
     def _inter_tb_levels(self, x0, y0, log2, pred3):
@@ -1042,9 +1088,22 @@ class CtuEncoder(CtuCoderBase):
             if cost < best[0]:
                 best = (cost, "bi", mi_bi)
 
-        # intra comparison (2Nx2N SAD)
-        cand = derive_mpm(st, x0, y0)
-        _, intra_cost = self._choose_luma_mode(x0, y0, n, cand)
+        # intra comparison (2Nx2N): TPU OIS cost when available (the
+        # reference's fast-loop intra-vs-inter uses the OIS SADs), else a
+        # host closed-loop probe. The open-loop cost predicts from clean
+        # source neighbors and so understates the closed-loop cost; the 2x
+        # weight restores the inter preference (the same direction as the
+        # reference's NFL ordering, which ranks merge/skip first)
+        if self.ois is not None:
+            if n <= 32:
+                intra_cost = 2.0 * float(self.ois[n][1][y0 // n, x0 // n])
+            else:
+                c32 = self.ois[32][1]
+                intra_cost = 2.0 * float(
+                    c32[y0 // 32:y0 // 32 + 2, x0 // 32:x0 // 32 + 2].sum())
+        else:
+            cand = derive_mpm(st, x0, y0)
+            _, intra_cost = self._choose_luma_mode(x0, y0, n, cand)
         if intra_cost is not None and intra_cost + 3 * 2 < best[0]:
             plan.use_inter = False
             return plan

@@ -109,7 +109,7 @@ class RdSearch:
 
     def __init__(self, st: PictureState, src, *, lam: float | None = None,
                  mode_candidates=None, try_nxn: bool = True, me_seed=None,
-                 features=None):
+                 features=None, ois=None):
         self.st = st
         self.src = src
         self._lam_auto = lam is None
@@ -118,6 +118,7 @@ class RdSearch:
         self.try_nxn = try_nxn
         self.me_seed = me_seed
         self.features = features
+        self.ois = ois
 
     # ------------------------------------------------------------------ api
     def compress_ctu(self, x0: int, y0: int, ctx: list[int]) -> tuple[Decisions, list[int]]:
@@ -155,7 +156,8 @@ class RdSearch:
                          split_policy=lambda *a: False,
                          part_nxn_policy=lambda *a: nxn,
                          mode_policy=self.mode_candidates,
-                         me_seed=self.me_seed, features=self.features)
+                         me_seed=self.me_seed, features=self.features,
+                         ois=self.ois)
         if log2 > 3:
             est.encode_bin(Ctx.SPLIT_CU + split_cu_ctx(self.st, x0, y0, depth), 0)
         enc.coding_unit(x0, y0, log2, depth)

@@ -294,6 +294,11 @@ class Encoder:
         if not is_idr:
             me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
 
+        # TPU open-loop intra search once per picture; its mode/cost maps
+        # drive the MD shortlist at OIS presets (reference: OIS feeding MD
+        # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
+        ois = self._ois_maps(src[0]) if feat.ois_intra else None
+
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
         decisions_all: dict = {}
@@ -303,14 +308,15 @@ class Encoder:
             if rd:
                 for x0, y0 in order:
                     rds = RdSearch(st, src, me_seed=me_seed,
-                                   try_nxn=feat.try_nxn, features=feat)
+                                   try_nxn=feat.try_nxn, features=feat,
+                                   ois=ois)
                     decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
                     decisions_all[(x0, y0)] = decisions
             else:
                 est = CabacEstimator(est_ctx)
                 enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
                                   part_nxn_policy=part_nxn_policy,
-                                  me_seed=me_seed, features=feat)
+                                  me_seed=me_seed, features=feat, ois=ois)
                 for x0, y0 in order:
                     enc1.code_ctu(x0, y0)
 
@@ -335,7 +341,7 @@ class Encoder:
             if not rd:
                 enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                                  part_nxn_policy=part_nxn_policy,
-                                 me_seed=me_seed, features=feat)
+                                 me_seed=me_seed, features=feat, ois=ois)
             for x0, y0 in order:
                 if rd:
                     d = decisions_all[(x0, y0)]
@@ -343,7 +349,7 @@ class Encoder:
                                      split_policy=d.split_policy,
                                      part_nxn_policy=d.part_nxn_policy,
                                      mode_policy=d.mode_policy,
-                                     me_seed=me_seed, features=feat)
+                                     me_seed=me_seed, features=feat, ois=ois)
                 if sao_grid is not None:
                     encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
                                    True, True, bit_depth=cfg.bit_depth,
@@ -505,6 +511,22 @@ class Encoder:
             yield EncodedAu(data=data, recon=pic.recon, poc=pic.poc,
                             slice_type=2 if is_idr else (0 if b_slices else 1),
                             is_idr=is_idr, display_idx=idx, decode_idx=idx)
+
+    def _ois_maps(self, y_plane: np.ndarray) -> dict:
+        """Per-picture TPU open-loop intra search: {n: (mode_map, cost_map)}
+        numpy maps for n in 4/8/16/32, fetched in one device round trip."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..tpu.analysis import analyze_frame
+        h, w = y_plane.shape
+        hh, ww = (h + 63) // 64 * 64, (w + 63) // 64 * 64
+        out = analyze_frame(jnp.asarray(pad_plane(y_plane, ww, hh),
+                                        jnp.float32))
+        got = jax.device_get({n: (out[f"mode{n}"], out[f"cost{n}"])
+                              for n in (4, 8, 16, 32)})
+        return {n: (np.asarray(m), np.asarray(c))
+                for n, (m, c) in got.items()}
 
     def _denoise(self, frame: Frame) -> Frame:
         """Source denoising (reference PictureAnalysis denoise stage,

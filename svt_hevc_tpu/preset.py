@@ -21,17 +21,21 @@ class PresetFeatures:
     subpel_me: bool             # half/quarter-pel refinement
     all_intra_modes: bool       # 35-mode search vs DC/planar/MPM-only
     rdoq: bool                  # RD-optimized quantization (PM analogue)
+    ois_intra: bool             # TPU open-loop intra search drives the MD
+                                # candidate shortlist (reference: enhanced-I
+                                # OIS candidates at M3-9, SURVEY.md §2.4b;
+                                # M0-2 search all 35 modes closed-loop)
 
 
 def derive_preset(enc_mode: int) -> PresetFeatures:
     """Quality->speed ladder. M0-M5: full RD (RDOQ at M0-M4, matching the
-    reference ladder SURVEY.md §2.4b); M6-M9: heuristic with full mode
-    search; M10-M11: heuristic with reduced tools."""
+    reference ladder SURVEY.md §2.4b); M6-M9: heuristic with OIS-driven
+    mode search; M10-M11: heuristic with reduced tools."""
     if enc_mode <= 2:
-        return PresetFeatures(True, True, 12, True, True, True)
+        return PresetFeatures(True, True, 12, True, True, True, False)
     if enc_mode <= 5:
         return PresetFeatures(True, enc_mode <= 4, 8, True, True,
-                              enc_mode <= 4)
+                              enc_mode <= 4, True)
     if enc_mode <= 9:
-        return PresetFeatures(False, False, 8, True, True, False)
-    return PresetFeatures(False, False, 4, enc_mode == 10, False, False)
+        return PresetFeatures(False, False, 8, True, True, False, True)
+    return PresetFeatures(False, False, 4, enc_mode == 10, False, False, True)
