@@ -847,7 +847,7 @@ class CtuEncoder(CtuCoderBase):
 
     def __init__(self, state, bac, src_planes, *, split_policy=None,
                  part_nxn_policy=None, mode_policy=None, me_seed=None,
-                 features=None, ois=None):
+                 features=None, ois=None, decision_cache=None):
         super().__init__(state, bac)
         from ..preset import derive_preset
         self.src = src_planes        # [y, cb, cr] int arrays, coded dims
@@ -861,7 +861,15 @@ class CtuEncoder(CtuCoderBase):
         # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
         self.ois = ois
         self._pu_modes: dict[tuple[int, int], int] = {}
-        self._plans: dict[tuple[int, int, int], _InterPlan] = {}
+        # decision_cache: shared between the decide and emit passes (both
+        # see identical reconstruction state, so plans and chosen modes are
+        # deterministic replays — compute once, reuse in pass 2)
+        if decision_cache is None:
+            decision_cache = {"plans": {}, "modes": {}}
+        self._plans: dict[tuple[int, int, int], _InterPlan] = \
+            decision_cache["plans"]
+        self._mode_cache: dict[tuple[int, int, int], tuple] = \
+            decision_cache["modes"]
 
     def _quant(self, coeff, qp, is_intra):
         """Preset-selected quantizer: plain scalar quant or RDOQ
@@ -896,6 +904,9 @@ class CtuEncoder(CtuCoderBase):
             got = self.mode_policy(px, py, n)
             if got is not None and got >= 0:
                 return got, 0
+        hit = self._mode_cache.get((px, py, n))
+        if hit is not None:
+            return hit
         src = self.src[0][py:py + n, px:px + n].astype(np.int64)
         best_mode, best_cost = 1, None
         left, corner, top = intra.build_ref_samples(
@@ -922,6 +933,7 @@ class CtuEncoder(CtuCoderBase):
             cost = _satd_host(pred - src) + 6 * bits
             if best_cost is None or cost < best_cost:
                 best_mode, best_cost = mode, cost
+        self._mode_cache[(px, py, n)] = (best_mode, best_cost)
         return best_mode, best_cost
 
     # ------------------------------------------------------- inter decision

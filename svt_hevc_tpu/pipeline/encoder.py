@@ -302,6 +302,9 @@ class Encoder:
         # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
         st = new_state()
         decisions_all: dict = {}
+        # decide-once cache shared with pass 2 (identical recon state =>
+        # identical plans/modes; pass 2 only replays)
+        dcache = {"plans": {}, "modes": {}}
         for order, _, _ in tiles:
             st.begin_tile()
             est_ctx = init_contexts(qp, init_type=init_type)
@@ -316,7 +319,8 @@ class Encoder:
                 est = CabacEstimator(est_ctx)
                 enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
                                   part_nxn_policy=part_nxn_policy,
-                                  me_seed=me_seed, features=feat, ois=ois)
+                                  me_seed=me_seed, features=feat, ois=ois,
+                                  decision_cache=dcache)
                 for x0, y0 in order:
                     enc1.code_ctu(x0, y0)
 
@@ -341,7 +345,8 @@ class Encoder:
             if not rd:
                 enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                                  part_nxn_policy=part_nxn_policy,
-                                 me_seed=me_seed, features=feat, ois=ois)
+                                 me_seed=me_seed, features=feat, ois=ois,
+                                 decision_cache=dcache)
             for x0, y0 in order:
                 if rd:
                     d = decisions_all[(x0, y0)]
