@@ -997,21 +997,31 @@ class CtuEncoder(CtuCoderBase):
         steps = (2, 1) if self.feat.subpel_me else ()
         if best_sad <= n * n:        # < 1 LSB/px residual: subpel can't pay
             steps = ()
+        def probe(bx, by, ox, oy):
+            p = interp_luma(ref, x0, y0, n, n, bx + ox, by + oy,
+                            st.bit_depth).astype(np.int64)
+            return int(np.abs(p - src).sum())
+
         for step in steps:           # half-pel, then quarter-pel
             bx, by = best_mv
-            improved = False
-            for ox, oy in ((-step, 0), (step, 0), (0, -step), (0, step),
-                           (-step, -step), (step, step), (-step, step),
-                           (step, -step)):
-                mv = (bx + ox, by + oy)
-                p = interp_luma(ref, x0, y0, n, n, mv[0], mv[1],
-                                st.bit_depth).astype(np.int64)
-                s = int(np.abs(p - src).sum())
+            # cross positions first; diagonals only around the best cross
+            # direction (the reference's staged sub-pel pattern,
+            # EbHevcHalfPelSearch_LCU refinement ordering)
+            best_dir = None
+            for ox, oy in ((-step, 0), (step, 0), (0, -step), (0, step)):
+                s = probe(bx, by, ox, oy)
                 if s < best_sad:
-                    best_sad, best_mv = s, mv
-                    improved = True
-            if not improved:         # flat subpel surface: stop refining
+                    best_sad, best_mv = s, (bx + ox, by + oy)
+                    best_dir = (ox, oy)
+            if best_dir is None:     # flat subpel surface: stop refining
                 break
+            dx = best_dir[0] or None
+            dy = best_dir[1] or None
+            for ox, oy in (((dx or -step), (dy or -step)),
+                           ((dx or step), (dy or step))):
+                s = probe(bx, by, ox, oy)
+                if s < best_sad:
+                    best_sad, best_mv = s, (bx + ox, by + oy)
         return best_sad, best_mv
 
     def _inter_tb_levels(self, x0, y0, log2, pred3):
