@@ -17,6 +17,30 @@ import numpy as np
 KIND_BIN, KIND_BYPASS, KIND_BYPASS_BINS, KIND_TERMINATE = 0, 1, 2, 3
 
 
+class NullCoder:
+    """Bin sink for decide-only walks (non-RD pass 1): the encoder's
+    syntax hooks drive the forward compute, but nobody reads the bins, so
+    they are discarded and residual payloads skipped (is_null)."""
+
+    is_null = True
+    __slots__ = ("ctx",)
+
+    def __init__(self, contexts=None) -> None:
+        self.ctx = contexts if contexts is not None else []
+
+    def encode_bin(self, ctx_idx: int, binval: int) -> None:
+        pass
+
+    def encode_bypass(self, binval: int) -> None:
+        pass
+
+    def encode_bypass_bins(self, value: int, nbits: int) -> None:
+        pass
+
+    def encode_terminate(self, binval: int) -> None:
+        pass
+
+
 class CabacRecorder:
     """Drop-in for CabacEncoder that records ops. `ctx` is kept only so
     code that clones context state keeps working; states are NOT updated

@@ -1385,11 +1385,13 @@ class CtuEncoder(CtuCoderBase):
 
     # ------------------------------------------------------------ tb payload
     def tb_luma(self, cu, x0, y0, log2, mode, cbf):
-        if cbf:
+        if cbf and not getattr(self.bac, "is_null", False):
             scan = select_scan(log2, 0, mode)
             encode_residual(self.bac, cu.luma_levels[(x0, y0)], 0, scan)
 
     def tb_chroma(self, cu, nx, ny, nlog2, cbf_cb, cbf_cr):
+        if getattr(self.bac, "is_null", False):
+            return
         tbs = self._chroma_leaf_tbs(nx, ny, nlog2)
         c444 = self.st.chroma_format == 3
         for c_idx, cbfs in ((1, cbf_cb), (2, cbf_cr)):

@@ -19,7 +19,7 @@ import numpy as np
 from ..bitstream.cabac import CabacEncoder
 from ..bitstream.contexts import init_contexts
 from ..bitstream.estimator import CabacEstimator
-from ..bitstream.recorder import CabacRecorder
+from ..bitstream.recorder import CabacRecorder, NullCoder
 from ..native import cabac_encode_ops
 from ..bitstream.headers import (tile_grid, write_pps, write_slice_header,
                                  write_sps, write_vps)
@@ -316,8 +316,9 @@ class Encoder:
                     decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
                     decisions_all[(x0, y0)] = decisions
             else:
-                est = CabacEstimator(est_ctx)
-                enc1 = CtuEncoder(st, est, src, split_policy=split_policy,
+                # decide-only walk: bins are never read in non-RD pass 1
+                sink = NullCoder(est_ctx)
+                enc1 = CtuEncoder(st, sink, src, split_policy=split_policy,
                                   part_nxn_policy=part_nxn_policy,
                                   me_seed=me_seed, features=feat, ois=ois,
                                   decision_cache=dcache)
