@@ -35,6 +35,8 @@ class EncoderConfig:
     # --- coding structure (EbApi.h intraPeriodLength/hierarchicalLevels/...) ---
     intra_period: int = 0        # 0 = all-intra; -1 = first frame only
                                  # (reference -1 semantics); N>0 = I every N+1
+    intra_refresh_type: int = 2  # EbApi.h intraRefreshType: 1 = CRA open
+                                 # GOP, 2 = IDR closed GOP
     hierarchical_levels: int = 0
     pred_structure: int = 0      # 0 low-delay P, 1 low-delay B, 2 random access
 
@@ -166,12 +168,17 @@ class EncoderConfig:
             raise ValueError("intra_period out of range [-1, 255]")
         if self.pred_structure not in (0, 1, 2):
             raise ValueError("pred_structure must be 0 (LDP), 1 (LDB), 2 (RA)")
-        if not (0 <= self.hierarchical_levels <= 3):
-            raise NotImplementedError("hierarchical_levels > 3 not supported")
-        if self.pred_structure == 2 and self.intra_period not in (-1, 0):
+        if not (0 <= self.hierarchical_levels <= 5):
+            raise ValueError("hierarchical_levels out of range [0, 5] "
+                             "(reference mini-GOPs are 2^n, n<=5)")
+        if self.intra_refresh_type not in (1, 2):
+            raise ValueError("intra_refresh_type must be 1 (CRA open GOP) "
+                             "or 2 (IDR closed GOP)")
+        if (self.pred_structure == 2 and self.intra_period > 0
+                and self.intra_refresh_type == 1):
             raise NotImplementedError(
-                "random access supports intra_period -1 (open GOP refresh "
-                "needs CRA leading-picture handling, not yet implemented)")
+                "CRA open-GOP refresh (intra_refresh_type=1) needs RASL "
+                "leading-picture handling; use intra_refresh_type=2 (IDR)")
         if not (1 <= self.tile_columns <= 20 and 1 <= self.tile_rows <= 22):
             raise ValueError("tile grid out of range (level 6.x caps: 20x22)")
         if (self.tile_columns > self.pic_width_in_ctbs

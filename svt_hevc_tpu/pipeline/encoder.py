@@ -623,6 +623,26 @@ class Encoder:
         return b"".join(chunks), recons
 
     def _ra_pictures(self, frames, *, rd=None):
+        """Random access with periodic IDR refresh (reference analogue:
+        intraRefreshType=2 closed GOP, EbApi.h): the stream is cut into
+        independent segments of intra_period+1 pictures, each encoded as a
+        closed hierarchical-B GOP with its own IDR and POC base."""
+        cfg = self.cfg
+        frames = list(frames)
+        seg_len = (cfg.intra_period + 1 if cfg.intra_period > 0
+                   else len(frames))
+        dec_base = 0
+        for seg_start in range(0, len(frames), max(seg_len, 1)):
+            seg = frames[seg_start:seg_start + seg_len]
+            for au in self._ra_segment(seg, rd=rd):
+                yield EncodedAu(
+                    data=au.data, recon=au.recon, poc=au.poc,
+                    slice_type=au.slice_type, is_idr=au.is_idr,
+                    display_idx=seg_start + au.display_idx,
+                    decode_idx=dec_base + au.decode_idx)
+            dec_base += len(seg)
+
+    def _ra_segment(self, frames, *, rd=None):
         """Hierarchical-B mini-GOPs (reference analogue: random-access
         prediction structures, EbPredictionStructure.c :72-637): anchors
         form a P chain, interior pictures are bi-predicted from the two

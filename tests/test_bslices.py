@@ -157,3 +157,48 @@ def test_low_delay_temporal_layers():
     assert len(sub) == sum(1 for k in kinds if k != TN)
     np.testing.assert_array_equal(sub[0].y, recons[0].y)
     np.testing.assert_array_equal(sub[1].y, recons[2].y)   # layer-1 picture
+
+
+@pytest.mark.parametrize("hl,nframes", [(4, 17), (5, 33)])
+def test_deep_hierarchy_bitmatch(hl, nframes):
+    """hierarchical_levels 4/5: mini-GOPs of 16/32 pictures (reference
+    5/6-level RA prediction structures, EbPredictionStructure.c:400-637)."""
+    frames = moving_sequence(64, 64, nframes, dx=1, dy=1, seed=61)
+    cfg = EncoderConfig(width=64, height=64, qp=35, intra_period=-1,
+                        pred_structure=2, hierarchical_levels=hl,
+                        scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == nframes
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(r.cb, d.cb)
+
+
+def test_random_access_periodic_idr():
+    """RA + intra_period N (+ intra_refresh_type 2): closed GOPs with an
+    IDR every N+1 pictures (reference intraRefreshType=2, EbApi.h)."""
+    frames = moving_sequence(64, 64, 10, dx=2, dy=1, seed=71)
+    cfg = EncoderConfig(width=64, height=64, qp=33, intra_period=4,
+                        pred_structure=2, hierarchical_levels=2,
+                        scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    decoded = decode_stream(stream)
+    assert len(decoded) == 10
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
+    idrs = [t for t, _ in split_annexb(stream)
+            if t in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP)]
+    assert len(idrs) == 2
+
+
+def test_deep_hierarchy_low_delay():
+    """hl=4 low-delay: 16-picture mini-GOPs still bit-match."""
+    from test_inter import moving_sequence as seq
+    frames = seq(64, 64, 17, dx=1, dy=0, seed=81)
+    cfg = EncoderConfig(width=64, height=64, qp=35, intra_period=-1,
+                        hierarchical_levels=4, scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    decoded = decode_stream(stream)
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
