@@ -11,10 +11,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..config import EncoderConfig
+from ..level import derive_level
 from .bitwriter import BitReader, BitWriter
-
-GENERAL_LEVEL_IDC = 120  # level 4.0 default; TODO: derive from level tables
-                         # (reference: EbEncHandle.c:69-76)
 
 
 # --------------------------------------------------------------------- writers
@@ -25,8 +23,9 @@ def _write_profile_tier_level(w: BitWriter, cfg: EncoderConfig,
     format-range extensions (4) with REXT constraint flags — the reference
     requires REXT for 422/444 (EbEncHandle.c:2454-2456)."""
     profile_idc = cfg.profile
+    level, high_tier = derive_level(cfg)
     w.u(0, 2)            # general_profile_space
-    w.flag(0)            # general_tier_flag
+    w.flag(int(high_tier))   # general_tier_flag
     w.u(profile_idc, 5)
     compat = {4} if profile_idc == 4 else {1, 2}
     for i in range(32):  # general_profile_compatibility_flag[i]
@@ -52,7 +51,7 @@ def _write_profile_tier_level(w: BitWriter, cfg: EncoderConfig,
         w.u(0, 32)       # general_reserved_zero_43bits (part 1)
         w.u(0, 11)       # general_reserved_zero_43bits (part 2)
     w.flag(0)            # general_reserved_zero_bit / inbld
-    w.u(GENERAL_LEVEL_IDC, 8)
+    w.u(level.idc, 8)
     assert max_sub_layers_minus1 == 0
 
 

@@ -181,6 +181,11 @@ class EncoderConfig:
                 "leading-picture handling; use intra_refresh_type=2 (IDR)")
         if not (1 <= self.tile_columns <= 20 and 1 <= self.tile_rows <= 22):
             raise ValueError("tile grid out of range (level 6.x caps: 20x22)")
+        # level/tier feasibility (reference: VerifySettings level checks +
+        # per-level tile caps, EbEncHandle.c:69-76, :2134): raises if the
+        # stream does not fit any (level, tier) up to 6.2 High
+        from .level import derive_level
+        derive_level(self)
         if (self.tile_columns > self.pic_width_in_ctbs
                 or self.tile_rows > self.pic_height_in_ctbs):
             raise ValueError("more tiles than CTB columns/rows")
