@@ -211,7 +211,9 @@ def write_pps(cfg: EncoderConfig) -> bytes:
         w.ue(cfg.tile_columns - 1)   # num_tile_columns_minus1
         w.ue(cfg.tile_rows - 1)      # num_tile_rows_minus1
         w.flag(1)                    # uniform_spacing_flag
-        w.flag(1)                    # loop_filter_across_tiles_enabled_flag
+        # MCTS requires loop filters to stop at tile boundaries
+        w.flag(0 if cfg.constrained_motion_tiles else 1)
+        #                            # loop_filter_across_tiles_enabled_flag
     w.flag(1)            # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)            # deblocking_filter_control_present_flag
     w.flag(0)            #   deblocking_filter_override_enabled_flag

@@ -17,6 +17,7 @@ SEI_PIC_TIMING = 1
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_RECOVERY_POINT = 6
 SEI_ACTIVE_PARAMETER_SETS = 129
+SEI_TEMPORAL_MCTS = 133          # temporal_motion_constrained_tile_sets
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
 
@@ -116,6 +117,23 @@ def write_mastering_display(primaries: list[tuple[int, int]],
     w.u(max_luma, 32)
     w.u(min_luma, 32)
     return _wrap_payload(SEI_MASTERING_DISPLAY, w.get_bytes())
+
+
+def write_temporal_mcts() -> bytes:
+    """temporal_motion_constrained_tile_sets (D.2.29): the
+    each_tile_one_tile_set form — every tile is its own independently
+    extractable motion-constrained tile set."""
+    w = BitWriter()
+    w.flag(0)            # mc_all_tiles_exact_sample_value_match_flag
+    w.flag(1)            # each_tile_one_tile_set_flag
+    w.flag(0)            # limited_tile_set_display_flag (n/a)
+    w.flag(1)            # max_mcs_tier_level_idc_present_flag = 0 -> skip
+    # with each_tile_one_tile_set: no per-set loop; the two flags above
+    # fully describe the sets. mcts_max_tier_level follows when present:
+    w.flag(0)            # mcts_tier_flag
+    w.u(0, 8)            # mcts_level_idc (0 = unspecified)
+    w.rbsp_trailing_bits()
+    return _wrap_payload(SEI_TEMPORAL_MCTS, w.get_bytes())
 
 
 def write_active_parameter_sets() -> bytes:

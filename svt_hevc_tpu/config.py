@@ -79,6 +79,13 @@ class EncoderConfig:
     tile_rows: int = 1
     tile_slice_mode: int = 0     # 1: one independent slice per tile (MCTS
                                  # packaging; reference tileSliceMode)
+    constrained_motion_tiles: bool = False
+                                 # motion-constrained tile sets: every MV's
+                                 # interpolation window stays inside its
+                                 # tile, loop filters stop at tile edges,
+                                 # and a temporal MCTS SEI is emitted
+                                 # (reference: MCTS conformance test,
+                                 # Tests/SVT-HEVC_FunctionalTests.py:1044)
 
     # --- HDR metadata SEIs (EbApi.h maxCLL/maxFALL/masteringDisplay...) ---
     max_cll: int = 0             # content light level SEI when nonzero
@@ -189,6 +196,9 @@ class EncoderConfig:
         if (self.tile_columns > self.pic_width_in_ctbs
                 or self.tile_rows > self.pic_height_in_ctbs):
             raise ValueError("more tiles than CTB columns/rows")
+        if (self.constrained_motion_tiles
+                and self.tile_columns * self.tile_rows < 2):
+            raise ValueError("constrained_motion_tiles requires >1 tile")
         if not (0 <= self.enc_mode <= 11):
             raise ValueError("enc_mode must be in 0..11")
         if self.rate_control_mode not in (0, 1):

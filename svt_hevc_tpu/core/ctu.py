@@ -106,6 +106,12 @@ class PictureState:
         # constrained_intra_pred_flag: intra prediction may only reference
         # intra-coded neighbor samples (7.4.3.3.1)
         self.constrained_intra = False
+        # loop_filter_across_tiles_enabled_flag=0 state (MCTS): interior
+        # tile boundary positions in luma pixels; DLF zeroes bS on these
+        # edges and SAO EO treats across-boundary neighbors as unavailable
+        self.filter_across_tiles = True
+        self.tile_edges_x: list[int] = []
+        self.tile_edges_y: list[int] = []
         # per-CTB adaptive QP (cu_qp_delta, QG = CTB since
         # diff_cu_qp_delta_depth = 0). Reference analogue: QPM per-LCU QP
         # (EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919, applied :2840).
@@ -852,8 +858,15 @@ class CtuEncoder(CtuCoderBase):
 
     def __init__(self, state, bac, src_planes, *, split_policy=None,
                  part_nxn_policy=None, mode_policy=None, me_seed=None,
-                 features=None, ois=None, decision_cache=None):
+                 features=None, ois=None, decision_cache=None,
+                 mcts_rect=None):
         super().__init__(state, bac)
+        # motion-constrained tile set: (tx0, ty0, tx1, ty1) luma pixel rect
+        # of the current tile; when set, every chosen MV keeps the full
+        # interpolation window inside the rect (reference analogue: MCTS
+        # packaging validated by the FunctionalTests MCTS decoder check,
+        # Tests/SVT-HEVC_FunctionalTests.py:1044-1059)
+        self.mcts_rect = mcts_rect
         from ..preset import derive_preset
         self.src = src_planes        # [y, cb, cr] int arrays, coded dims
         self.split_policy = split_policy or self._default_split
@@ -941,6 +954,30 @@ class CtuEncoder(CtuCoderBase):
         self._mode_cache[(px, py, n)] = (best_mode, best_cost)
         return best_mode, best_cost
 
+    # ------------------------------------------------------- MCTS legality
+    def _mv_legal(self, x0, y0, w, h, mvq) -> bool:
+        """True if the MC interpolation window for quarter-pel MV `mvq`
+        stays inside the motion-constrained tile rect (8-tap luma / 4-tap
+        chroma margins; mv%8==0 means integer positions on both planes)."""
+        rect = self.mcts_rect
+        if rect is None:
+            return True
+        tx0, ty0, tx1, ty1 = rect
+        for p0, n, t0, t1, mv in ((x0, w, tx0, tx1, int(mvq[0])),
+                                  (y0, h, ty0, ty1, int(mvq[1]))):
+            i = mv >> 2
+            lo, hi = (0, 0) if mv % 8 == 0 else (4, 4)
+            if p0 + i - lo < t0 or p0 + n + i + hi > t1:
+                return False
+        return True
+
+    def _mi_legal(self, x0, y0, n, mi) -> bool:
+        for lst in (0, 1):
+            if mi.ref(lst) >= 0 and not self._mv_legal(x0, y0, n, n,
+                                                       mi.mv(lst)):
+                return False
+        return True
+
     # ------------------------------------------------------- inter decision
     def _plan(self, x0, y0, log2) -> _InterPlan:
         key = (x0, y0, log2)
@@ -978,6 +1015,17 @@ class CtuEncoder(CtuCoderBase):
         st = self.st
         ref = st.ref_planes[lst][0][0]
         src = self.src[0][y0:y0 + n, x0:x0 + n].astype(np.int64)
+        # MCTS: legal integer MV box with the full subpel margin (4 px per
+        # side covers 8-tap luma + 4-tap chroma + any quarter-pel probe)
+        bounds = None
+        if self.mcts_rect is not None:
+            tx0, ty0, tx1, ty1 = self.mcts_rect
+            bounds = (tx0 - x0 + 4, tx1 - (x0 + n) - 4,
+                      ty0 - y0 + 4, ty1 - (y0 + n) - 4)
+            if bounds[0] > bounds[1] or bounds[2] > bounds[3]:
+                # tile too small for any interpolated window: zero MV only
+                w0 = _gather_window(ref, x0, y0, n, n).astype(np.int64)
+                return int(np.abs(w0 - src).sum()), (0, 0)
         centers = [(int(pred_mv[0]) >> 2, int(pred_mv[1]) >> 2)]
         r = self.feat.me_range
         if self.me_seed is not None and lst == 0:
@@ -985,6 +1033,10 @@ class CtuEncoder(CtuCoderBase):
                              min((x0 + n // 2) >> 4, self.me_seed.shape[1] - 1)]
             centers.append((int(s[0]) >> 2, int(s[1]) >> 2))
             r = SEEDED_ME_RANGE     # HME already localised the search
+        if bounds is not None:
+            centers = [(min(max(c[0], bounds[0]), bounds[1]),
+                        min(max(c[1], bounds[2]), bounds[3]))
+                       for c in centers]
         if len(centers) > 1 and centers[0] != centers[1]:
             def int_sad(c):
                 w = _gather_window(ref, x0 + c[0], y0 + c[1], n, n).astype(np.int64)
@@ -995,6 +1047,13 @@ class CtuEncoder(CtuCoderBase):
         win = _gather_window(ref, cx - r, cy - r, n + 2 * r, n + 2 * r).astype(np.int64)
         sw = np.lib.stride_tricks.sliding_window_view(win, (n, n))
         sad = np.abs(sw - src).sum(axis=(2, 3))
+        if bounds is not None:
+            dxs = np.arange(-r, r + 1) + (cx - x0)
+            dys = np.arange(-r, r + 1) + (cy - y0)
+            illegal = ((dys[:, None] < bounds[2]) | (dys[:, None] > bounds[3])
+                       | (dxs[None, :] < bounds[0])
+                       | (dxs[None, :] > bounds[1]))
+            sad = np.where(illegal, np.int64(1) << 60, sad)
         k = int(np.argmin(sad))
         dy, dx = divmod(k, 2 * r + 1)
         best_mv = ((cx - x0 + dx - r) << 2, (cy - y0 + dy - r) << 2)
@@ -1083,13 +1142,16 @@ class CtuEncoder(CtuCoderBase):
             p = self._pred_luma_mi(x0, y0, n, mi).astype(np.int64)
             return int(np.abs(p - src).sum())
 
-        # merge candidates (deduped for evaluation)
+        # merge candidates (deduped for evaluation; MCTS-illegal MVs are
+        # never selected)
         best = None      # (cost, kind, ...)
         seen = set()
         for idx, m in enumerate(merge_list):
             if m in seen:
                 continue
             seen.add(m)
+            if not self._mi_legal(x0, y0, n, m):
+                continue
             cost = sad_of(m) + 3 * (2 + idx)
             if best is None or cost < best[0]:
                 best = (cost, "merge", idx, m)
@@ -1106,7 +1168,7 @@ class CtuEncoder(CtuCoderBase):
             mvp_i = 1 if b1 < b0 else 0
             me[lst] = (sad, mv, mvp_i, min(b0, b1))
             cost = sad + 3 * (4 + min(b0, b1))
-            if cost < best[0]:
+            if best is None or cost < best[0]:
                 best = (cost, "amvp", lst, mv, mvp_i)
 
         if is_b and 0 in me and 1 in me:

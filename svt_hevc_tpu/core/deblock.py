@@ -301,6 +301,14 @@ def deblock_picture(st: PictureState, *, beta_offset: int = 0,
 
     bs_v = derive_bs_vertical(st)
     bs_h = derive_bs_horizontal(st)
+    if not st.filter_across_tiles:
+        # loop_filter_across_tiles_enabled_flag == 0: no filtering on
+        # interior tile boundaries (8.7.2; reference analogue: tile edge
+        # flags passed into the DLF, EbCodingLoop.c:4598-4637)
+        for x in st.tile_edges_x:
+            bs_v[:, x // 8] = 0
+        for y in st.tile_edges_y:
+            bs_h[y // 8, :] = 0
     _filter_luma_vertical(st.planes[0], bs_v, qp, bd, beta_offset, tc_offset)
     # horizontal edges: same core on the transposed plane. bs_h is
     # (H//8, W//4); transposed it has exactly the vertical layout.

@@ -109,7 +109,7 @@ class RdSearch:
 
     def __init__(self, st: PictureState, src, *, lam: float | None = None,
                  mode_candidates=None, try_nxn: bool = True, me_seed=None,
-                 features=None, ois=None):
+                 features=None, ois=None, mcts_rect=None):
         self.st = st
         self.src = src
         self._lam_auto = lam is None
@@ -119,6 +119,7 @@ class RdSearch:
         self.me_seed = me_seed
         self.features = features
         self.ois = ois
+        self.mcts_rect = mcts_rect
 
     # ------------------------------------------------------------------ api
     def compress_ctu(self, x0: int, y0: int, ctx: list[int]) -> tuple[Decisions, list[int]]:
@@ -157,7 +158,7 @@ class RdSearch:
                          part_nxn_policy=lambda *a: nxn,
                          mode_policy=self.mode_candidates,
                          me_seed=self.me_seed, features=self.features,
-                         ois=self.ois)
+                         ois=self.ois, mcts_rect=self.mcts_rect)
         if log2 > 3:
             est.encode_bin(Ctx.SPLIT_CU + split_cu_ctx(self.st, x0, y0, depth), 0)
         enc.coding_unit(x0, y0, log2, depth)

@@ -162,9 +162,11 @@ def decode_sao_ctb(dec, grid: list[list[SaoCtbParams]], cx: int, cy: int,
 
 # ------------------------------------------------------- classification/apply
 
-def _eo_category_map(plane: np.ndarray, eo_class: int) -> np.ndarray:
+def _eo_category_map(plane: np.ndarray, eo_class: int,
+                     tile_edges: tuple | None = None) -> np.ndarray:
     """Category (0..4; 0 = no offset) per pixel; border pixels whose
-    neighbor lies outside the picture get category 0."""
+    neighbor lies outside the picture — or across a tile boundary when
+    loop_filter_across_tiles is off (8.7.3) — get category 0."""
     h, w = plane.shape
     (ax, ay), (bx, by) = _EO_NEIGHBORS[eo_class]
     pad = np.pad(plane, 1, mode="edge").astype(np.int32)
@@ -176,16 +178,32 @@ def _eo_category_map(plane: np.ndarray, eo_class: int) -> np.ndarray:
     cat = np.choose(edge_idx, [1, 2, 0, 3, 4])
     # invalidate pixels with out-of-picture neighbors
     valid = np.ones((h, w), bool)
-    for dx, dy in (_EO_NEIGHBORS[eo_class][0], _EO_NEIGHBORS[eo_class][1]):
-        if dx < 0:
-            valid[:, :1] = False
-        if dx > 0:
-            valid[:, -1:] = False
-        if dy < 0:
-            valid[:1, :] = False
-        if dy > 0:
-            valid[-1:, :] = False
+    horiz = ax != 0 or bx != 0
+    vert = ay != 0 or by != 0
+    if horiz:
+        valid[:, :1] = False
+        valid[:, -1:] = False
+    if vert:
+        valid[:1, :] = False
+        valid[-1:, :] = False
+    if tile_edges is not None:
+        ex, ey = tile_edges
+        if horiz:
+            for x in ex:                       # neighbor across vertical edge
+                valid[:, max(x - 1, 0):x + 1] = False
+        if vert:
+            for y in ey:
+                valid[max(y - 1, 0):y + 1, :] = False
     return np.where(valid, cat, 0)
+
+
+def _tile_edges_for(st, comp: int) -> tuple | None:
+    if st.filter_across_tiles or not (st.tile_edges_x or st.tile_edges_y):
+        return None
+    sx = st.ss_x if comp else 0
+    sy = st.ss_y if comp else 0
+    return ([x >> sx for x in st.tile_edges_x],
+            [y >> sy for y in st.tile_edges_y])
 
 
 def _band_map(plane: np.ndarray, bit_depth: int = 8) -> np.ndarray:
@@ -223,7 +241,8 @@ def apply_sao(st, grid: list[list[SaoCtbParams]],
                 if t == SAO_EDGE:
                     ec = p.eo_class[c01]
                     if ec not in cat_maps:
-                        cat_maps[ec] = _eo_category_map(pre, ec)
+                        cat_maps[ec] = _eo_category_map(
+                            pre, ec, _tile_edges_for(st, comp))
                     cat = cat_maps[ec][y0:y1, x0:x1]
                     lut = np.array([0] + p.offsets[comp], np.int32)
                     out = rect + lut[cat]
@@ -256,7 +275,8 @@ def derive_sao_params(st, src, lam: float) -> list[list[SaoCtbParams]]:
         csx = ctb if comp == 0 else ctb >> st.ss_x
         csy = ctb if comp == 0 else ctb >> st.ss_y
         diff = source.astype(np.int64) - plane.astype(np.int64)
-        cat_maps = [_eo_category_map(plane, ec) for ec in range(4)]
+        cat_maps = [_eo_category_map(plane, ec, _tile_edges_for(st, comp))
+                    for ec in range(4)]
         band = _band_map(plane, st.bit_depth)
         mx = _max_offset(st.bit_depth)
 

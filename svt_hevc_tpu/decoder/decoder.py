@@ -112,6 +112,12 @@ class _PictureCtx:
         # tile-scan CTB sequence: (cx, cy, tile_idx) + per-tile top-left
         col_bd, row_bd = tile_grid(self.n_ctb_x, self.n_ctb_y,
                                    pps.tile_columns, pps.tile_rows)
+        if not pps.loop_filter_across_tiles:
+            st.filter_across_tiles = False
+            st.tile_edges_x = [min(col_bd[i] * ctb, sps.width)
+                               for i in range(1, pps.tile_columns)]
+            st.tile_edges_y = [min(row_bd[i] * ctb, sps.height)
+                               for i in range(1, pps.tile_rows)]
         self.scan: list[tuple[int, int, int]] = []
         self.tile_origin: list[tuple[int, int]] = []
         t = 0

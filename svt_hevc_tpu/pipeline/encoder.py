@@ -170,6 +170,8 @@ class Encoder:
                 (md[6], md[7]), md[8], md[9]))
         if cfg.use_recovery_point_sei:
             msgs.append(sei.write_recovery_point(0))
+        if cfg.constrained_motion_tiles:
+            msgs.append(sei.write_temporal_mcts())
         out += wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
         return out
 
@@ -263,14 +265,22 @@ class Encoder:
         # :2086, per-tile entropy EbEntropyCodingProcess.c :313)
         col_bd, row_bd = tile_grid(n_ctb_x, n_ctb_y,
                                    cfg.tile_columns, cfg.tile_rows)
-        tiles = []       # [(ctb_order, left_col, top_row)]
+        tiles = []       # [(ctb_order, left_col, top_row, pixel_rect)]
         for tr in range(cfg.tile_rows):
             for tc in range(cfg.tile_columns):
                 order = [(cx * ctb, cy * ctb)
                          for cy in range(row_bd[tr], row_bd[tr + 1])
                          for cx in range(col_bd[tc], col_bd[tc + 1])]
-                tiles.append((order, col_bd[tc], row_bd[tr]))
+                rect = (col_bd[tc] * ctb, row_bd[tr] * ctb,
+                        min(col_bd[tc + 1] * ctb, cw),
+                        min(row_bd[tr + 1] * ctb, ch))
+                tiles.append((order, col_bd[tc], row_bd[tr], rect))
         last_xy = tiles[-1][0][-1]
+        mcts = cfg.constrained_motion_tiles
+        tile_edges_x = [min(col_bd[i] * ctb, cw)
+                        for i in range(1, cfg.tile_columns)]
+        tile_edges_y = [min(row_bd[i] * ctb, ch)
+                        for i in range(1, cfg.tile_rows)]
 
         if qp_map is None and cfg.adaptive_qp:
             qp_map = self._derive_qp_map(np.asarray(frame.y), qp)
@@ -279,6 +289,10 @@ class Encoder:
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,
                              chroma_format=cfg.chroma_format)
             s.constrained_intra = cfg.constrained_intra
+            if mcts:
+                s.filter_across_tiles = False
+                s.tile_edges_x = tile_edges_x
+                s.tile_edges_y = tile_edges_y
             if qp_map is not None:
                 s.enable_cu_qp_delta(qp_map)
             if not is_idr:
@@ -305,14 +319,15 @@ class Encoder:
         # decide-once cache shared with pass 2 (identical recon state =>
         # identical plans/modes; pass 2 only replays)
         dcache = {"plans": {}, "modes": {}}
-        for order, _, _ in tiles:
+        for order, _, _, rect in tiles:
             st.begin_tile()
             est_ctx = init_contexts(qp, init_type=init_type)
+            mrect = rect if mcts else None
             if rd:
                 for x0, y0 in order:
                     rds = RdSearch(st, src, me_seed=me_seed,
                                    try_nxn=feat.try_nxn, features=feat,
-                                   ois=ois)
+                                   ois=ois, mcts_rect=mrect)
                     decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
                     decisions_all[(x0, y0)] = decisions
             else:
@@ -321,7 +336,7 @@ class Encoder:
                 enc1 = CtuEncoder(st, sink, src, split_policy=split_policy,
                                   part_nxn_policy=part_nxn_policy,
                                   me_seed=me_seed, features=feat, ois=ois,
-                                  decision_cache=dcache)
+                                  decision_cache=dcache, mcts_rect=mrect)
                 for x0, y0 in order:
                     enc1.code_ctu(x0, y0)
 
@@ -340,14 +355,15 @@ class Encoder:
         st2 = new_state()
         slice_per_tile = bool(cfg.tile_slice_mode) and len(tiles) > 1
         substreams: list[bytes] = []
-        for t_idx, (order, left_col, top_row) in enumerate(tiles):
+        for t_idx, (order, left_col, top_row, rect) in enumerate(tiles):
             st2.begin_tile()
+            mrect = rect if mcts else None
             bac = CabacRecorder(init_contexts(qp, init_type=init_type))
             if not rd:
                 enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
                                  part_nxn_policy=part_nxn_policy,
                                  me_seed=me_seed, features=feat, ois=ois,
-                                 decision_cache=dcache)
+                                 decision_cache=dcache, mcts_rect=mrect)
             for x0, y0 in order:
                 if rd:
                     d = decisions_all[(x0, y0)]
@@ -355,7 +371,8 @@ class Encoder:
                                      split_policy=d.split_policy,
                                      part_nxn_policy=d.part_nxn_policy,
                                      mode_policy=d.mode_policy,
-                                     me_seed=me_seed, features=feat, ois=ois)
+                                     me_seed=me_seed, features=feat, ois=ois,
+                                     mcts_rect=mrect)
                 if sao_grid is not None:
                     encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
                                    True, True, bit_depth=cfg.bit_depth,
@@ -383,7 +400,7 @@ class Encoder:
             # EbApi.h:360; MCTS packaging tested by the reference's
             # FunctionalTests MCTS check)
             nals = []
-            for t_idx, (order, _, _) in enumerate(tiles):
+            for t_idx, (order, _, _, _) in enumerate(tiles):
                 ax, ay = order[0]
                 addr = (ay >> cfg.ctb_log2) * n_ctb_x + (ax >> cfg.ctb_log2)
                 w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,

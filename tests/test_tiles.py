@@ -121,3 +121,56 @@ def test_tile_slice_mode_with_adaptive_qp():
     stream, recons = Encoder(cfg).encode([frame])
     decoded = decode_stream(stream)
     np.testing.assert_array_equal(decoded[0].y, recons[0].y)
+
+
+def test_mcts_bitmatch_and_constraint(monkeypatch):
+    """Motion-constrained tile sets (reference MCTS conformance analogue,
+    Tests/SVT-HEVC_FunctionalTests.py:1044-1059): streams decode
+    bit-exactly, the MCTS SEI is present, and every MC interpolation
+    window used by the DECODER stays inside its own tile."""
+    from test_inter import moving_sequence
+    from svt_hevc_tpu.bitstream import sei as sei_mod
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    import svt_hevc_tpu.core.inter as inter_mod
+
+    frames = moving_sequence(128, 64, 4, dx=5, dy=2, seed=91)
+    cfg = EncoderConfig(width=128, height=64, qp=32, intra_period=-1,
+                        tile_columns=2, tile_rows=1, ctb_size=32,
+                        constrained_motion_tiles=True,
+                        scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+
+    # MCTS SEI emitted
+    seis = [e for t, e in split_annexb(stream)
+            if t == NalUnitType.PREFIX_SEI_NUT]
+    types = [m.payload_type for e in seis
+             for m in sei_mod.parse_sei_rbsp(bytes(e))]
+    assert sei_mod.SEI_TEMPORAL_MCTS in types
+
+    calls = []
+    real_luma, real_raw = inter_mod.interp_luma, inter_mod.interp_luma_raw
+
+    def spy_luma(ref, x0, y0, nw, nh, mvx, mvy, bit_depth=8):
+        calls.append((x0, y0, nw, nh, mvx, mvy))
+        return real_luma(ref, x0, y0, nw, nh, mvx, mvy, bit_depth)
+
+    def spy_raw(ref, x0, y0, nw, nh, mvx, mvy, bit_depth=8):
+        calls.append((x0, y0, nw, nh, mvx, mvy))
+        return real_raw(ref, x0, y0, nw, nh, mvx, mvy, bit_depth)
+
+    monkeypatch.setattr(inter_mod, "interp_luma", spy_luma)
+    monkeypatch.setattr(inter_mod, "interp_luma_raw", spy_raw)
+    decoded = decode_stream(stream)
+    for i, (r, d) in enumerate(zip(recons, decoded)):
+        np.testing.assert_array_equal(r.y, d.y, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(r.cb, d.cb)
+
+    assert calls, "expected inter predictions in the decoded stream"
+    for x0, y0, nw, nh, mvx, mvy in calls:
+        tx0, tx1 = (0, 64) if x0 < 64 else (64, 128)
+        ix, fx = x0 + (mvx >> 2), mvx & 3
+        iy, fy = y0 + (mvy >> 2), mvy & 3
+        assert ix - (3 if fx else 0) >= tx0, (x0, mvx)
+        assert ix + nw + (4 if fx else 0) <= tx1, (x0, nw, mvx)
+        assert iy - (3 if fy else 0) >= 0, (y0, mvy)
+        assert iy + nh + (4 if fy else 0) <= 64, (y0, nh, mvy)
