@@ -29,6 +29,9 @@ class NalUnitType(enum.IntEnum):
     FD_NUT = 38
     PREFIX_SEI_NUT = 39
     SUFFIX_SEI_NUT = 40
+    UNSPEC62 = 62        # carries the Dolby Vision RPU (reference:
+                         # NAL_UNIT_UNSPECIFIED_62 passthrough,
+                         # EbPacketizationProcess.c:733-752)
 
 
 def nal_header(nal_type: NalUnitType, temporal_id: int = 0, layer_id: int = 0) -> bytes:

@@ -14,6 +14,8 @@ from .bitwriter import BitReader, BitWriter
 
 SEI_BUFFERING_PERIOD = 0
 SEI_PIC_TIMING = 1
+SEI_FILLER_PAYLOAD = 3
+SEI_USER_DATA_REGISTERED = 4     # ITU-T T.35
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_RECOVERY_POINT = 6
 SEI_ACTIVE_PARAMETER_SETS = 129
@@ -82,6 +84,20 @@ def write_pic_timing(au_cpb_removal_delay_minus1: int,
 def write_user_data_unregistered(uuid: bytes, data: bytes) -> bytes:
     assert len(uuid) == 16
     return _wrap_payload(SEI_USER_DATA_UNREGISTERED, uuid + data)
+
+
+def write_user_data_registered(t35_bytes: bytes) -> bytes:
+    """user_data_registered_itu_t_t35 (D.2.6; reference:
+    EncodeRegUserDataSEI, EbEntropyCoding.c:8812): the payload is the raw
+    T.35 bytes starting with country code."""
+    return _wrap_payload(SEI_USER_DATA_REGISTERED, t35_bytes)
+
+
+def write_filler_payload(n: int) -> bytes:
+    """filler_payload (D.2.4): n bytes of 0xFF. Used to hold the VBV
+    buffer down in CBR mode (reference: filler-bit insertion in
+    Packetization, EbPacketizationProcess.c:708-723)."""
+    return _wrap_payload(SEI_FILLER_PAYLOAD, b"\xff" * n)
 
 
 def write_recovery_point(recovery_poc_cnt: int = 0, *,

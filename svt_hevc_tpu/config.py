@@ -88,6 +88,12 @@ class EncoderConfig:
                                  # Tests/SVT-HEVC_FunctionalTests.py:1044)
 
     # --- HDR metadata SEIs (EbApi.h maxCLL/maxFALL/masteringDisplay...) ---
+    dolby_vision_profile: int = 0
+                                 # 81 enables per-picture Dolby Vision RPU
+                                 # passthrough as NAL 62 (reference:
+                                 # dolbyVisionProfile, EbApi.h:656)
+    code_eos_nal: bool = False   # emit an EOS NAL at end of stream
+                                 # (reference: codeEosNal, EbApi.h)
     max_cll: int = 0             # content light level SEI when nonzero
     max_fall: int = 0
     mastering_display: tuple | None = None

@@ -20,6 +20,11 @@ class Frame:
     y: np.ndarray
     cb: np.ndarray
     cr: np.ndarray
+    # optional per-picture metadata (reference: per-input-buffer SEI/RPU
+    # attachments, EbApi.h EB_SEI_MESSAGE dolbyVisionRpu / user data)
+    dv_rpu: bytes | None = None        # Dolby Vision RPU (emitted as NAL 62)
+    sei_t35: bytes | None = None       # registered user data (ITU-T T.35)
+    sei_unreg: tuple | None = None     # (uuid16: bytes, data: bytes)
 
     @property
     def width(self) -> int:

@@ -422,6 +422,21 @@ class Encoder:
             w.write_bytes(payload)
             nal = wrap_nal(nal_type, w.get_bytes())
 
+        # per-picture metadata: prefix user-data SEIs before the slice,
+        # Dolby Vision RPU as NAL 62 after it (reference: per-buffer SEI
+        # attachments + RPU passthrough, EbPacketizationProcess.c:733-752)
+        pre_msgs = []
+        if frame.sei_t35 is not None:
+            pre_msgs.append(sei.write_user_data_registered(frame.sei_t35))
+        if frame.sei_unreg is not None:
+            pre_msgs.append(sei.write_user_data_unregistered(
+                frame.sei_unreg[0], frame.sei_unreg[1]))
+        if pre_msgs:
+            nal = wrap_nal(NalUnitType.PREFIX_SEI_NUT,
+                           sei.sei_rbsp(pre_msgs)) + nal
+        if cfg.dolby_vision_profile == 81 and frame.dv_rpu:
+            nal += wrap_nal(NalUnitType.UNSPEC62, frame.dv_rpu)
+
         # update the low-delay DPB: the post-filter pass-1 picture is the
         # default reference for the next frame
         self._ref_planes = [p.copy() for p in st.planes]
@@ -447,12 +462,17 @@ class Encoder:
         reference's qp-on-the-fly / -qp-file path, EbRateControlProcess.c
         :2439)."""
         if self.cfg.pred_structure == 2:
-            return self._encode_random_access(list(frames), rd=rd)
+            stream, recons = self._encode_random_access(list(frames), rd=rd)
+            if self.cfg.code_eos_nal:
+                stream += wrap_nal(NalUnitType.EOS_NUT, b"")
+            return stream, recons
         chunks = [self.headers()]
         recons = []
         for au in self.encode_pictures(frames, rd=rd, frame_qps=frame_qps):
             chunks.append(au.data)
             recons.append(au.recon)
+        if self.cfg.code_eos_nal:
+            chunks.append(wrap_nal(NalUnitType.EOS_NUT, b""))
         return b"".join(chunks), recons
 
     def encode_pictures(self, frames, *, rd: bool | None = None,
@@ -523,12 +543,22 @@ class Encoder:
                 elif fps > 2.0 * self._speed_target_fps:
                     self._dyn_enc_mode = max(self._dyn_enc_mode - 1,
                                              self.cfg.enc_mode)
+            data = pic.nal_bytes
+            # strict-CBR filler: pad the AU so the VBV cannot overflow
+            # (reference: EbPacketizationProcess.c:708-723); filler bits
+            # count toward the RC totals like the reference's
+            # fillerBitsSent
+            fill = rc.filler_bits(8 * len(data))
+            if fill >= 16 * 8:
+                nbytes = fill // 8 - 7      # NAL overhead: start+hdr+stop
+                data += wrap_nal(NalUnitType.FD_NUT,
+                                 b"\xff" * nbytes + b"\x80")
+            total_bits = 8 * len(data)
             if window is not None:
-                rc.update_lookahead(8 * len(pic.nal_bytes), qp, window[0],
+                rc.update_lookahead(total_bits, qp, window[0],
                                     is_idr=is_idr)
             else:
-                rc.update(8 * len(pic.nal_bytes), qp)
-            data = pic.nal_bytes
+                rc.update(total_bits, qp)
             if self.cfg.enable_hrd:
                 data = self._hrd_sei(is_idr) + data
             yield EncodedAu(data=data, recon=pic.recon, poc=pic.poc,

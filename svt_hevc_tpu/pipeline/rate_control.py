@@ -128,6 +128,17 @@ class RateControl:
             self.vbv_fill += self.vbv_maxrate / self.fps - coded_bits
             self.vbv_fill = min(max(self.vbv_fill, 0.0), self.vbv_bufsize)
 
+    def filler_bits(self, coded_bits: int) -> int:
+        """CBR filler (reference: VBV overflow prevention in
+        Packetization, EbPacketizationProcess.c:708-723): bits of filler
+        needed so the decoder buffer cannot overflow when maxrate ==
+        target bitrate. Returns 0 outside strict-CBR configurations."""
+        if not (self.vbv_bufsize > 0 and self.vbv_maxrate
+                and self.vbv_maxrate == float(self.cfg.target_bitrate or 0)):
+            return 0
+        buf = max(self.vbv_fill - coded_bits, 0.0) + self.vbv_maxrate / self.fps
+        return int(max(buf - self.vbv_bufsize, 0.0))
+
     def update(self, coded_bits: int, used_qp: int) -> None:
         if self.mode == 0 or not self.target_bits:
             return

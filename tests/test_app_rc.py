@@ -165,3 +165,26 @@ def test_lookahead_window_shapes():
     # the frames come through unmodified and in order
     for (fr, _), orig in zip(out, frames):
         np.testing.assert_array_equal(np.asarray(fr.y), np.asarray(orig.y))
+
+
+def test_cbr_filler_data():
+    """Strict CBR (vbv_maxrate == target_bitrate): static content that
+    undershoots hard gets FD_NUT filler so the VBV cannot overflow
+    (reference: EbPacketizationProcess.c:708-723)."""
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    from svt_hevc_tpu.io.yuv import Frame
+
+    y = np.full((64, 64), 128, np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    frames = [Frame(y=y.copy(), cb=u.copy(), cr=u.copy()) for _ in range(6)]
+    cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=-1,
+                        rate_control_mode=1, target_bitrate=400_000,
+                        vbv_maxrate=400_000, vbv_bufsize=100_000,
+                        look_ahead_distance=0, fps_num=50,
+                        scene_change_detection=False)
+    stream, recons = Encoder(cfg).encode(frames)
+    types = [t for t, _ in split_annexb(stream)]
+    assert NalUnitType.FD_NUT in types
+    decoded = decode_stream(stream)
+    np.testing.assert_array_equal(recons[-1].y, decoded[-1].y)

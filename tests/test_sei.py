@@ -125,3 +125,49 @@ def test_hrd_rate_size_rounding():
     rate, size = hrd_rate_size(cfg)
     assert rate >= 1_000_000 and rate % 1024 == 0
     assert size >= 2_000_000 and size % 1024 == 0
+
+
+def test_per_picture_metadata_and_eos():
+    """Per-picture registered/unregistered user data SEIs, Dolby Vision
+    RPU passthrough as NAL 62 (reference: EbPacketizationProcess.c
+    :733-752), and the EOS NAL (codeEosNal)."""
+    from svt_hevc_tpu.bitstream import sei as sei_mod
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+
+    from svt_hevc_tpu.io.yuv import Frame
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    fr = Frame(y=y, cb=u, cr=u.copy(),
+               dv_rpu=b"\x19\x08rpu-payload",
+               sei_t35=b"\xb5\x00\x3c\x00\x01\x04",
+               sei_unreg=(bytes(range(16)), b"hello"))
+    cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=0,
+                        dolby_vision_profile=81, code_eos_nal=True)
+    stream, recons = Encoder(cfg).encode([fr])
+
+    nals = split_annexb(stream)
+    types = [t for t, _ in nals]
+    assert NalUnitType.UNSPEC62 in types
+    assert types[-1] == NalUnitType.EOS_NUT
+    # RPU payload is carried verbatim (after the 2-byte NAL header)
+    rpu = [bytes(e) for t, e in nals if t == NalUnitType.UNSPEC62][0]
+    assert b"rpu-payload" in rpu
+    # user data SEIs present
+    msgs = [m for t, e in nals if t == NalUnitType.PREFIX_SEI_NUT
+            for m in sei_mod.parse_sei_rbsp(bytes(e))]
+    ptypes = [m.payload_type for m in msgs]
+    assert sei_mod.SEI_USER_DATA_REGISTERED in ptypes
+    assert sei_mod.SEI_USER_DATA_UNREGISTERED in ptypes
+    # stream still decodes bit-exactly with the extra NALs present
+    decoded = decode_stream(stream)
+    np.testing.assert_array_equal(recons[0].y, decoded[0].y)
+
+
+def test_filler_payload_sei():
+    from svt_hevc_tpu.bitstream import sei as sei_mod
+    msg = sei_mod.write_filler_payload(100)
+    parsed = sei_mod.parse_sei_rbsp(msg + b"\x80")
+    assert parsed[0].payload_type == sei_mod.SEI_FILLER_PAYLOAD
+    assert parsed[0].payload == b"\xff" * 100
