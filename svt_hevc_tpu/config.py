@@ -19,6 +19,15 @@ from dataclasses import dataclass
 MIN_CU_SIZE = 8
 MAX_SB_SIZE = 64
 
+# per-CTB segment override flags (reference: EB_OV_FLAGS, EbApi.h:52-68;
+# applied per LCU in EbEncDecProcess.c:2854-2870). Attach an
+# (n_ctb_y, n_ctb_x, 3) int array [flags, qp_ov, deblock_ov] as
+# Frame.segment_ov to drive them.
+SEG_QP_OV_DIRECT = 1 << 0        # qp_ov is an absolute QP [0..51]
+SEG_QP_OV_DELTA = 1 << 1         # qp_ov is a delta [-25..25]
+SEG_DENSITY_QP_OV = 1 << 2       # enable the QP override
+SEG_DENSITY_DEBLOCK_OV = 1 << 3  # deblock_ov shifts the CTB QP (density)
+
 
 @dataclass(frozen=True)
 class EncoderConfig:
@@ -43,6 +52,8 @@ class EncoderConfig:
     # --- quality/speed (EbApi.h encMode/qp/tune) ---
     enc_mode: int = 7            # preset 0..11 (M7 = reference default/anchor)
     qp: int = 32                 # 0..51 (EbApi.h qp)
+    min_qp_allowed: int = 0      # RC / override QP floor (EbApi.h minQpAllowed)
+    max_qp_allowed: int = 51     # RC / override QP ceiling (maxQpAllowed)
 
     # --- rate control (EbApi.h rateControlMode/targetBitRate/vbv*) ---
     rate_control_mode: int = 0   # 0 = CQP, 1 = VBR/ABR
@@ -73,6 +84,9 @@ class EncoderConfig:
     # EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919)
     improve_sharpness: bool = False
     bit_rate_reduction: bool = False
+    segment_ov_enabled: bool = False
+                                 # accept per-CTB Frame.segment_ov arrays
+                                 # (reference: segmentOvEnabled, EbApi.h)
 
     # --- tiles (EbApi.h tileColumnCount/tileRowCount/tileSliceMode) ---
     tile_columns: int = 1
@@ -175,6 +189,8 @@ class EncoderConfig:
                              "or 3 (4:4:4)")
         if not (0 <= self.qp <= 51):
             raise ValueError(f"qp {self.qp} out of range [0, 51]")
+        if not (0 <= self.min_qp_allowed <= self.max_qp_allowed <= 51):
+            raise ValueError("need 0 <= min_qp_allowed <= max_qp_allowed <= 51")
         if self.ctb_size not in (16, 32, 64):
             raise ValueError("ctb_size must be 16, 32 or 64")
         if self.intra_period < -1 or self.intra_period > 255:
@@ -220,7 +236,8 @@ class EncoderConfig:
     @property
     def adaptive_qp(self) -> bool:
         """True when per-CTB QP maps (cu_qp_delta signalling) are active."""
-        return self.improve_sharpness or self.bit_rate_reduction
+        return (self.improve_sharpness or self.bit_rate_reduction
+                or self.segment_ov_enabled)
 
     @property
     def lookahead(self) -> int:

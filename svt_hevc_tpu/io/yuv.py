@@ -25,6 +25,11 @@ class Frame:
     dv_rpu: bytes | None = None        # Dolby Vision RPU (emitted as NAL 62)
     sei_t35: bytes | None = None       # registered user data (ITU-T T.35)
     sei_unreg: tuple | None = None     # (uuid16: bytes, data: bytes)
+    segment_ov: np.ndarray | None = None
+                                       # (n_ctb_y, n_ctb_x, 3) per-CTB
+                                       # [flags, qp_ov, deblock_ov] override
+                                       # (reference SegmentOverride_t,
+                                       # EbApi.h:44-68)
 
     @property
     def width(self) -> int:

@@ -34,6 +34,32 @@ from ..core.sao import apply_sao, derive_sao_params, encode_sao_ctb
 from ..io.yuv import Frame
 
 
+def _apply_segment_ov(base: np.ndarray, sov: np.ndarray,
+                      lo: int, hi: int) -> np.ndarray:
+    """Merge per-CTB segment overrides into a QP map (reference semantics:
+    EbEncDecProcess.c:2854-2870 — direct QP wins over delta QP over
+    deblock-density delta, all clipped to [min,max]QpAllowed)."""
+    from ..config import (SEG_DENSITY_DEBLOCK_OV, SEG_DENSITY_QP_OV,
+                          SEG_QP_OV_DELTA, SEG_QP_OV_DIRECT)
+    sov = np.asarray(sov)
+    if sov.shape[:2] != base.shape:
+        raise ValueError(f"segment_ov grid {sov.shape[:2]} != CTB grid "
+                         f"{base.shape}")
+    flags = sov[..., 0].astype(np.int32)
+    qp_ov = sov[..., 1].astype(np.int32)
+    db_ov = sov[..., 2].astype(np.int32)
+    out = base.astype(np.int32).copy()
+    direct = ((flags & SEG_DENSITY_QP_OV) != 0) & \
+             ((flags & SEG_QP_OV_DIRECT) != 0)
+    delta = ((flags & SEG_DENSITY_QP_OV) != 0) & \
+            ((flags & SEG_QP_OV_DELTA) != 0) & ~direct
+    dbl = ((flags & SEG_DENSITY_DEBLOCK_OV) != 0) & ~direct & ~delta
+    out = np.where(direct, qp_ov, out)
+    out = np.where(delta, out + np.clip(qp_ov, -25, 25), out)
+    out = np.where(dbl, out + np.clip(db_ov, -25, 25), out)
+    return np.clip(out, lo, hi)
+
+
 def pad_plane(plane: np.ndarray, w: int, h: int) -> np.ndarray:
     """Edge-replicate a plane to coded dimensions (reference analogue:
     EbPictureAnalysisProcess.c PadPictureToMultipleOfLcuDimensions)."""
@@ -284,6 +310,17 @@ class Encoder:
 
         if qp_map is None and cfg.adaptive_qp:
             qp_map = self._derive_qp_map(np.asarray(frame.y), qp)
+        if frame.segment_ov is not None:
+            # per-CTB segment overrides (reference: SegmentOverride_t
+            # applied per LCU, EbEncDecProcess.c:2854-2870)
+            if not cfg.segment_ov_enabled:
+                raise ValueError("Frame.segment_ov requires "
+                                 "segment_ov_enabled=True in the config")
+            base = (qp_map if qp_map is not None
+                    else np.full((n_ctb_y, n_ctb_x), qp, np.int32))
+            qp_map = _apply_segment_ov(base, frame.segment_ov,
+                                       cfg.min_qp_allowed,
+                                       cfg.max_qp_allowed)
 
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,
@@ -529,6 +566,8 @@ class Encoder:
                 qp = rc.pick_qp(is_idr, window=window)
                 if rc.mode == 0 and layer > 0:
                     qp = min(qp + layer + 1, 51)
+            qp = min(max(qp, self.cfg.min_qp_allowed),
+                     self.cfg.max_qp_allowed)
             t0 = _time.perf_counter()
             pic = self.encode_frame(
                 fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,

@@ -116,3 +116,67 @@ def test_adaptive_qp_10bit():
     cfg = EncoderConfig(width=64, height=64, qp=30, bit_depth=10,
                         improve_sharpness=True)
     _roundtrip(cfg, [frame])
+
+
+def test_segment_override_qp():
+    """Per-CTB segment overrides (reference SegmentOverride_t semantics,
+    EbApi.h:44-68 / EbEncDecProcess.c:2854): direct QP, delta QP and
+    deblock-density delta drive the signalled CTB QPs; bit-exact decode."""
+    from svt_hevc_tpu.config import (SEG_DENSITY_DEBLOCK_OV,
+                                     SEG_DENSITY_QP_OV, SEG_QP_OV_DELTA,
+                                     SEG_QP_OV_DIRECT, EncoderConfig)
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    from svt_hevc_tpu.io.yuv import Frame
+    from svt_hevc_tpu.pipeline.encoder import Encoder
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (64, 128)).astype(np.uint8)
+    u = rng.integers(0, 256, (32, 64)).astype(np.uint8)
+    sov = np.zeros((2, 4, 3), np.int32)     # ctb 32 -> 2x4 grid
+    sov[0, 0] = (SEG_DENSITY_QP_OV | SEG_QP_OV_DIRECT, 20, 0)
+    sov[0, 1] = (SEG_DENSITY_QP_OV | SEG_QP_OV_DELTA, +6, 0)
+    sov[1, 2] = (SEG_DENSITY_DEBLOCK_OV, 0, -4)
+    fr = Frame(y=y, cb=u, cr=u.copy(), segment_ov=sov)
+    cfg = EncoderConfig(width=128, height=64, qp=32, intra_period=0,
+                        ctb_size=32, segment_ov_enabled=True)
+    stream, recons = Encoder(cfg).encode([fr])
+    decoded = decode_stream(stream)
+    np.testing.assert_array_equal(recons[0].y, decoded[0].y)
+    np.testing.assert_array_equal(recons[0].cb, decoded[0].cb)
+    # wrong grid shape is rejected
+    bad = Frame(y=y, cb=u, cr=u.copy(), segment_ov=np.zeros((3, 3, 3), int))
+    try:
+        Encoder(cfg).encode([bad])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_min_max_qp_allowed():
+    from svt_hevc_tpu.config import EncoderConfig
+    from svt_hevc_tpu.io.yuv import Frame
+    from svt_hevc_tpu.pipeline.encoder import Encoder
+    from svt_hevc_tpu.bitstream.nal import NalUnitType, split_annexb
+    from svt_hevc_tpu.bitstream.bitwriter import ebsp_to_rbsp
+    from svt_hevc_tpu.bitstream.headers import (parse_pps,
+                                                parse_slice_header,
+                                                parse_sps)
+    y = np.full((64, 64), 100, np.uint8)
+    u = np.full((32, 32), 128, np.uint8)
+    frames = [Frame(y=y.copy(), cb=u.copy(), cr=u.copy()) for _ in range(3)]
+    cfg = EncoderConfig(width=64, height=64, qp=32, intra_period=-1,
+                        rate_control_mode=1, target_bitrate=100_000,
+                        look_ahead_distance=0, min_qp_allowed=30,
+                        max_qp_allowed=34, scene_change_detection=False)
+    stream, _ = Encoder(cfg).encode(frames)
+    sps = pps = None
+    for t, e in split_annexb(stream):
+        r = ebsp_to_rbsp(e)
+        if t == NalUnitType.SPS_NUT:
+            sps = parse_sps(r)
+        elif t == NalUnitType.PPS_NUT:
+            pps = parse_pps(r)
+        elif t in (NalUnitType.IDR_W_RADL, NalUnitType.TRAIL_R,
+                   NalUnitType.TRAIL_N):
+            hdr = parse_slice_header(r, int(t), sps, pps)
+            assert 30 <= hdr.slice_qp <= 34, hdr.slice_qp
