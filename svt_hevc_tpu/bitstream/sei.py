@@ -71,10 +71,17 @@ def write_buffering_period(initial_cpb_removal_delay: int,
 
 
 def write_pic_timing(au_cpb_removal_delay_minus1: int,
-                     pic_dpb_output_delay: int) -> bytes:
-    """pic_timing SEI (D.2.3) with frame_field_info off: only the CPB/DPB
-    delays (CpbDpbDelaysPresentFlag = 1 via hrd_parameters)."""
+                     pic_dpb_output_delay: int,
+                     pic_struct: int | None = None) -> bytes:
+    """pic_timing SEI (D.2.3): CPB/DPB delays (CpbDpbDelaysPresentFlag = 1
+    via hrd_parameters) and, for interlaced signalling
+    (frame_field_info_present_flag), pic_struct (1 = top field, 2 =
+    bottom field; reference: EbSei.c:92)."""
     w = BitWriter()
+    if pic_struct is not None:
+        w.u(pic_struct, 4)   # pic_struct
+        w.u(0, 2)            # source_scan_type (0 = interlaced)
+        w.flag(0)            # duplicate_flag
     w.u(min(au_cpb_removal_delay_minus1, (1 << AU_CPB_LEN) - 1), AU_CPB_LEN)
     w.u(min(pic_dpb_output_delay, (1 << DPB_OUT_LEN) - 1), DPB_OUT_LEN)
     w.rbsp_trailing_bits()
