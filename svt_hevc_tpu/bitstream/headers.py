@@ -124,10 +124,11 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.flag(0)            # video_signal_type_present_flag
     w.flag(0)            # chroma_loc_info_present_flag
     w.flag(0)            # neutral_chroma_indication_flag
-    ilv = getattr(cfg, "interlaced_video", False)
-    w.flag(1 if ilv else 0)   # field_seq_flag (reference: fieldSeqFlag,
-                              # EbEncHandle.c:1921)
-    w.flag(1 if ilv else 0)   # frame_field_info_present_flag
+    # progressive only: interlaced input is not supported (the reference's
+    # fieldSeqFlag path, EbEncHandle.c:1921, requires pic_struct in every
+    # pic_timing SEI — hard-coded 0 until interlaced support lands)
+    w.flag(0)            # field_seq_flag
+    w.flag(0)            # frame_field_info_present_flag
     w.flag(0)            # default_display_window_flag
     w.flag(1)            # vui_timing_info_present_flag
     w.u(cfg.fps_den, 32)      # vui_num_units_in_tick

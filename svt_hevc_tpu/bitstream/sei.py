@@ -149,10 +149,11 @@ def write_temporal_mcts() -> bytes:
     w = BitWriter()
     w.flag(0)            # mc_all_tiles_exact_sample_value_match_flag
     w.flag(1)            # each_tile_one_tile_set_flag
-    w.flag(0)            # limited_tile_set_display_flag (n/a)
-    w.flag(1)            # max_mcs_tier_level_idc_present_flag = 0 -> skip
-    # with each_tile_one_tile_set: no per-set loop; the two flags above
-    # fully describe the sets. mcts_max_tier_level follows when present:
+    # limited_tile_set_display_flag exists only in the
+    # !each_tile_one_tile_set_flag branch (D.2.29) — not written here
+    w.flag(1)            # max_mcs_tier_level_idc_present_flag
+    # with each_tile_one_tile_set: no per-set loop; the flags above fully
+    # describe the sets. mcts_max_tier_level follows when present:
     w.flag(0)            # mcts_tier_flag
     w.u(0, 8)            # mcts_level_idc (0 = unspecified)
     w.rbsp_trailing_bits()

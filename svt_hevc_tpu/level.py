@@ -36,17 +36,17 @@ LEVELS = (
                 30000000),
     LevelLimits(123, "4.1", 2228224,   133693440,  5,  5,  20000000,
                 50000000),
-    LevelLimits(150, "5",   8912896,   267386880,  11, 10, 25000000,
+    LevelLimits(150, "5",   8912896,   267386880,  10, 11, 25000000,
                 100000000),
-    LevelLimits(153, "5.1", 8912896,   534773760,  11, 10, 40000000,
+    LevelLimits(153, "5.1", 8912896,   534773760,  10, 11, 40000000,
                 160000000),
-    LevelLimits(156, "5.2", 8912896,   1069547520, 11, 10, 60000000,
+    LevelLimits(156, "5.2", 8912896,   1069547520, 10, 11, 60000000,
                 240000000),
-    LevelLimits(180, "6",   35651584,  1069547520, 22, 20, 60000000,
+    LevelLimits(180, "6",   35651584,  1069547520, 20, 22, 60000000,
                 240000000),
-    LevelLimits(183, "6.1", 35651584,  2139095040, 22, 20, 120000000,
+    LevelLimits(183, "6.1", 35651584,  2139095040, 20, 22, 120000000,
                 480000000),
-    LevelLimits(186, "6.2", 35651584,  4278190080, 22, 20, 240000000,
+    LevelLimits(186, "6.2", 35651584,  4278190080, 20, 22, 240000000,
                 800000000),
 )
 

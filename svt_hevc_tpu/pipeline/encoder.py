@@ -308,7 +308,11 @@ class Encoder:
         tile_edges_y = [min(row_bd[i] * ctb, ch)
                         for i in range(1, cfg.tile_rows)]
 
-        if qp_map is None and cfg.adaptive_qp:
+        # QPM activity map only when a QPM tool asks for it (reference
+        # gates derivation on improveSharpness||bitRateReduction,
+        # EbEncDecProcess.c:2838); segment_ov_enabled alone applies the
+        # per-LCU overrides over a flat base map (:2854)
+        if qp_map is None and (cfg.improve_sharpness or cfg.bit_rate_reduction):
             qp_map = self._derive_qp_map(np.asarray(frame.y), qp)
         if frame.segment_ov is not None:
             # per-CTB segment overrides (reference: SegmentOverride_t
@@ -321,6 +325,11 @@ class Encoder:
             qp_map = _apply_segment_ov(base, frame.segment_ov,
                                        cfg.min_qp_allowed,
                                        cfg.max_qp_allowed)
+        if qp_map is None and cfg.adaptive_qp:
+            # cu_qp_delta is signalled in the PPS for the whole stream:
+            # pictures with no QPM/override input still code (zero) deltas
+            # against a flat map, keeping parser and encoder in sync
+            qp_map = np.full((n_ctb_y, n_ctb_x), qp, np.int32)
 
         def new_state():
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,

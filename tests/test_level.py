@@ -33,6 +33,15 @@ def test_tiles_push_level_up():
     assert lv.name == "5"     # 4.x allows only 5x5 tiles
 
 
+def test_tile_col_row_caps_not_swapped():
+    # spec Table A.6 / reference EbEncHandle.c:69-76: level 5.x allows at
+    # most 10 tile columns but 11 tile rows; 11 columns needs level 6
+    lv, _ = derive_level(_cfg(fps_num=30, tile_columns=11, tile_rows=1))
+    assert lv.name == "6"
+    lv, _ = derive_level(_cfg(fps_num=30, tile_columns=1, tile_rows=11))
+    assert lv.name == "5"
+
+
 def test_over_level_62_rejected():
     with pytest.raises(ValueError):
         EncoderConfig(width=8192, height=4320, qp=32, fps_num=130).validate()
