@@ -20,6 +20,15 @@ Streaming API (EbH265EncSendPicture / EbH265GetPacket analogue):
     for pkt in h.packets(): out.write(pkt.data)
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first-time compiles of the batched
+# encode graphs cost minutes on a tunneled TPU; cached reloads are ~ms.
+# (Overridable / disable with JAX_COMPILATION_CACHE_DIR="".)
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/svt_hevc_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from .api import EncoderHandle, Packet
 from .config import EncoderConfig
 from .pipeline.encoder import Encoder

@@ -44,13 +44,18 @@ class NullCoder:
 class CabacRecorder:
     """Drop-in for CabacEncoder that records ops. `ctx` is kept only so
     code that clones context state keeps working; states are NOT updated
-    during recording (the native pass owns them)."""
+    during recording (the native pass owns them).
 
-    __slots__ = ("ctx", "ops")
+    Ops accumulate as a list of tuples plus pre-built int32 chunks (the
+    native residual emitter appends whole (k, 3) arrays via append_ops);
+    op_array() splices everything in order."""
+
+    __slots__ = ("ctx", "ops", "_chunks")
 
     def __init__(self, contexts: list[int] | None = None) -> None:
         self.ctx = contexts if contexts is not None else []
         self.ops: list[tuple[int, int, int]] = []
+        self._chunks: list[np.ndarray] = []
 
     def encode_bin(self, ctx_idx: int, binval: int) -> None:
         self.ops.append((KIND_BIN, ctx_idx, binval))
@@ -70,5 +75,34 @@ class CabacRecorder:
     def encode_terminate(self, binval: int) -> None:
         self.ops.append((KIND_TERMINATE, 0, binval))
 
+    def _flush(self) -> None:
+        if self.ops:
+            self._chunks.append(
+                np.asarray(self.ops, dtype=np.int32).reshape(-1, 3))
+            self.ops = []
+
+    def append_ops(self, arr: np.ndarray) -> None:
+        """Append a pre-built (k, 3) int32 op chunk in stream order."""
+        self._flush()
+        self._chunks.append(arr)
+
+    def extend_from(self, other: "CabacRecorder") -> None:
+        """Splice another recorder's full stream after this one's."""
+        self._flush()
+        other._flush()
+        self._chunks.extend(other._chunks)
+
     def op_array(self) -> np.ndarray:
-        return np.asarray(self.ops, dtype=np.int32).reshape(-1, 3)
+        self._flush()
+        if not self._chunks:
+            return np.empty((0, 3), np.int32)
+        if len(self._chunks) == 1:
+            return self._chunks[0]
+        return np.concatenate(self._chunks, axis=0)
+
+    def iter_ops(self):
+        """All ops in order as (kind, a, v) tuples (Python fallback)."""
+        self._flush()
+        for chunk in self._chunks:
+            for row in chunk:
+                yield int(row[0]), int(row[1]), int(row[2])

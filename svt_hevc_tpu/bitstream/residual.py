@@ -140,6 +140,20 @@ def _sig_ctx(xc: int, yc: int, log2: int, c_idx: int, scan_idx: int,
 
 # -------------------------------------------------------------------- encoder
 
+def emit_residual(enc, coeffs: np.ndarray, c_idx: int,
+                  scan_idx: int) -> None:
+    """encode_residual through the fastest available backend: recorders
+    take the native C op generator (svt_hevc_tpu/native/residual.c) when
+    built; every other sink uses the Python reference implementation."""
+    if hasattr(enc, "append_ops"):
+        from ..native import residual_ops_native
+        arr = residual_ops_native(coeffs, c_idx, scan_idx)
+        if arr is not None:
+            enc.append_ops(arr)
+            return
+    encode_residual(enc, coeffs, c_idx, scan_idx)
+
+
 def encode_residual(enc: CabacEncoder, coeffs: np.ndarray, c_idx: int,
                     scan_idx: int) -> None:
     """Encode one TB's quantized coefficients (nonzero somewhere; caller

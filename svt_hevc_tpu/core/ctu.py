@@ -24,7 +24,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream.contexts import Ctx
-from ..bitstream.residual import decode_residual, encode_residual, select_scan
+from ..bitstream.residual import (decode_residual, emit_residual,
+                                  select_scan)
 from . import intra
 from .inter import (Mi, amvp_candidates, mc_predict_bi, mc_predict_uni,
                     merge_candidates, uni_mi)
@@ -1449,7 +1450,7 @@ class CtuEncoder(CtuCoderBase):
     def tb_luma(self, cu, x0, y0, log2, mode, cbf):
         if cbf and not getattr(self.bac, "is_null", False):
             scan = select_scan(log2, 0, mode)
-            encode_residual(self.bac, cu.luma_levels[(x0, y0)], 0, scan)
+            emit_residual(self.bac, cu.luma_levels[(x0, y0)], 0, scan)
 
     def tb_chroma(self, cu, nx, ny, nlog2, cbf_cb, cbf_cr):
         if getattr(self.bac, "is_null", False):
@@ -1462,6 +1463,6 @@ class CtuEncoder(CtuCoderBase):
                     mode = (None if cu.is_inter
                             else cu.chroma_mode_at(xc, yc))
                     scan = select_scan(log2c, 1, mode, chroma444=c444)
-                    encode_residual(self.bac,
-                                    cu.chroma_levels[(c_idx, xc, yc)],
-                                    c_idx, scan)
+                    emit_residual(self.bac,
+                                  cu.chroma_levels[(c_idx, xc, yc)],
+                                  c_idx, scan)

@@ -82,7 +82,7 @@ def dequantize(level: np.ndarray, qp: int, *, bit_depth: int = 8) -> np.ndarray:
     """Normative scaling (8.6.3) for flat (m=16) scaling lists."""
     n = level.shape[-1]
     log2n = n.bit_length() - 1
-    shift = 6 - transform_shift(log2n, bit_depth)   # == log2n + bit_depth - 13 + 6
+    shift = 6 - transform_shift(log2n, bit_depth)   # == log2n + bit_depth - 9
     scale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
     lv = np.clip(level.astype(np.int64), -32768, 32767)
     d = (lv * scale + (1 << (shift - 1))) >> shift

@@ -368,3 +368,98 @@ def _best_band(b: np.ndarray, d: np.ndarray, lam: float, mx: int = 7):
     offs = [int(ob[bp + i]) if gains[bp + i] > 0 else 0 for i in range(4)]
     g = float(win[bp]) - lam * (9 + sum(abs(o) + 1 for o in offs))
     return bp, offs, g
+
+
+def _best_band_stats(cnt: np.ndarray, sums: np.ndarray, lam: float,
+                     mx: int = 7):
+    """_best_band from precomputed per-band (count, diff-sum) stats."""
+    ob = np.zeros(32, np.int64)
+    nz = cnt > 0
+    ob[nz] = np.clip(np.round(sums[nz] / cnt[nz]), -mx, mx)
+    gains = np.maximum(np.where(ob != 0, 2 * ob * sums - cnt * ob * ob, 0), 0)
+    win = np.array([gains[k:k + 4].sum() for k in range(29)])
+    bp = int(np.argmax(win))
+    offs = [int(ob[bp + i]) if gains[bp + i] > 0 else 0 for i in range(4)]
+    g = float(win[bp]) - lam * (9 + sum(abs(o) + 1 for o in offs))
+    return bp, offs, g
+
+
+def derive_sao_params_from_stats(st, stats, lam: float):
+    """derive_sao_params with the per-CTB statistics precomputed on the
+    TPU (tpu.encode.sao_stats_plane): identical decision math, no
+    per-CTB pixel masking on the host. stats: per-component dicts with
+    eo_cnt/eo_sum (ny, nx, 4, 5) and bo_cnt/bo_sum (ny, nx, 32)."""
+    ctb = 1 << st.ctb_log2
+    ny = (st.h + ctb - 1) // ctb
+    nx = (st.w + ctb - 1) // ctb
+    grid = [[SaoCtbParams() for _ in range(nx)] for _ in range(ny)]
+    mx = _max_offset(st.bit_depth)
+
+    for comp in range(3):
+        c01 = min(comp, 1)
+        eo_cnt = stats[comp]["eo_cnt"].astype(np.int64)
+        eo_sum = stats[comp]["eo_sum"].astype(np.int64)
+        bo_cnt = stats[comp]["bo_cnt"].astype(np.int64)
+        bo_sum = stats[comp]["bo_sum"].astype(np.int64)
+
+        for cy in range(ny):
+            for cx in range(nx):
+                p = grid[cy][cx]
+                if comp == 2:
+                    t = p.type_idx[1]
+                    if t == SAO_OFF:
+                        continue
+                    if t == SAO_EDGE:
+                        ec = p.eo_class[1]
+                        offs = [0, 0, 0, 0]
+                        for k in range(1, 5):
+                            c = int(eo_cnt[cy, cx, ec, k])
+                            if c == 0:
+                                continue
+                            s = int(eo_sum[cy, cx, ec, k])
+                            o = int(np.clip(round(s / c), -mx, mx))
+                            o = max(o, 0) if k <= 2 else min(o, 0)
+                            if 2 * o * s - c * o * o > 0:
+                                offs[k - 1] = o
+                        p.offsets[2] = offs
+                    else:
+                        bp, offs, g = _best_band_stats(bo_cnt[cy, cx],
+                                                       bo_sum[cy, cx],
+                                                       lam, mx)
+                        if g > 0 and any(offs):
+                            p.band_pos[2] = bp
+                            p.offsets[2] = offs
+                    continue
+
+                best = (0.0, SAO_OFF, 0, 0, [0, 0, 0, 0])
+                for ec in range(4):
+                    gain = 0.0
+                    offs = [0, 0, 0, 0]
+                    for k in range(1, 5):
+                        c = int(eo_cnt[cy, cx, ec, k])
+                        if c == 0:
+                            continue
+                        s = int(eo_sum[cy, cx, ec, k])
+                        o = int(np.clip(round(s / c), -mx, mx))
+                        o = max(o, 0) if k <= 2 else min(o, 0)
+                        g = 2 * o * s - c * o * o
+                        if g > 0:
+                            offs[k - 1] = o
+                            gain += g
+                    rate = 4 + sum(abs(o) + 1 for o in offs)
+                    gain -= lam * rate
+                    if gain > best[0]:
+                        best = (gain, SAO_EDGE, ec, 0, offs)
+
+                bp, offs, g = _best_band_stats(bo_cnt[cy, cx],
+                                               bo_sum[cy, cx], lam, mx)
+                if g > best[0] and any(offs):
+                    best = (g, SAO_BAND, 0, bp, offs)
+
+                if best[1] == SAO_OFF:
+                    continue
+                p.type_idx[c01] = best[1]
+                p.eo_class[c01] = best[2]
+                p.band_pos[comp] = best[3]
+                p.offsets[comp] = list(best[4])
+    return grid

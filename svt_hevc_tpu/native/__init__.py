@@ -17,15 +17,19 @@ _LIB = None
 _TRIED = False
 
 
+_SOURCES = ("cabac.c", "residual.c")
+
+
 def _build_lib() -> str | None:
-    src = os.path.join(_HERE, "cabac.c")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     out = os.path.join(_HERE, "_libsvthevc_native.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+            os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-fPIC", "-shared", "-o", out, src],
+                [cc, "-O3", "-fPIC", "-shared", "-o", out, *srcs],
                 check=True, capture_output=True, timeout=120)
             return out
         except (OSError, subprocess.SubprocessError):
@@ -46,6 +50,13 @@ def native_cabac_lib():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+            lib.residual_ops.restype = ctypes.c_int64
+            lib.residual_ops.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
             _LIB = lib
     return _LIB
@@ -71,3 +82,40 @@ def cabac_encode_ops(ops: np.ndarray, contexts: list[int]) -> bytes | None:
     if n < 0:
         raise RuntimeError(f"native cabac overflow/err {n}")
     return out[:n].tobytes()
+
+
+_RES_BASES = None
+
+
+def _residual_bases() -> np.ndarray:
+    """Context-base offsets [LAST_X, LAST_Y, SIG_GROUP, SIG, GT1, GT2]
+    from the Python context layout (single source of truth)."""
+    global _RES_BASES
+    if _RES_BASES is None:
+        from ..bitstream.contexts import Ctx
+        _RES_BASES = np.asarray([Ctx.LAST_X, Ctx.LAST_Y, Ctx.SIG_GROUP,
+                                 Ctx.SIG, Ctx.GT1, Ctx.GT2], np.int32)
+    return _RES_BASES
+
+
+def residual_ops_native(coeffs: np.ndarray, c_idx: int,
+                        scan_idx: int) -> np.ndarray | None:
+    """Bin-op stream (k, 3) int32 for one TB's coefficients via the C
+    backend, or None if the native lib is unavailable (callers fall back
+    to the Python encoder)."""
+    lib = native_cabac_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(coeffs, dtype=np.int32)
+    n = c.shape[0]
+    cap = 16 * n * n + 256
+    out = np.empty((cap, 3), np.int32)
+    bases = _residual_bases()
+    k = lib.residual_ops(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        c_idx, scan_idx,
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    if k < 0:
+        raise RuntimeError(f"native residual_ops error {k}")
+    return out[:k]

@@ -80,7 +80,7 @@ def finalize_cabac(rec: CabacRecorder, init_ctx: list[int]) -> bytes:
     if data is not None:
         return data
     enc = CabacEncoder(list(init_ctx))
-    for kind, a, v in rec.ops:
+    for kind, a, v in rec.iter_ops():
         if kind == 0:
             enc.encode_bin(a, v)
         elif kind == 1:
@@ -359,80 +359,103 @@ class Encoder:
         # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
         ois = self._ois_maps(src[0]) if feat.ois_intra else None
 
-        # ---- pass 1: decide + reconstruct (no bitstream output yet) ----
-        st = new_state()
-        decisions_all: dict = {}
-        # decide-once cache shared with pass 2 (identical recon state =>
-        # identical plans/modes; pass 2 only replays)
-        dcache = {"plans": {}, "modes": {}}
-        for order, _, _, rect in tiles:
-            st.begin_tile()
-            est_ctx = init_contexts(qp, init_type=init_type)
-            mrect = rect if mcts else None
-            if rd:
-                for x0, y0 in order:
-                    rds = RdSearch(st, src, me_seed=me_seed,
-                                   try_nxn=feat.try_nxn, features=feat,
-                                   ois=ois, mcts_rect=mrect)
-                    decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
-                    decisions_all[(x0, y0)] = decisions
-            else:
-                # decide-only walk: bins are never read in non-RD pass 1
-                sink = NullCoder(est_ctx)
-                enc1 = CtuEncoder(st, sink, src, split_policy=split_policy,
-                                  part_nxn_policy=part_nxn_policy,
-                                  me_seed=me_seed, features=feat, ois=ois,
-                                  decision_cache=dcache, mcts_rect=mrect)
-                for x0, y0 in order:
-                    enc1.code_ctu(x0, y0)
+        # ---- fast path: TPU dense MD + batched encode pass + single host
+        # walk (pipeline/fast_path.py) for the common P configuration ----
+        use_fast = (slice_type == 1 and not rd and not is_idr
+                    and refs_l0 is not None and len(refs_l0) == 1
+                    and not refs_l1
+                    and cfg.chroma_format == 1 and cfg.bit_depth == 8
+                    and qp_map is None and len(tiles) == 1 and not mcts
+                    and ois is not None and split_policy is None
+                    and part_nxn_policy is None)
+        if use_fast:
+            st = new_state()
+            substreams = self._encode_fast_p(
+                st, src, refs_l0[0][0], qp, me_seed, ois, feat,
+                tiles[0][0], last_xy, init_type)
+        else:
+            substreams = None
 
-        if cfg.enable_deblocking:
-            deblock_picture(st)
-
-        sao_grid = None
-        if cfg.enable_sao:
-            sao_grid = derive_sao_params(st, src, lambda_sse(qp))
-            apply_sao(st, sao_grid, True, True)
-
-        # ---- pass 2: emit the real CABAC stream (replays identically).
-        # Syntax is recorded per tile as a bin-op stream; each tile's
-        # sequential arithmetic runs independently in the native C core
-        # (svt_hevc_tpu/native/cabac.c) — per-tile parallel CABAC ----
-        st2 = new_state()
         slice_per_tile = bool(cfg.tile_slice_mode) and len(tiles) > 1
-        substreams: list[bytes] = []
-        for t_idx, (order, left_col, top_row, rect) in enumerate(tiles):
-            st2.begin_tile()
-            mrect = rect if mcts else None
-            bac = CabacRecorder(init_contexts(qp, init_type=init_type))
-            if not rd:
-                enc = CtuEncoder(st2, bac, src, split_policy=split_policy,
-                                 part_nxn_policy=part_nxn_policy,
-                                 me_seed=me_seed, features=feat, ois=ois,
-                                 decision_cache=dcache, mcts_rect=mrect)
-            for x0, y0 in order:
+        if not use_fast:
+            # ---- pass 1: decide + reconstruct (no bitstream output) ----
+            st = new_state()
+            decisions_all: dict = {}
+            # decide-once cache shared with pass 2 (identical recon state
+            # => identical plans/modes; pass 2 only replays)
+            dcache = {"plans": {}, "modes": {}}
+            for order, _, _, rect in tiles:
+                st.begin_tile()
+                est_ctx = init_contexts(qp, init_type=init_type)
+                mrect = rect if mcts else None
                 if rd:
-                    d = decisions_all[(x0, y0)]
+                    for x0, y0 in order:
+                        rds = RdSearch(st, src, me_seed=me_seed,
+                                       try_nxn=feat.try_nxn, features=feat,
+                                       ois=ois, mcts_rect=mrect)
+                        decisions, est_ctx = rds.compress_ctu(x0, y0, est_ctx)
+                        decisions_all[(x0, y0)] = decisions
+                else:
+                    # decide-only walk: bins never read in non-RD pass 1
+                    sink = NullCoder(est_ctx)
+                    enc1 = CtuEncoder(st, sink, src,
+                                      split_policy=split_policy,
+                                      part_nxn_policy=part_nxn_policy,
+                                      me_seed=me_seed, features=feat,
+                                      ois=ois, decision_cache=dcache,
+                                      mcts_rect=mrect)
+                    for x0, y0 in order:
+                        enc1.code_ctu(x0, y0)
+
+            if cfg.enable_deblocking:
+                deblock_picture(st)
+
+            sao_grid = None
+            if cfg.enable_sao:
+                sao_grid = derive_sao_params(st, src, lambda_sse(qp))
+                apply_sao(st, sao_grid, True, True)
+
+            # ---- pass 2: emit the real CABAC stream (replays
+            # identically). Syntax is recorded per tile as a bin-op
+            # stream; each tile's sequential arithmetic runs independently
+            # in the native C core (svt_hevc_tpu/native/cabac.c) ----
+            st2 = new_state()
+            substreams = []
+            for t_idx, (order, left_col, top_row, rect) in enumerate(tiles):
+                st2.begin_tile()
+                mrect = rect if mcts else None
+                bac = CabacRecorder(init_contexts(qp, init_type=init_type))
+                if not rd:
                     enc = CtuEncoder(st2, bac, src,
-                                     split_policy=d.split_policy,
-                                     part_nxn_policy=d.part_nxn_policy,
-                                     mode_policy=d.mode_policy,
+                                     split_policy=split_policy,
+                                     part_nxn_policy=part_nxn_policy,
                                      me_seed=me_seed, features=feat, ois=ois,
-                                     mcts_rect=mrect)
-                if sao_grid is not None:
-                    encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
-                                   True, True, bit_depth=cfg.bit_depth,
-                                   left_ok=x0 // ctb > left_col,
-                                   up_ok=y0 // ctb > top_row)
-                enc.code_ctu(x0, y0)
-                # end_of_slice_segment_flag: last CTB of the slice (the
-                # tile in tile-slice mode, the picture otherwise)
-                last = (x0, y0) == (order[-1] if slice_per_tile else last_xy)
-                bac.encode_terminate(1 if last else 0)
-            if not slice_per_tile and t_idx != len(tiles) - 1:
-                bac.encode_terminate(1)      # end_of_subset_one_bit
-            substreams.append(
-                finalize_cabac(bac, init_contexts(qp, init_type=init_type)))
+                                     decision_cache=dcache, mcts_rect=mrect)
+                for x0, y0 in order:
+                    if rd:
+                        d = decisions_all[(x0, y0)]
+                        enc = CtuEncoder(st2, bac, src,
+                                         split_policy=d.split_policy,
+                                         part_nxn_policy=d.part_nxn_policy,
+                                         mode_policy=d.mode_policy,
+                                         me_seed=me_seed, features=feat,
+                                         ois=ois, mcts_rect=mrect)
+                    if sao_grid is not None:
+                        encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
+                                       True, True, bit_depth=cfg.bit_depth,
+                                       left_ok=x0 // ctb > left_col,
+                                       up_ok=y0 // ctb > top_row)
+                    enc.code_ctu(x0, y0)
+                    # end_of_slice_segment_flag: last CTB of the slice
+                    # (the tile in tile-slice mode, else the picture)
+                    last = (x0, y0) == (order[-1] if slice_per_tile
+                                        else last_xy)
+                    bac.encode_terminate(1 if last else 0)
+                if not slice_per_tile and t_idx != len(tiles) - 1:
+                    bac.encode_terminate(1)      # end_of_subset_one_bit
+                substreams.append(
+                    finalize_cabac(bac,
+                                   init_contexts(qp, init_type=init_type)))
 
         all_ref_pocs = {r[1] for r in (refs_l0 or [])} | \
                        {r[1] for r in (refs_l1 or [])}
@@ -613,6 +636,71 @@ class Encoder:
                             slice_type=2 if is_idr else (0 if b_slices else 1),
                             is_idr=is_idr, display_idx=idx, decode_idx=idx)
 
+    def _encode_fast_p(self, st, src, ref_planes, qp, hme_mv, ois, feat,
+                       order, last_xy, init_type) -> list[bytes]:
+        """Fast P-picture encode (pipeline/fast_path.py): TPU dense MD +
+        batched encode pass, then ONE host walk per CTU recording bin ops
+        (decide + emit fused — op streams carry context indices, not
+        state, so SAO syntax is stitched in afterwards), DLF/SAO, and one
+        native CABAC run. Returns the slice substream list."""
+        from .fast_path import FastCtuEncoder, run_fast_p
+        cfg = self.cfg
+        maps = run_fast_p(cfg, feat, st, src, ref_planes, qp, hme_mv, ois)
+        walker = FastCtuEncoder(st, None, src, maps, features=feat)
+        ctu_ops = []
+        st.begin_tile()
+        for x0, y0 in order:
+            rec = CabacRecorder()
+            walker.bac = rec
+            walker.code_ctu(x0, y0)
+            ctu_ops.append(rec)
+
+        if cfg.enable_deblocking:
+            deblock_picture(st)
+        sao_grid = None
+        if cfg.enable_sao:
+            sao_grid = self._sao_params_tpu(st, src, lambda_sse(qp))
+            apply_sao(st, sao_grid, True, True)
+
+        ctb = cfg.ctb_size
+        bac = CabacRecorder(init_contexts(qp, init_type=init_type))
+        for i, (x0, y0) in enumerate(order):
+            if sao_grid is not None:
+                encode_sao_ctb(bac, sao_grid, x0 // ctb, y0 // ctb,
+                               True, True, bit_depth=cfg.bit_depth)
+            bac.extend_from(ctu_ops[i])
+            bac.encode_terminate(1 if (x0, y0) == last_xy else 0)
+        return [finalize_cabac(bac, init_contexts(qp, init_type=init_type))]
+
+    def _sao_params_tpu(self, st, src, lam):
+        """SAO decision with TPU-batched per-CTB statistics (replaces the
+        host per-CTB masking sweep of derive_sao_params; same decision
+        math via core.sao.derive_sao_params_from_stats)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.sao import derive_sao_params_from_stats
+        from ..tpu.encode import sao_stats_plane
+        ctb = self.cfg.ctb_size
+        stats = []
+        for comp in range(3):
+            plane = st.planes[comp]
+            h, w = plane.shape
+            cy = ctb if comp == 0 else ctb >> st.ss_y
+            cx = ctb if comp == 0 else ctb >> st.ss_x
+            hh = (h + cy - 1) // cy * cy
+            ww = (w + cx - 1) // cx * cx
+            pre = pad_plane(plane, ww, hh)
+            s = pad_plane(src[comp], ww, hh)
+            valid = np.zeros((hh, ww), np.float32)
+            valid[:h, :w] = 1.0
+            out = sao_stats_plane(jnp.asarray(pre), jnp.asarray(s),
+                                  jnp.asarray(valid), cy, cx,
+                                  bit_depth=st.bit_depth)
+            stats.append({k: np.asarray(v) for k, v in
+                          jax.device_get(out).items()})
+        return derive_sao_params_from_stats(st, stats, lam)
+
     def _ois_maps(self, y_plane: np.ndarray) -> dict:
         """Per-picture TPU open-loop intra search: {n: (mode_map, cost_map)}
         numpy maps for n in 4/8/16/32, fetched in one device round trip."""
@@ -624,8 +712,12 @@ class Encoder:
         hh, ww = (h + 63) // 64 * 64, (w + 63) // 64 * 64
         out = analyze_frame(jnp.asarray(pad_plane(y_plane, ww, hh),
                                         jnp.float32))
-        got = jax.device_get({n: (out[f"mode{n}"], out[f"cost{n}"])
-                              for n in (4, 8, 16, 32)})
+        # costs leave the device as int32: float32 D2H is pathologically
+        # slow over the axon tunnel (~8 MB/s measured vs ~140 MB/s int32)
+        got = jax.device_get(
+            {n: (out[f"mode{n}"],
+                 jnp.round(out[f"cost{n}"]).astype(jnp.int32))
+             for n in (4, 8, 16, 32)})
         return {n: (np.asarray(m), np.asarray(c))
                 for n, (m, c) in got.items()}
 

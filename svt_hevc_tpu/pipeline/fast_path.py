@@ -1,0 +1,330 @@
+"""Fast P-picture path: TPU dense mode decision + batched encode pass.
+
+This replaces the per-CTU host hot loop (the reference's EncDec,
+EbEncDecProcess.c:2630) for the common P-picture configuration:
+
+  1. ``tpu.encode.dense_md_p``: dense inter search for every CU size
+     (the FULL85 densification) + the open-loop intra costs from
+     ``tpu.analysis`` -> cost maps per size.
+  2. ``decide_tree``: bottom-up quadtree DP over the cost maps (host
+     numpy on tiny grids) -> CU size / inter-intra / MV decision maps.
+  3. ``tpu.encode.encode_pass_p``: motion compensation, residual,
+     T/Q/IQ/IT and reconstruction for the whole picture in one jitted
+     graph, at the decided TU sizes.
+  4. ``FastCtuEncoder``: a single host walk per CTU doing only the
+     sequential work — merge/AMVP legalization from the final MV field,
+     intra-CU closed-loop reconstruction (wavefront-ordered by the CTU
+     scan itself), and CABAC bin recording. All pixel math for inter CUs
+     comes from the device arrays.
+
+The walk records per-CTU op streams; after DLF/SAO the orchestrator
+stitches SAO syntax + CTU ops per tile and runs the native arithmetic
+coder once per tile (pipeline/encoder.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.ctu import CtuEncoder
+from ..core.inter import Mi
+
+LAMBDA_MD = 3.0           # cost scale of the host heuristics (sad + 3*bits)
+SPLIT_BITS = 2.0          # split flag + partition overhead charge
+
+
+def _mvd_bits_arr(v: np.ndarray) -> np.ndarray:
+    """Vectorized core.ctu._mvd_bits (approximate MVD rate)."""
+    a = np.abs(v)
+    big = np.maximum(a - 2, 1)
+    blen = np.frexp(big.astype(np.float64))[1]          # bit_length
+    out = 4 + 2 * blen
+    out = np.where(a == 1, 3, out)
+    out = np.where(a == 0, 1, out)
+    return out
+
+
+def _sum4(m: np.ndarray) -> np.ndarray:
+    h, w = m.shape
+    return m.reshape(h // 2, 2, w // 2, 2).sum((1, 3))
+
+
+@dataclass
+class DecisionMaps:
+    """Per-8x8-block decision grids on the 64-aligned padded picture."""
+    cu_log2_8: np.ndarray     # chosen CU log2 size (3..6)
+    inter8: np.ndarray        # bool: inter vs intra
+    mv8: np.ndarray           # (nby, nbx, 2) quarter-pel decided MV
+    intra_mode8: np.ndarray   # intra mode of the covering CU
+    # filled after encode_pass_p:
+    lv_y: np.ndarray | None = None
+    lv_cb: np.ndarray | None = None
+    lv_cr: np.ndarray | None = None
+    nz4_y: np.ndarray | None = None
+    nz4_cb: np.ndarray | None = None
+    nz4_cr: np.ndarray | None = None
+
+
+def decide_tree(md: dict, ois: dict, ctb_log2: int) -> DecisionMaps:
+    """Bottom-up quadtree decision from dense cost maps.
+
+    md: numpy dict from dense_md_p. ois: {n: (mode_map, cost_map)}.
+    Reference analogue: ModeDecisionLcu's depth-first 85-CU search
+    (EbProductCodingLoop.c:4691) densified into map algebra.
+    """
+    L = LAMBDA_MD
+    nby, nbx = md["sad8"].shape
+
+    # zero-MV SAD summed per size (merge/skip candidate)
+    zs = {8: md["zsad8"].astype(np.float64)}
+    for s in (16, 32, 64):
+        zs[s] = _sum4(zs[s // 2])
+
+    leaf_cost, leaf_inter, leaf_mv, leaf_mode = {}, {}, {}, {}
+    for s, lg in ((8, 3), (16, 4), (32, 5), (64, 6)):
+        if (1 << ctb_log2) < s:
+            break
+        sad = md[f"sad{s}"].astype(np.float64)
+        mv = md[f"mv{s}"].astype(np.int32)
+        bits = (_mvd_bits_arr(mv[..., 0]) + _mvd_bits_arr(mv[..., 1]))
+        ic = sad + L * (bits + 4.0)
+        zc = zs[s] + L * 3.0
+        use_zero = zc < ic
+        inter_c = np.where(use_zero, zc, ic)
+        mv_sel = np.where(use_zero[..., None], 0, mv)
+
+        if s <= 32:
+            mode_map, cost_map = ois[s]
+            intra_c = 2.0 * cost_map.astype(np.float64) + L * 6.0
+        else:
+            intra_c = np.full_like(inter_c, np.inf)
+            mode_map = np.zeros_like(inter_c, np.int32)
+        use_intra = intra_c < inter_c
+        leaf_cost[s] = np.where(use_intra, intra_c, inter_c)
+        leaf_inter[s] = ~use_intra
+        leaf_mv[s] = mv_sel
+        leaf_mode[s] = mode_map.astype(np.int32)
+
+    # DP: best(s) = min(leaf(s), sum of children best + split charge)
+    best = {8: leaf_cost[8]}
+    split = {}
+    for s in (16, 32, 64):
+        if s not in leaf_cost:
+            break
+        agg = _sum4(best[s // 2]) + L * SPLIT_BITS
+        split[s] = agg < leaf_cost[s]
+        best[s] = np.where(split[s], agg, leaf_cost[s])
+
+    top = 1 << ctb_log2
+    cu_log2 = np.zeros((nby, nbx), np.int32)
+    inter8 = np.zeros((nby, nbx), bool)
+    mv8 = np.zeros((nby, nbx, 2), np.int32)
+    mode8 = np.zeros((nby, nbx), np.int32)
+
+    def rep(m, k):
+        return np.repeat(np.repeat(m, k, 0), k, 1)
+
+    # walk down: a block is a leaf at size s where no ancestor chose a
+    # smaller size and split[s] is False
+    undecided = np.ones((nby, nbx), bool)
+    s = top
+    while s >= 8:
+        k = s // 8
+        if s == 8:
+            leaf_here = undecided
+        else:
+            leaf_here = undecided & ~rep(split[s], k)
+        lg = s.bit_length() - 1
+        gsel = rep(np.ones_like(leaf_cost[s], bool), k) & leaf_here
+        cu_log2[leaf_here] = lg
+        inter8 = np.where(leaf_here, rep(leaf_inter[s], k), inter8)
+        for c in range(2):
+            mv8[..., c] = np.where(leaf_here & rep(leaf_inter[s], k),
+                                   rep(leaf_mv[s][..., c], k), mv8[..., c])
+        mode8 = np.where(leaf_here, rep(leaf_mode[s], k), mode8)
+        undecided &= ~leaf_here
+        del gsel
+        s //= 2
+
+    return DecisionMaps(cu_log2_8=cu_log2, inter8=inter8, mv8=mv8,
+                        intra_mode8=mode8)
+
+
+# ---------------------------------------------------------------- the walker
+
+class FastCtuEncoder(CtuEncoder):
+    """Single-walk CTU coder driven by precomputed decision maps and
+    device-computed inter levels/reconstruction.
+
+    st.planes must be pre-initialised with the TPU inter reconstruction;
+    the walk only (a) legalizes inter signalling (merge/AMVP) against the
+    final motion field, (b) reconstructs intra CUs closed-loop, and (c)
+    emits bins. No inter pixel math happens on the host."""
+
+    def __init__(self, state, bac, src, maps: DecisionMaps, *, features):
+        super().__init__(
+            state, bac, src,
+            split_policy=lambda x0, y0, log2, depth:
+                maps.cu_log2_8[y0 >> 3, x0 >> 3] < log2,
+            mode_policy=lambda px, py, n:
+                int(maps.intra_mode8[py >> 3, px >> 3]),
+            features=features)
+        self.m = maps
+
+    # ------------------------------------------------------ decision source
+    def _cu_any_nz(self, x0: int, y0: int, n: int) -> bool:
+        m = self.m
+        if m.nz4_y[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2].any():
+            return True
+        ys, xs = slice(y0 >> 3, (y0 + n) >> 3), slice(x0 >> 3, (x0 + n) >> 3)
+        return bool(m.nz4_cb[ys, xs].any() or m.nz4_cr[ys, xs].any())
+
+    def _compute_plan(self, x0, y0, log2):
+        from ..core.ctu import _InterPlan
+        from ..core.inter import amvp_candidates, merge_candidates
+        from ..core.ctu import _mvd_bits
+        st, m = self.st, self.m
+        n = 1 << log2
+        plan = _InterPlan()
+        if not m.inter8[y0 >> 3, x0 >> 3]:
+            plan.use_inter = False
+            return plan
+        plan.use_inter = True
+        mv = (int(m.mv8[y0 >> 3, x0 >> 3, 0]), int(m.mv8[y0 >> 3, x0 >> 3, 1]))
+        target = Mi(mv, 0, (0, 0), -1)
+        any_nz = self._cu_any_nz(x0, y0, n)
+        plan.root_cbf = int(any_nz)
+        merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
+        for idx, cand in enumerate(merge_list):
+            if cand == target:
+                plan.merge_flag = True
+                plan.merge_idx = idx
+                plan.mi = target
+                plan.skip = not any_nz
+                return plan
+        amvp = amvp_candidates(st, x0, y0, n, 0)
+        b0 = (_mvd_bits(mv[0] - amvp[0][0]) + _mvd_bits(mv[1] - amvp[0][1]))
+        b1 = (_mvd_bits(mv[0] - amvp[1][0]) + _mvd_bits(mv[1] - amvp[1][1]))
+        mvp_i = 1 if b1 < b0 else 0
+        plan.mi = target
+        plan.idc = 0
+        plan.mvp_idx[0] = mvp_i
+        plan.mvd[0] = (mv[0] - amvp[mvp_i][0], mv[1] - amvp[mvp_i][1])
+        return plan
+
+    # -------------------------------------------- inter pixel work: disabled
+    def _predict_mi(self, x0, y0, n, mi):
+        # prediction lives on the device; nothing downstream reads it
+        # (all cu.pred consumers are overridden)
+        return (None, None, None)
+
+    def _inter_nocbf(self, x0, y0, log2, mi, skip):
+        """Skip / root_cbf=0: recon already equals the MC prediction in
+        st.planes (zero levels => zero residual on device)."""
+        st = self.st
+        n = 1 << log2
+        self._set_motion(x0, y0, n, mi, skip)
+        st.mark(0, x0, y0, n)
+        sx, sy = st.ss_x, st.ss_y
+        for c in (1, 2):
+            st.avail[c][y0 >> sy >> 2:(y0 + n) >> sy >> 2,
+                        x0 >> sx >> 2:(x0 + n) >> sx >> 2] = True
+        st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = 0
+
+    def _luma_tree_inter(self, cu, x0, y0, log2):
+        if log2 > 5:
+            h = 1 << (log2 - 1)
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                self._luma_tree_inter(cu, x0 + dx, y0 + dy, log2 - 1)
+            return
+        st, n = self.st, 1 << log2
+        cu.luma_levels[(x0, y0)] = self.m.lv_y[y0:y0 + n, x0:x0 + n]
+        st.mark(0, x0, y0, n)
+
+    def _chroma_tree(self, cu, x0, y0, log2, depth):
+        if not cu.is_inter:
+            return super()._chroma_tree(cu, x0, y0, log2, depth)
+        st = self.st
+        split = log2 > 5
+        if split:
+            half = 1 << (log2 - 1)
+            any_cbf = {1: 0, 2: 0}
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._chroma_tree(cu, x0 + dx, y0 + dy, log2 - 1, depth + 1)
+                for c in (1, 2):
+                    child = (c, x0 + dx, y0 + dy, log2 - 1)
+                    any_cbf[c] |= cu.chroma_cbf[child + (0,)]
+            for c in (1, 2):
+                cu.chroma_cbf[(c, x0, y0, log2, 0)] = any_cbf[c]
+            return
+        planes = {1: self.m.lv_cb, 2: self.m.lv_cr}
+        for c_idx in (1, 2):
+            for sub, (xc, yc, log2c) in enumerate(
+                    self._chroma_leaf_tbs(x0, y0, log2)):
+                n = 1 << log2c
+                lv = planes[c_idx][yc:yc + n, xc:xc + n]
+                cu.chroma_levels[(c_idx, xc, yc)] = lv
+                cu.chroma_cbf[(c_idx, x0, y0, log2, sub)] = int(lv.any())
+                st.avail[c_idx][yc >> 2:(yc + n) >> 2,
+                                xc >> 2:(xc + n) >> 2] = True
+
+
+# ------------------------------------------------------------- orchestration
+
+def run_fast_p(cfg, feat, st, src, ref_planes, qp, hme_mv, ois):
+    """Device stages + host walk preparation for one P picture.
+
+    src: coded-dims int32 planes [y, cb, cr]. ref_planes: [y, cb, cr]
+    int32 coded-dims reference. Returns (maps, walker factory inputs):
+    DecisionMaps with device outputs attached, and the recon planes are
+    written into st.planes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..tpu import encode as tenc
+    from .encoder import pad_plane
+
+    cw, ch = st.w, st.h
+    w64 = (cw + 63) // 64 * 64
+    h64 = (ch + 63) // 64 * 64
+    bd = st.bit_depth
+
+    src_y = jnp.asarray(pad_plane(src[0], w64, h64))
+    src_cb = jnp.asarray(pad_plane(src[1], w64 // 2, h64 // 2))
+    src_cr = jnp.asarray(pad_plane(src[2], w64 // 2, h64 // 2))
+    ref_y = jnp.asarray(pad_plane(ref_planes[0], w64, h64))
+    ref_cb = jnp.asarray(pad_plane(ref_planes[1], w64 // 2, h64 // 2))
+    ref_cr = jnp.asarray(pad_plane(ref_planes[2], w64 // 2, h64 // 2))
+
+    raw_y = tenc.luma_phase_planes(ref_y, bit_depth=bd)
+    raw_cb = tenc.chroma_phase_planes(ref_cb, bit_depth=bd)
+    raw_cr = tenc.chroma_phase_planes(ref_cr, bit_depth=bd)
+
+    md_dev = tenc.dense_md_p(src_y, ref_y, raw_y, jnp.asarray(hme_mv),
+                             bit_depth=bd)
+    md = {k: np.asarray(v) for k, v in jax.device_get(md_dev).items()}
+
+    maps = decide_tree(md, ois, st.ctb_log2)
+
+    tu_log2 = np.minimum(maps.cu_log2_8, 5)
+    out = tenc.encode_pass_p(
+        src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+        jnp.asarray(maps.mv8), jnp.asarray(maps.inter8),
+        jnp.asarray(tu_log2), jnp.int32(qp), jnp.int32(st.qp_c),
+        bit_depth=bd)
+    out = jax.device_get(out)
+
+    maps.lv_y = np.asarray(out["lv_y"], np.int32)[:ch, :cw]
+    maps.lv_cb = np.asarray(out["lv_cb"], np.int32)[:ch // 2, :cw // 2]
+    maps.lv_cr = np.asarray(out["lv_cr"], np.int32)[:ch // 2, :cw // 2]
+    maps.nz4_y = np.asarray(out["nz4_y"])[:ch // 4, :cw // 4]
+    maps.nz4_cb = np.asarray(out["nz4_cb"])[:ch // 8, :cw // 8]
+    maps.nz4_cr = np.asarray(out["nz4_cr"])[:ch // 8, :cw // 8]
+
+    st.planes[0][:, :] = np.asarray(out["rec_y"], np.int32)[:ch, :cw]
+    st.planes[1][:, :] = np.asarray(out["rec_cb"], np.int32)[:ch // 2, :cw // 2]
+    st.planes[2][:, :] = np.asarray(out["rec_cr"], np.int32)[:ch // 2, :cw // 2]
+    return maps

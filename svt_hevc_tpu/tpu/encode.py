@@ -1,0 +1,558 @@
+"""TPU encode pass: the EncDec hot loop as batched jitted device stages.
+
+This is the TPU-native redesign of the reference's EncDec process
+(EbEncDecProcess.c EncDecKernel :2630 -> EbCodingLoop.c EncodePass :2989):
+instead of a per-LCU sequential loop, every pixel-domain stage runs
+densely over the whole picture:
+
+  - ``luma_phase_planes`` / ``chroma_phase_planes``: the reference
+    interpolates subpel windows per PU on demand (EbMcp.c :99-804); here
+    the reference picture is interpolated ONCE at every fractional phase
+    (16 luma, 64 chroma), so motion compensation for any MV becomes a
+    pure block gather.
+  - ``dense_md_p``: dense mode decision (the FULL85 densification,
+    EbProductCodingLoop.c ModeDecisionLcu :4691 /
+    GetEightHorizontalSearchPointResultsAll85PUs EbMotionEstimation.c
+    :156): integer SAD stacks around HME centers for all 8x8 blocks,
+    summed bottom-up to 16/32/64 (valid because blocks share their
+    parent's search center), then staged half/quarter-pel refinement per
+    CU size — every step a full-plane vectorized pass, no per-block
+    loops.
+  - ``encode_pass_p``: given the decided CU tree + MV field, one jitted
+    graph computes motion-compensated prediction (block gather from the
+    phase planes), residuals, forward transform + quantization +
+    dequantization + inverse transform densely at every TU size, selects
+    the decided size per block, and reconstructs. Integer-exact int32
+    arithmetic reproduces the host/decoder bit-for-bit.
+
+Sequential logic (CU-tree syntax, merge/AMVP legalization, CABAC) stays
+on the host — see pipeline/fast_path.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.inter import CHROMA_FILTERS, LUMA_FILTERS
+from ..core.quant import INV_QUANT_SCALES, QUANT_SCALES
+from ..core.transforms import DCT
+
+# full-pel MV headroom on each side of the coded picture; decided MVs are
+# clamped to +/-(PAD-8) full-pel so every interpolation window stays
+# inside the extended planes (the reference pads reference pictures the
+# same way, EbMcp.c GeneratePadding :1017)
+PAD = 64
+
+_LUMA_F = np.stack([np.asarray(LUMA_FILTERS[p], np.int32) for p in range(4)])
+_CHROMA_F = np.stack([np.asarray(CHROMA_FILTERS[p], np.int32)
+                      for p in range(8)])
+
+
+def _edge_pad(p: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.pad(p, n, mode="edge")
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def luma_phase_planes(ref: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
+    """All 16 quarter-pel interpolations of a luma plane, 14-bit domain.
+
+    ref: (H, W) int32 coded-dims reconstruction. Returns
+    (4, 4, H+2*PAD, W+2*PAD) int32 indexed [fy][fx]; entry [0][0] is the
+    integer plane shifted to the 14-bit domain. Bit-exact with
+    core.inter.interp_luma_raw for every phase (the generic two-pass
+    filter reduces exactly to the reference's single-pass forms because
+    the phase-0 tap row is 64*identity and the shift pairs compose
+    losslessly)."""
+    shift1 = bit_depth - 8
+    ext = _edge_pad(ref.astype(jnp.int32), PAD + 4)      # taps need 3/4
+    hp, wp = ref.shape[0] + 2 * PAD, ref.shape[1] + 2 * PAD
+    filt = jnp.asarray(_LUMA_F)
+
+    # horizontal pass: hx[fx][y, x] over the PAD-extended grid
+    def hpass(fx):
+        acc = jnp.zeros((hp + 8, wp), jnp.int32)
+        for k in range(8):
+            acc = acc + filt[fx, k] * jax.lax.dynamic_slice(
+                ext, (0, 1 + k), (hp + 8, wp))
+        return acc >> shift1
+
+    hx = jnp.stack([hpass(fx) for fx in range(4)])       # (4, hp+8, wp)
+
+    def vpass(fy):
+        def one(h):
+            acc = jnp.zeros((hp, wp), jnp.int32)
+            for k in range(8):
+                acc = acc + filt[fy, k] * jax.lax.dynamic_slice(
+                    h, (1 + k, 0), (hp, wp))
+            return acc >> 6
+        return jax.vmap(one)(hx)                          # (4, hp, wp)
+
+    return jnp.stack([vpass(fy) for fy in range(4)])      # (4, 4, hp, wp)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def chroma_phase_planes(ref: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
+    """All 64 eighth-pel interpolations of a chroma plane (4:2:0), 14-bit
+    domain: (8, 8, Hc+PAD, Wc+PAD) int32 indexed [fy][fx]. Chroma pad is
+    PAD/2 (chroma MV offset is mv>>3 of a quarter-luma-pel MV)."""
+    shift1 = bit_depth - 8
+    padc = PAD // 2
+    ext = _edge_pad(ref.astype(jnp.int32), padc + 2)     # taps need 1/2
+    hp, wp = ref.shape[0] + 2 * padc, ref.shape[1] + 2 * padc
+    filt = jnp.asarray(_CHROMA_F)
+
+    def hpass(fx):
+        acc = jnp.zeros((hp + 4, wp), jnp.int32)
+        for k in range(4):
+            acc = acc + filt[fx, k] * jax.lax.dynamic_slice(
+                ext, (0, 1 + k), (hp + 4, wp))
+        return acc >> shift1
+
+    hx = jnp.stack([hpass(fx) for fx in range(8)])
+
+    def vpass(fy):
+        def one(h):
+            acc = jnp.zeros((hp, wp), jnp.int32)
+            for k in range(4):
+                acc = acc + filt[fy, k] * jax.lax.dynamic_slice(
+                    h, (1 + k, 0), (hp, wp))
+            return acc >> 6
+        return jax.vmap(one)(hx)
+
+    return jnp.stack([vpass(fy) for fy in range(8)])
+
+
+# --------------------------------------------------------------- MC gather
+
+def _gather_blocks(planes: jnp.ndarray, ph: jnp.ndarray, sy: jnp.ndarray,
+                   sx: jnp.ndarray, n: int, h: int, w: int) -> jnp.ndarray:
+    """Gather (n, n) blocks from a (P, Hp, Wp) phase-plane stack into an
+    (h, w) plane. ph/sy/sx: per-block phase index and top-left coords in
+    the padded planes, shape (h//n, w//n). The 8-aligned block structure
+    keeps this gather on XLA's fast DMA path (measured ~100x faster than
+    per-pixel gathers on TPU)."""
+    a = jnp.arange(n)
+    out = planes[ph[:, :, None, None],
+                 sy[:, :, None, None] + a[None, None, :, None],
+                 sx[:, :, None, None] + a[None, None, None, :]]
+    return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def mc_pred_luma(raw: jnp.ndarray, mv8: jnp.ndarray,
+                 bit_depth: int = 8) -> jnp.ndarray:
+    """Uni-pred luma plane from the (4, 4, Hp, Wp) raw phase stack and a
+    per-8x8-block quarter-pel MV field (nby, nbx, 2) [mvx, mvy]."""
+    hp, wp = raw.shape[2], raw.shape[3]
+    h, w = hp - 2 * PAD, wp - 2 * PAD
+    nby, nbx = h // 8, w // 8
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    ph = (mvy & 3) * 4 + (mvx & 3)
+    by = jnp.arange(nby) * 8
+    bx = jnp.arange(nbx) * 8
+    sy = by[:, None] + (mvy >> 2) + PAD
+    sx = bx[None, :] + (mvx >> 2) + PAD
+    got = _gather_blocks(raw.reshape(16, hp, wp), ph, sy, sx, 8, h, w)
+    shift = 14 - bit_depth
+    return jnp.clip((got + (1 << (shift - 1))) >> shift,
+                    0, (1 << bit_depth) - 1)
+
+
+def mc_pred_chroma(raw: jnp.ndarray, mv8: jnp.ndarray,
+                   bit_depth: int = 8) -> jnp.ndarray:
+    """Uni-pred chroma plane (4:2:0): per-8x8-luma-block MV -> per-4x4
+    chroma block gather from the (8, 8, Hcp, Wcp) raw stack."""
+    hp, wp = raw.shape[2], raw.shape[3]
+    padc = PAD // 2
+    h, w = hp - 2 * padc, wp - 2 * padc
+    nby, nbx = h // 4, w // 4
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    ph = (mvy & 7) * 8 + (mvx & 7)
+    by = jnp.arange(nby) * 4
+    bx = jnp.arange(nbx) * 4
+    sy = by[:, None] + (mvy >> 3) + padc
+    sx = bx[None, :] + (mvx >> 3) + padc
+    got = _gather_blocks(raw.reshape(64, hp, wp), ph, sy, sx, 4, h, w)
+    shift = 14 - bit_depth
+    return jnp.clip((got + (1 << (shift - 1))) >> shift,
+                    0, (1 << bit_depth) - 1)
+
+
+# ------------------------------------------------------------ dense T/Q/IQ/IT
+
+def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    h, w = plane.shape
+    return (plane.reshape(h // n, n, w // n, n)
+            .transpose(0, 2, 1, 3).reshape(-1, n, n))
+
+
+def _unblocks(b: jnp.ndarray, n: int, h: int, w: int) -> jnp.ndarray:
+    return (b.reshape(h // n, w // n, n, n)
+            .transpose(0, 2, 1, 3).reshape(h, w))
+
+
+def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
+                  is_intra: bool = False):
+    """Forward DCT + quant + dequant + inverse DCT for EVERY aligned
+    (n, n) block of a residual plane. qp: traced int32 scalar. Returns
+    (levels plane int32, reconstructed-residual plane int32). Bit-exact
+    with core.transforms/core.quant (HM-style shifts, int32-safe for
+    8/10-bit)."""
+    h, w = resid.shape
+    t = jnp.asarray(DCT[n].astype(np.int32))
+    log2n = n.bit_length() - 1
+    s1 = log2n + bit_depth - 9
+    s2 = log2n + 6
+    b = _blocks(resid.astype(jnp.int32), n)
+    tmp = (jnp.einsum("byx,kx->byk", b, t) + (1 << (s1 - 1))) >> s1
+    coef = (jnp.einsum("iy,byj->bij", t, tmp) + (1 << (s2 - 1))) >> s2
+
+    # scalar quant (core.quant.quantize)
+    qbits = 14 + qp // 6 + (15 - bit_depth - log2n)
+    f = jnp.asarray(QUANT_SCALES.astype(np.int32))[qp % 6]
+    off_num = 171 if is_intra else 85
+    offset = off_num << (qbits - 9)
+    lv = jnp.minimum((jnp.abs(coef) * f + offset) >> qbits, 32767)
+    lv = jnp.sign(coef) * lv
+
+    # dequant (core.quant.dequantize)
+    dq_shift = log2n + bit_depth - 9      # 6 - transform_shift
+    scale = jnp.asarray(INV_QUANT_SCALES.astype(np.int32))[qp % 6] << (qp // 6)
+    d = (lv * scale + (1 << (dq_shift - 1))) >> dq_shift
+    d = jnp.clip(d, -32768, 32767)
+
+    # inverse (core.transforms.inverse_transform)
+    e = jnp.clip((jnp.einsum("ky,bkx->byx", t, d) + 64) >> 7, -32768, 32767)
+    bd_shift = 20 - bit_depth
+    r = jnp.clip((jnp.einsum("byk,kx->byx", e, t)
+                  + (1 << (bd_shift - 1))) >> bd_shift, -32768, 32767)
+    return (_unblocks(lv, n, h, w), _unblocks(r, n, h, w))
+
+
+def _select_by_log2(maps: dict[int, jnp.ndarray], log2_map: jnp.ndarray,
+                    gran: int) -> jnp.ndarray:
+    """Per-pixel select between same-shaped planes keyed by TU log2 size.
+    log2_map: per-(gran x gran)-block log2 values."""
+    out = None
+    for lg, plane in maps.items():
+        m = jnp.repeat(jnp.repeat(log2_map == lg, gran, 0), gran, 1)
+        out = jnp.where(m, plane, out) if out is not None else \
+            jnp.where(m, plane, 0)
+    return out
+
+
+def _nz_map(lv: jnp.ndarray, n: int) -> jnp.ndarray:
+    h, w = lv.shape
+    return (jnp.abs(lv).reshape(h // n, n, w // n, n).sum((1, 3)) > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+                  mv8, inter8, tu_log2_8, qp, qp_c, bit_depth: int = 8):
+    """The normative inter encode pass for one P picture, fully batched.
+
+    src_*: coded-dims int32 source planes. raw_*: phase-plane stacks of
+    the (single) L0 reference. mv8: (nby, nbx, 2) quarter-pel MV per 8x8
+    block. inter8: bool map (intra blocks get zero residual here; the
+    host wavefront walk reconstructs them). tu_log2_8: luma TU log2 per
+    8x8 block (3..5 = min(CU size, 32)).
+
+    Returns dict of int16/uint16 planes: lv_y/lv_cb/lv_cr (quantized
+    levels, decided TU size), rec_y/rec_cb/rec_cr (reconstruction),
+    nz8_y / nz4_cb / nz4_cr (per-TU-granule nonzero flags).
+    """
+    h, w = src_y.shape
+    hc, wc = src_cb.shape
+    maxval = (1 << bit_depth) - 1
+
+    pred_y = mc_pred_luma(raw_y, mv8, bit_depth)
+    pred_cb = mc_pred_chroma(raw_cb, mv8, bit_depth)
+    pred_cr = mc_pred_chroma(raw_cr, mv8, bit_depth)
+
+    m8 = inter8.astype(jnp.int32)
+    mask_y = jnp.repeat(jnp.repeat(m8, 8, 0), 8, 1)
+    mask_c = jnp.repeat(jnp.repeat(m8, 4, 0), 4, 1)
+    res_y = (src_y - pred_y) * mask_y
+    res_cb = (src_cb - pred_cb) * mask_c
+    res_cr = (src_cr - pred_cr) * mask_c
+
+    lv_y_s, rr_y_s = {}, {}
+    for lg in (3, 4, 5):
+        lv, rr = dense_tq_size(res_y, 1 << lg, qp, bit_depth=bit_depth)
+        lv_y_s[lg], rr_y_s[lg] = lv, rr
+    lv_y = _select_by_log2(lv_y_s, tu_log2_8, 8)
+    rr_y = _select_by_log2(rr_y_s, tu_log2_8, 8)
+
+    # chroma TU log2 = luma CU log2 - 1, clamped to [2, 4] (4:2:0: CU8 ->
+    # one 4x4 chroma TB at the 8-node; CU64 -> four 32-luma nodes -> 16)
+    ctu_log2_8 = jnp.clip(tu_log2_8 - 1, 2, 4)
+    # chroma granularity: the luma 8x8 block maps to a 4x4 chroma block
+    lv_cb_s, rr_cb_s, lv_cr_s, rr_cr_s = {}, {}, {}, {}
+    for lg in (2, 3, 4):
+        lv, rr = dense_tq_size(res_cb, 1 << lg, qp_c, bit_depth=bit_depth)
+        lv_cb_s[lg], rr_cb_s[lg] = lv, rr
+        lv, rr = dense_tq_size(res_cr, 1 << lg, qp_c, bit_depth=bit_depth)
+        lv_cr_s[lg], rr_cr_s[lg] = lv, rr
+    lv_cb = _select_by_log2(lv_cb_s, ctu_log2_8, 4)
+    rr_cb = _select_by_log2(rr_cb_s, ctu_log2_8, 4)
+    lv_cr = _select_by_log2(lv_cr_s, ctu_log2_8, 4)
+    rr_cr = _select_by_log2(rr_cr_s, ctu_log2_8, 4)
+
+    rec_y = jnp.clip(pred_y + rr_y, 0, maxval)
+    rec_cb = jnp.clip(pred_cb + rr_cb, 0, maxval)
+    rec_cr = jnp.clip(pred_cr + rr_cr, 0, maxval)
+
+    return {
+        "lv_y": lv_y.astype(jnp.int16),
+        "lv_cb": lv_cb.astype(jnp.int16),
+        "lv_cr": lv_cr.astype(jnp.int16),
+        "rec_y": rec_y.astype(jnp.uint16),
+        "rec_cb": rec_cb.astype(jnp.uint16),
+        "rec_cr": rec_cr.astype(jnp.uint16),
+        "nz4_y": _nz_map(lv_y, 4).astype(jnp.uint8),
+        "nz4_cb": _nz_map(lv_cb, 4).astype(jnp.uint8),
+        "nz4_cr": _nz_map(lv_cr, 4).astype(jnp.uint8),
+    }
+
+
+# ---------------------------------------------------------------- dense MD
+
+def _boxsum(m: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., H//k, W//k) block sums."""
+    s = m.shape
+    return m.reshape(*s[:-2], s[-2] // k, k, s[-1] // k, k).sum((-3, -1))
+
+
+def _recenter8(ref_ext: jnp.ndarray, cy8: jnp.ndarray,
+               cx8: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Recentred integer reference: each 8x8 block displaced by its own
+    full-pel center (cy8, cx8). ref_ext padded by PAD."""
+    nby, nbx = h // 8, w // 8
+    by = jnp.arange(nby) * 8
+    bx = jnp.arange(nbx) * 8
+    a = jnp.arange(8)
+    sy = by[:, None] + cy8 + PAD
+    sx = bx[None, :] + cx8 + PAD
+    out = ref_ext[sy[:, :, None, None] + a[None, None, :, None],
+                  sx[:, :, None, None] + a[None, None, None, :]]
+    return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _sad_stack8(src: jnp.ndarray, rec: jnp.ndarray, r: int) -> jnp.ndarray:
+    """SAD of every 8x8 block vs the recentred ref displaced by every
+    (dy, dx) in [-r, r]^2: returns (2r+1, 2r+1, nby, nbx) int32."""
+    h, w = src.shape
+    pad = jnp.pad(rec, r, mode="edge")
+    disp = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
+                                  jnp.arange(2 * r + 1),
+                                  indexing="ij"), -1).reshape(-1, 2)
+
+    def one(d):
+        sh = jax.lax.dynamic_slice(pad, (d[0], d[1]), (h, w))
+        return _boxsum(jnp.abs(src - sh), 8)
+    s = jax.vmap(one)(disp)
+    return s.reshape(2 * r + 1, 2 * r + 1, h // 8, w // 8)
+
+
+def _subpel_pred8(raw16: jnp.ndarray, mvq8x: jnp.ndarray, mvq8y: jnp.ndarray,
+                  h: int, w: int, bit_depth: int) -> jnp.ndarray:
+    """Rounded prediction plane where every 8x8 block uses its own
+    quarter-pel MV (raw16: (16, Hp, Wp) flat phase stack)."""
+    nby, nbx = h // 8, w // 8
+    ph = (mvq8y & 3) * 4 + (mvq8x & 3)
+    by = jnp.arange(nby) * 8
+    bx = jnp.arange(nbx) * 8
+    sy = by[:, None] + (mvq8y >> 2) + PAD
+    sx = bx[None, :] + (mvq8x >> 2) + PAD
+    got = _gather_blocks(raw16, ph, sy, sx, 8, h, w)
+    shift = 14 - bit_depth
+    return jnp.clip((got + (1 << (shift - 1))) >> shift,
+                    0, (1 << bit_depth) - 1)
+
+
+_HALF_OFFS = ((-2, -2), (-2, 0), (-2, 2), (0, -2), (0, 2), (2, -2), (2, 0),
+              (2, 2))
+_QUARTER_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+                 (1, 0), (1, 1))
+
+
+def _refine_subpel(src, raw16, mvqx, mvqy, best, k: int, bit_depth: int):
+    """One 8-neighbor refinement stage at +/-`step` quarter-pel around the
+    per-k-block best (mvqx, mvqy); SADs summed at k-granularity. Returns
+    updated (mvqx, mvqy, best)."""
+    h, w = src.shape
+
+    def up(m):
+        rep = k // 8
+        return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
+
+    for offs in (_HALF_OFFS, _QUARTER_OFFS):
+        cx, cy = mvqx, mvqy          # stage anchors: candidates sit around
+        for oy, ox in offs:          # the previous stage's winner
+            tx, ty = cx + ox, cy + oy
+            pred = _subpel_pred8(raw16, up(tx), up(ty), h, w, bit_depth)
+            sad = _boxsum(jnp.abs(src - pred), k)
+            take = sad < best
+            mvqx = jnp.where(take, tx, mvqx)
+            mvqy = jnp.where(take, ty, mvqy)
+            best = jnp.where(take, sad, best)
+    return mvqx, mvqy, best
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
+               hme_mv: jnp.ndarray, bit_depth: int = 8) -> dict:
+    """Dense inter search for every CU size of a P picture.
+
+    src/ref: (H, W) int32 coded planes (64-aligned). raw_y: luma phase
+    stack of ref. hme_mv: (H//16, W//16, 2) quarter-pel integer HME field.
+
+    Strategy (the FULL85 densification): integer SAD stacks at 8x8
+    granularity around shared per-16 and per-64 HME centers, bottom-up
+    sums to each CU size, argmin -> per-size integer MV, then staged
+    half/quarter refinement per size. Returns per-size quarter-pel MV
+    maps + SAD maps, plus the zero-MV SAD per size (skip detection).
+    """
+    h, w = src.shape
+    srcf = src.astype(jnp.int32)
+    ref_ext = _edge_pad(ref.astype(jnp.int32), PAD)
+    raw16 = raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3])
+    lim = (PAD - 9) * 4
+
+    # per-16 full-pel centers from HME, clamped into the padded range
+    c16x = jnp.clip(hme_mv[..., 0] >> 2, -(PAD - 12), PAD - 12)
+    c16y = jnp.clip(hme_mv[..., 1] >> 2, -(PAD - 12), PAD - 12)
+
+    def up2(m):
+        return jnp.repeat(jnp.repeat(m, 2, 0), 2, 1)
+
+    # ---- fine stack: per-16 centers, +/-2 int window; valid for 8 & 16
+    rec_f = _recenter8(ref_ext, up2(c16y), up2(c16x), h, w)
+    stack8 = _sad_stack8(srcf, rec_f, 2)                  # (5,5,nb8y,nb8x)
+    s2, _, nb8y, nb8x = 5, 5, h // 8, w // 8
+    stack16 = _boxsum(stack8.reshape(25, nb8y, nb8x), 2).reshape(
+        5, 5, nb8y // 2, nb8x // 2)
+
+    def best_of(stack, cyk, cxk, r):
+        s = stack.reshape((2 * r + 1) ** 2, *stack.shape[2:])
+        k = jnp.argmin(s, axis=0)
+        sad = jnp.min(s, axis=0)
+        mvy = (k // (2 * r + 1) - r + cyk) * 4
+        mvx = (k % (2 * r + 1) - r + cxk) * 4
+        return (jnp.clip(mvx, -lim, lim), jnp.clip(mvy, -lim, lim), sad)
+
+    mv8x, mv8y, sad8 = best_of(stack8, up2(c16y), up2(c16x), 2)
+    mv16x, mv16y, sad16 = best_of(stack16, c16y, c16x, 2)
+
+    # ---- coarse stack: per-64 centers (median-free: center of the 16
+    # with min HME SAD would need the sad field; use the mean MV), +/-3
+    nb64y, nb64x = h // 64, w // 64
+    c64x = (c16x.reshape(nb64y, 4, nb64x, 4).mean((1, 3))).astype(jnp.int32)
+    c64y = (c16y.reshape(nb64y, 4, nb64x, 4).mean((1, 3))).astype(jnp.int32)
+
+    def up8(m):
+        return jnp.repeat(jnp.repeat(m, 8, 0), 8, 1)
+
+    rec_c = _recenter8(ref_ext, up8(c64y), up8(c64x), h, w)
+    stack8c = _sad_stack8(srcf, rec_c, 3)                 # (7,7,nb8y,nb8x)
+    stack32 = _boxsum(stack8c.reshape(49, nb8y, nb8x), 4).reshape(
+        7, 7, nb8y // 4, nb8x // 4)
+    stack64 = _boxsum(stack8c.reshape(49, nb8y, nb8x), 8).reshape(
+        7, 7, nb64y, nb64x)
+
+    def up4(m):
+        return jnp.repeat(jnp.repeat(m, 2, 0), 2, 1)
+
+    mv32x, mv32y, sad32 = best_of(stack32, up4(c64y), up4(c64x), 3)
+    mv64x, mv64y, sad64 = best_of(stack64, c64y, c64x, 3)
+
+    # ---- staged subpel refinement per size (16/32/64; 8 stays integer,
+    # like the reference's block-size-gated subpel at fast presets)
+    mv16x, mv16y, sad16 = _refine_subpel(srcf, raw16, mv16x, mv16y, sad16,
+                                         16, bit_depth)
+    mv32x, mv32y, sad32 = _refine_subpel(srcf, raw16, mv32x, mv32y, sad32,
+                                         32, bit_depth)
+    mv64x, mv64y, sad64 = _refine_subpel(srcf, raw16, mv64x, mv64y, sad64,
+                                         64, bit_depth)
+
+    # ---- zero-MV SAD per size (merge/skip candidate evaluation)
+    zdiff = jnp.abs(srcf - ref_ext[PAD:PAD + h, PAD:PAD + w])
+    z8 = _boxsum(zdiff, 8)
+
+    out = {
+        "mv8": jnp.stack([mv8x, mv8y], -1).astype(jnp.int16),
+        "sad8": jnp.minimum(sad8, 1 << 30).astype(jnp.int32),
+        "mv16": jnp.stack([mv16x, mv16y], -1).astype(jnp.int16),
+        "sad16": sad16.astype(jnp.int32),
+        "mv32": jnp.stack([mv32x, mv32y], -1).astype(jnp.int16),
+        "sad32": sad32.astype(jnp.int32),
+        "mv64": jnp.stack([mv64x, mv64y], -1).astype(jnp.int16),
+        "sad64": sad64.astype(jnp.int32),
+        "zsad8": z8.astype(jnp.int32),
+    }
+    return out
+
+
+# ----------------------------------------------------------------- SAO stats
+
+@functools.partial(jax.jit, static_argnames=("ctb_y", "ctb_x", "bit_depth"))
+def sao_stats_plane(pre: jnp.ndarray, src: jnp.ndarray, valid: jnp.ndarray,
+                    ctb_y: int, ctb_x: int, bit_depth: int = 8) -> dict:
+    """Per-CTB SAO statistics for one plane, fully batched (the
+    reference gathers these per LCU in the encode pass,
+    EbSampleAdaptiveOffsetGenerationDecision.c:647).
+
+    pre: post-DLF reconstruction padded to CTB multiples; src: source
+    (same shape); valid: 1.0 inside the coded picture, 0 in the pad.
+    Returns eo_cnt/eo_sum (ny, nx, 4, 5) and bo_cnt/bo_sum (ny, nx, 32).
+    Category/band maps match core.sao._eo_category_map/_band_map."""
+    h, w = pre.shape
+    ny, nx = h // ctb_y, w // ctb_x
+    diff = (src - pre).astype(jnp.float32) * valid
+
+    def ctb_sum(m):
+        return m.reshape(ny, ctb_y, nx, ctb_x).sum((1, 3))
+
+    p = pre.astype(jnp.int32)
+    pad = jnp.pad(p, 1, mode="edge")
+
+    neigh = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
+             ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
+    eo_cnt, eo_sum = [], []
+    for ec, ((ax, ay), (bx, by)) in enumerate(neigh):
+        na = pad[1 + ay:h + 1 + ay, 1 + ax:w + 1 + ax]
+        nb = pad[1 + by:h + 1 + by, 1 + bx:w + 1 + bx]
+        edge = 2 + jnp.sign(p - na) + jnp.sign(p - nb)
+        cat = jnp.asarray([1, 2, 0, 3, 4])[edge]
+        ok = valid
+        horiz = ax != 0 or bx != 0
+        vert = ay != 0 or by != 0
+        border = jnp.zeros((h, w), bool)
+        if horiz:
+            border = border.at[:, 0].set(True).at[:, w - 1].set(True)
+        if vert:
+            border = border.at[0, :].set(True).at[h - 1, :].set(True)
+        ok = ok * (1.0 - border.astype(jnp.float32))
+        cnts, sums = [], []
+        for k in range(5):
+            m = (cat == k).astype(jnp.float32) * ok
+            cnts.append(ctb_sum(m))
+            sums.append(ctb_sum(diff * m * (ok > 0)))
+        eo_cnt.append(jnp.stack(cnts, -1))
+        eo_sum.append(jnp.stack(sums, -1))
+
+    band = p >> (bit_depth - 5)
+    bo_cnt, bo_sum = [], []
+    for b in range(32):
+        m = (band == b).astype(jnp.float32) * valid
+        bo_cnt.append(ctb_sum(m))
+        bo_sum.append(ctb_sum(diff * m))
+    return {
+        "eo_cnt": jnp.stack(eo_cnt, -2).astype(jnp.int32),
+        "eo_sum": jnp.stack(eo_sum, -2).astype(jnp.int32),
+        "bo_cnt": jnp.stack(bo_cnt, -1).astype(jnp.int32),
+        "bo_sum": jnp.stack(bo_sum, -1).astype(jnp.int32),
+    }

@@ -31,7 +31,7 @@ def _random_ops(seed, n=3000):
 
 def _python_encode(rec, ctx):
     enc = CabacEncoder(list(ctx))
-    for kind, a, v in rec.ops:
+    for kind, a, v in rec.iter_ops():
         if kind == 0:
             enc.encode_bin(a, v)
         elif kind == 1:
