@@ -55,6 +55,23 @@ def _write_profile_tier_level(w: BitWriter, cfg: EncoderConfig,
     assert max_sub_layers_minus1 == 0
 
 
+def _dpb_size_minus1(cfg: EncoderConfig) -> int:
+    """sps/vps_max_dec_pic_buffering_minus1: retained references + the
+    current picture (A.4 DPB constraint; reference derives this from the
+    prediction structure, EbSequenceControlSet)."""
+    hl = cfg.hierarchical_levels
+    if cfg.pred_structure == 2:
+        return hl + 3           # anchor pair + one per hierarchy layer
+    return max(hl + 1, 1)       # one retained picture per temporal layer
+
+
+def _max_reorder(cfg: EncoderConfig) -> int:
+    """sps/vps_max_num_reorder_pics: only random access reorders output."""
+    if cfg.pred_structure == 2:
+        return max((1 << max(cfg.hierarchical_levels, 1)) - 1, 0)
+    return 0
+
+
 def write_vps(cfg: EncoderConfig) -> bytes:
     w = BitWriter()
     w.u(0, 4)            # vps_video_parameter_set_id
@@ -66,8 +83,8 @@ def write_vps(cfg: EncoderConfig) -> bytes:
     w.u(0xFFFF, 16)      # vps_reserved_0xffff_16bits
     _write_profile_tier_level(w, cfg)
     w.flag(1)            # vps_sub_layer_ordering_info_present_flag
-    w.ue(1)              # vps_max_dec_pic_buffering_minus1[0]
-    w.ue(0)              # vps_max_num_reorder_pics[0]
+    w.ue(_dpb_size_minus1(cfg))   # vps_max_dec_pic_buffering_minus1[0]
+    w.ue(_max_reorder(cfg))       # vps_max_num_reorder_pics[0]
     w.ue(0)              # vps_max_latency_increase_plus1[0]
     w.u(0, 6)            # vps_max_layer_id
     w.ue(0)              # vps_num_layer_sets_minus1
@@ -100,8 +117,8 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.ue(cfg.bit_depth - 8)   # bit_depth_chroma_minus8
     w.ue(4)              # log2_max_pic_order_cnt_lsb_minus4 -> 8 bits of POC lsb
     w.flag(1)            # sps_sub_layer_ordering_info_present_flag
-    w.ue(1)              # sps_max_dec_pic_buffering_minus1[0]
-    w.ue(0)              # sps_max_num_reorder_pics[0]
+    w.ue(_dpb_size_minus1(cfg))   # sps_max_dec_pic_buffering_minus1[0]
+    w.ue(_max_reorder(cfg))       # sps_max_num_reorder_pics[0]
     w.ue(0)              # sps_max_latency_increase_plus1[0]
     w.ue(0)              # log2_min_luma_coding_block_size_minus3 -> MinCbSizeY=8
     w.ue(cfg.ctb_log2 - 3)    # log2_diff_max_min_luma_coding_block_size
@@ -243,9 +260,12 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     """Write the slice segment header; returns the open BitWriter so slice
     data (CABAC payload) can be appended after byte alignment.
 
-    slice_type: 2 = I, 1 = P (single negative-delta-1 short-term RPS,
-    single active reference). Non-first slices carry slice_segment_address
-    (the first CTB's raster address, 7.4.7.1)."""
+    slice_type: 2 = I, 1 = P, 0 = B. neg_deltas/pos_deltas: the inline
+    short-term RPS — each entry is either a bare POC delta (used by the
+    current picture) or a (delta, used) pair; used=0 entries keep a
+    picture in the DPB for FUTURE pictures without referencing it now
+    (7.4.8 sliding-window semantics: anything absent from the RPS is
+    evicted). Non-first slices carry slice_segment_address (7.4.7.1)."""
     w = BitWriter()
     w.flag(1 if first_slice else 0)  # first_slice_segment_in_pic_flag
     if is_idr:
@@ -258,19 +278,22 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     if not is_idr:
         w.u(poc & 0xFF, 8)   # slice_pic_order_cnt_lsb (log2_max_poc_lsb = 8)
         w.flag(0)            # short_term_ref_pic_set_sps_flag -> inline RPS
-        negs = neg_deltas if neg_deltas is not None else [1]
-        poss = pos_deltas if pos_deltas is not None else []
+        def entries(lst, default):
+            lst = lst if lst is not None else default
+            return [e if isinstance(e, tuple) else (e, 1) for e in lst]
+        negs = entries(neg_deltas, [1])
+        poss = entries(pos_deltas, [])
         w.ue(len(negs))      # num_negative_pics
         w.ue(len(poss))      # num_positive_pics
         prev = 0
-        for d in negs:       # deltas from current POC, increasing distance
+        for d, used in negs:  # deltas from current POC, increasing distance
             w.ue(d - prev - 1)        # delta_poc_s0_minus1
-            w.flag(1)                 # used_by_curr_pic_s0_flag
+            w.flag(used)              # used_by_curr_pic_s0_flag
             prev = d
         prev = 0
-        for d in poss:
+        for d, used in poss:
             w.ue(d - prev - 1)        # delta_poc_s1_minus1
-            w.flag(1)
+            w.flag(used)
             prev = d
     if cfg.enable_sao:
         w.flag(1)        # slice_sao_luma_flag
@@ -367,6 +390,8 @@ class SliceHeader:
     max_num_merge_cand: int = 5
     neg_deltas: list = field(default_factory=list)     # past-ref POC deltas
     pos_deltas: list = field(default_factory=list)     # future-ref POC deltas
+    keep_neg: list = field(default_factory=list)       # all RPS neg deltas
+    keep_pos: list = field(default_factory=list)       # all RPS pos deltas
     entry_points: list = field(default_factory=list)   # substream byte sizes
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
     first_slice: bool = True
@@ -500,11 +525,13 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
             prev = 0
             for _ in range(n_neg):
                 prev += r.ue() + 1       # delta_poc_s0_minus1
+                h.keep_neg.append(prev)  # in DPB whether used now or later
                 if r.flag():             # used_by_curr_pic_s0_flag
                     h.neg_deltas.append(prev)
             prev = 0
             for _ in range(n_pos):
                 prev += r.ue() + 1
+                h.keep_pos.append(prev)
                 if r.flag():
                     h.pos_deltas.append(prev)
     if sps.sao_enabled:

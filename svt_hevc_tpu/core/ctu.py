@@ -433,7 +433,8 @@ class CtuCoderBase:
         st = self.st
         n = 1 << log2
         self.sx_part_mode_inter(x0, y0, log2)     # 2Nx2N only
-        if self.sx_merge_flag(x0, y0, log2):
+        merged = self.sx_merge_flag(x0, y0, log2)
+        if merged:
             idx = self.sx_merge_idx(x0, y0, log2)
             mi = merge_candidates(st, x0, y0, n, st.max_merge)[idx]
         else:
@@ -452,7 +453,10 @@ class CtuCoderBase:
                     mvs[lst] = (pred_mv[0] + mvd[0], pred_mv[1] + mvd[1])
                     refs[lst] = 0
             mi = Mi(mvs[0], refs[0], mvs[1], refs[1])
-        root_cbf = self.sx_rqt_root_cbf(x0, y0, log2)
+        # rqt_root_cbf is only coded when !(PartMode == 2Nx2N && merge_flag)
+        # (7.3.8.5); a merge-2Nx2N CU with zero residual must be coded as
+        # skip, so for non-skip merge CUs it is inferred 1 (7.4.9.5)
+        root_cbf = 1 if merged else self.sx_rqt_root_cbf(x0, y0, log2)
         if not root_cbf:
             self._inter_nocbf(x0, y0, log2, mi, skip=False)
             return

@@ -23,6 +23,7 @@ def quantize(coeff: np.ndarray, qp: int, *, is_intra: bool = True,
              bit_depth: int = 8) -> np.ndarray:
     n = coeff.shape[-1]
     log2n = n.bit_length() - 1
+    qp = qp + 6 * (bit_depth - 8)     # qP = Qp + QpBdOffset (8.6.3)
     qbits = 14 + qp // 6 + transform_shift(log2n, bit_depth)
     f = QUANT_SCALES[qp % 6]
     offset = (171 if is_intra else 85) << (qbits - 9)
@@ -46,6 +47,7 @@ def quantize_rdoq(coeff: np.ndarray, qp: int, lam: float, *,
     state."""
     n = coeff.shape[-1]
     log2n = n.bit_length() - 1
+    qp = qp + 6 * (bit_depth - 8)     # qP = Qp + QpBdOffset (8.6.3)
     qbits = 14 + qp // 6 + transform_shift(log2n, bit_depth)
     f = int(QUANT_SCALES[qp % 6])
     c = coeff.astype(np.int64)
@@ -82,6 +84,7 @@ def dequantize(level: np.ndarray, qp: int, *, bit_depth: int = 8) -> np.ndarray:
     """Normative scaling (8.6.3) for flat (m=16) scaling lists."""
     n = level.shape[-1]
     log2n = n.bit_length() - 1
+    qp = qp + 6 * (bit_depth - 8)     # qP = Qp + QpBdOffset (8.6.3)
     shift = 6 - transform_shift(log2n, bit_depth)   # == log2n + bit_depth - 9
     scale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
     lv = np.clip(level.astype(np.int64), -32768, 32767)

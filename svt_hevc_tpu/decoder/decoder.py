@@ -54,6 +54,15 @@ def decode_stream(stream: bytes) -> list[Frame]:
                                 NalUnitType.IDR_N_LP):
                     dpb.clear()
                     cvs += 1
+                else:
+                    # RPS-driven DPB eviction (8.3.2): any reference
+                    # picture not in the slice's short-term RPS is gone —
+                    # exactly the spec behavior an independent decoder
+                    # applies, so the encoder cannot rely on stale refs
+                    keep = ({hdr.poc - d for d in hdr.keep_neg}
+                            | {hdr.poc + d for d in hdr.keep_pos})
+                    for stale in [p for p in dpb if p not in keep]:
+                        del dpb[stale]
                 cur = _PictureCtx(hdr, sps, pps, dpb)
             elif cur is None:
                 raise ValueError("non-first slice without an open picture")

@@ -254,10 +254,15 @@ class Encoder:
                      qp: int | None = None, slice_type: int | None = None,
                      refs_l0=None, refs_l1=None,
                      qp_map: np.ndarray | None = None,
-                     non_ref: bool = False) -> EncodedPicture:
+                     non_ref: bool = False,
+                     retain_pocs=None) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB). qp_map:
-        explicit per-CTB QP grid (overrides the derived QPM map)."""
+        explicit per-CTB QP grid (overrides the derived QPM map).
+        retain_pocs: POCs that FUTURE pictures still reference — signalled
+        in the RPS with used_by_curr_pic=0 so the decoder's DPB keeps them
+        (7.4.8; the reference's dependent-count RPS machinery,
+        EbPredictionStructure.c:857)."""
         cfg = self.cfg
         if cfg.enable_denoise:
             frame = self._denoise(frame)
@@ -459,8 +464,13 @@ class Encoder:
 
         all_ref_pocs = {r[1] for r in (refs_l0 or [])} | \
                        {r[1] for r in (refs_l1 or [])}
-        negs = sorted(poc - rp for rp in all_ref_pocs if rp < poc)
-        poss = sorted(rp - poc for rp in all_ref_pocs if rp > poc)
+        keep = set(retain_pocs or ()) | all_ref_pocs
+        keep.discard(poc)
+        negs = [(poc - rp, int(rp in all_ref_pocs))
+                for rp in sorted((p for p in keep if p < poc),
+                                 reverse=True)]
+        poss = [(rp - poc, int(rp in all_ref_pocs))
+                for rp in sorted(p for p in keep if p > poc)]
         nal_type = (NalUnitType.IDR_W_RADL if is_idr
                     else NalUnitType.TRAIL_N if non_ref
                     else NalUnitType.TRAIL_R)
@@ -601,10 +611,13 @@ class Encoder:
             qp = min(max(qp, self.cfg.min_qp_allowed),
                      self.cfg.max_qp_allowed)
             t0 = _time.perf_counter()
+            # every layer's most recent picture can still be referenced by
+            # later pictures — keep them alive in the decoder's DPB
+            retain = {e[2] for e in ll_last.values()}
             pic = self.encode_frame(
                 fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,
                 slice_type=2 if is_idr else (0 if b_slices else 1),
-                refs_l0=refs_l0, non_ref=non_ref)
+                refs_l0=refs_l0, non_ref=non_ref, retain_pocs=retain)
             if hl > 0 and (layer < hl or is_idr):
                 ll_last[0 if is_idr else layer] = (idx, pic.ref_planes, rel)
             if self._speed_target_fps is not None:
@@ -861,13 +874,24 @@ class Encoder:
         # the minimum is zero (output times stay causal under reordering)
         raw = [i - d for d, (i, *_rest) in enumerate(schedule)]
         base_delay = -min(raw) if raw else 0
+        # suffix reference needs: POCs referenced by pictures later in
+        # decode order must stay in the DPB (used=0 RPS entries)
+        future_refs: list[set] = [set() for _ in schedule]
+        acc: set = set()
+        for i in range(len(schedule) - 1, -1, -1):
+            future_refs[i] = acc.copy()
+            _, _, l0i, l1i, _ = schedule[i]
+            acc |= {r for r in (l0i, l1i) if r is not None}
         for dec_idx, (idx, stype, l0, l1, layer) in enumerate(schedule):
             qp = min(cfg.qp + (layer + 1 if stype == 0 else 0), 51)
             refs_l0 = [(dpb[l0], l0)] if l0 is not None else None
             refs_l1 = [(dpb[l1], l1)] if l1 is not None else None
+            retain = {r for r in future_refs[dec_idx]
+                      if r != idx and r in dpb}
             pic = self.encode_frame(frames[idx], rd=rd, qp=qp, poc=idx,
                                     is_idr=stype == 2, slice_type=stype,
-                                    refs_l0=refs_l0, refs_l1=refs_l1)
+                                    refs_l0=refs_l0, refs_l1=refs_l1,
+                                    retain_pocs=retain)
             dpb[idx] = pic.ref_planes
             data = pic.nal_bytes
             if cfg.enable_hrd:

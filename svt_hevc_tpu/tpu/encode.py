@@ -210,7 +210,8 @@ def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
     tmp = (jnp.einsum("byx,kx->byk", b, t) + (1 << (s1 - 1))) >> s1
     coef = (jnp.einsum("iy,byj->bij", t, tmp) + (1 << (s2 - 1))) >> s2
 
-    # scalar quant (core.quant.quantize)
+    # scalar quant (core.quant.quantize); qP includes QpBdOffset (8.6.3)
+    qp = qp + 6 * (bit_depth - 8)
     qbits = 14 + qp // 6 + (15 - bit_depth - log2n)
     f = jnp.asarray(QUANT_SCALES.astype(np.int32))[qp % 6]
     off_num = 171 if is_intra else 85
