@@ -24,10 +24,16 @@ import os as _os
 
 # Persistent XLA compilation cache: first-time compiles of the batched
 # encode graphs cost minutes on a tunneled TPU; cached reloads are ~ms.
-# (Overridable / disable with JAX_COMPILATION_CACHE_DIR="".)
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.expanduser("~/.cache/svt_hevc_tpu_jax"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# The env var alone is not honored by this JAX build, so set the config
+# directly. (Overridable / disable with JAX_COMPILATION_CACHE_DIR="".)
+_cache = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.expanduser("~/.cache/svt_hevc_tpu_jax"))
+if _cache:
+    import jax as _jax
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from .api import EncoderHandle, Packet
 from .config import EncoderConfig

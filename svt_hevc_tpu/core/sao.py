@@ -30,6 +30,8 @@ def _max_offset(bit_depth: int) -> int:
     return (1 << (min(bit_depth, 10) - 5)) - 1
 
 # EO class -> ((h0x, h0y), (h1x, h1y))
+_EO_CAT_LUT = np.array([1, 2, 0, 3, 4], np.int32)
+
 _EO_NEIGHBORS = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
                  ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
 
@@ -175,7 +177,7 @@ def _eo_category_map(plane: np.ndarray, eo_class: int,
     nb = pad[1 + by:h + 1 + by, 1 + bx:w + 1 + bx]
     edge_idx = 2 + np.sign(c - na) + np.sign(c - nb)
     # map raw 0,1,2,3,4 -> category 1,2,0,3,4
-    cat = np.choose(edge_idx, [1, 2, 0, 3, 4])
+    cat = _EO_CAT_LUT[edge_idx]
     # invalidate pixels with out-of-picture neighbors
     valid = np.ones((h, w), bool)
     horiz = ax != 0 or bx != 0
@@ -212,7 +214,9 @@ def _band_map(plane: np.ndarray, bit_depth: int = 8) -> np.ndarray:
 
 def apply_sao(st, grid: list[list[SaoCtbParams]],
               slice_sao_luma: bool, slice_sao_chroma: bool) -> None:
-    """Apply SAO in place (classification on the pre-SAO copies)."""
+    """Apply SAO in place, vectorized over the whole plane: per-CTB
+    offset LUTs are gathered through the classification maps in one pass
+    (classification on the pre-SAO copies, 8.7.3)."""
     ctb = 1 << st.ctb_log2
     ny, nx = len(grid), len(grid[0])
     maxval = (1 << st.bit_depth) - 1
@@ -223,38 +227,42 @@ def apply_sao(st, grid: list[list[SaoCtbParams]],
             continue
         c01 = min(comp, 1)
         plane = st.planes[comp]
-        pre = plane.copy()
+        h, w = plane.shape
         csx = ctb if comp == 0 else ctb >> st.ss_x
         csy = ctb if comp == 0 else ctb >> st.ss_y
-        cat_maps = {}
-        band = None
-        for cy in range(ny):
-            for cx in range(nx):
-                p = grid[cy][cx]
-                t = p.type_idx[c01]
-                if t == SAO_OFF:
+        tmap = np.array([[p.type_idx[c01] for p in row] for row in grid],
+                        np.int32)
+        if not (tmap != SAO_OFF).any():
+            continue
+        pre = plane.copy()
+        cyi = (np.arange(h) // csy)[:, None]     # per-pixel CTB row
+        cxi = (np.arange(w) // csx)[None, :]
+        offset_plane = np.zeros((h, w), np.int32)
+
+        if (tmap == SAO_EDGE).any():
+            emap = np.array([[p.eo_class[c01] for p in row] for row in grid],
+                            np.int32)
+            for ec in range(4):
+                sel = (tmap == SAO_EDGE) & (emap == ec)
+                if not sel.any():
                     continue
-                y0, x0 = cy * csy, cx * csx
-                y1 = min(y0 + csy, plane.shape[0])
-                x1 = min(x0 + csx, plane.shape[1])
-                rect = pre[y0:y1, x0:x1]
-                if t == SAO_EDGE:
-                    ec = p.eo_class[c01]
-                    if ec not in cat_maps:
-                        cat_maps[ec] = _eo_category_map(
-                            pre, ec, _tile_edges_for(st, comp))
-                    cat = cat_maps[ec][y0:y1, x0:x1]
-                    lut = np.array([0] + p.offsets[comp], np.int32)
-                    out = rect + lut[cat]
-                else:
-                    if band is None:
-                        band = _band_map(pre, st.bit_depth)
-                    b = band[y0:y1, x0:x1]
-                    lut = np.zeros(32, np.int32)
-                    for i in range(4):
-                        lut[(p.band_pos[comp] + i) % 32] = p.offsets[comp][i]
-                    out = rect + lut[b]
-                plane[y0:y1, x0:x1] = np.clip(out, 0, maxval)
+                lut = np.zeros((ny, nx, 5), np.int32)
+                for cy, cx in zip(*np.nonzero(sel)):
+                    lut[cy, cx, 1:] = grid[cy][cx].offsets[comp]
+                cat = _eo_category_map(pre, ec, _tile_edges_for(st, comp))
+                offset_plane += lut[cyi, cxi, cat]
+
+        if (tmap == SAO_BAND).any():
+            lut = np.zeros((ny, nx, 32), np.int32)
+            for cy, cx in zip(*np.nonzero(tmap == SAO_BAND)):
+                p = grid[cy][cx]
+                for i in range(4):
+                    lut[cy, cx, (p.band_pos[comp] + i) % 32] = \
+                        p.offsets[comp][i]
+            band = _band_map(pre, st.bit_depth)
+            offset_plane += lut[cyi, cxi, band]
+
+        plane[:, :] = np.clip(pre + offset_plane, 0, maxval)
 
 
 # ------------------------------------------------------------ encoder choice
@@ -384,10 +392,50 @@ def _best_band_stats(cnt: np.ndarray, sums: np.ndarray, lam: float,
     return bp, offs, g
 
 
+def _eo_offsets_gains(eo_cnt, eo_sum, mx):
+    """Vectorized per-(ctb, eo-class) EO offsets + per-class gains.
+
+    eo_cnt/eo_sum: (ny, nx, 4, 5) int64. Returns (offs (ny,nx,4,4) int64,
+    gain (ny,nx,4) float64) — offsets zeroed where their SSE gain <= 0,
+    identical math to the scalar per-CTB loop."""
+    c = eo_cnt[..., 1:5]
+    s = eo_sum[..., 1:5]
+    nz = c > 0
+    o = np.where(nz, np.clip(np.round(s / np.maximum(c, 1)), -mx, mx), 0)
+    o = o.astype(np.int64)
+    # categories 1,2 positive; 3,4 negative
+    o[..., 0:2] = np.maximum(o[..., 0:2], 0)
+    o[..., 2:4] = np.minimum(o[..., 2:4], 0)
+    g = 2 * o * s - c * o * o
+    keep = g > 0
+    offs = np.where(keep, o, 0)
+    gain = np.where(keep, g, 0).sum(-1).astype(np.float64)
+    return offs, gain
+
+
+def _bo_offsets_gains(bo_cnt, bo_sum, lam, mx):
+    """Vectorized _best_band_stats over the CTB grid. bo_cnt/bo_sum:
+    (ny, nx, 32) int64. Returns (bp (ny,nx), offs (ny,nx,4), gain)."""
+    nz = bo_cnt > 0
+    ob = np.where(nz, np.clip(np.round(bo_sum / np.maximum(bo_cnt, 1)),
+                              -mx, mx), 0).astype(np.int64)
+    gains = np.maximum(np.where(ob != 0, 2 * ob * bo_sum - bo_cnt * ob * ob,
+                                0), 0)
+    # sliding window of 4 adjacent bands, start positions 0..28
+    win = np.stack([gains[..., k:k + 4].sum(-1) for k in range(29)], -1)
+    bp = win.argmax(-1)
+    iy, ix = np.indices(bp.shape)
+    offs = np.stack([np.where(gains[iy, ix, bp + i] > 0,
+                              ob[iy, ix, bp + i], 0) for i in range(4)], -1)
+    g = (np.take_along_axis(win, bp[..., None], -1)[..., 0].astype(np.float64)
+         - lam * (9 + (np.abs(offs) + 1).sum(-1)))
+    return bp, offs, g
+
+
 def derive_sao_params_from_stats(st, stats, lam: float):
     """derive_sao_params with the per-CTB statistics precomputed on the
-    TPU (tpu.encode.sao_stats_plane): identical decision math, no
-    per-CTB pixel masking on the host. stats: per-component dicts with
+    TPU (tpu.encode.sao_stats_plane): identical decision math, fully
+    vectorized over the CTB grid. stats: per-component dicts with
     eo_cnt/eo_sum (ny, nx, 4, 5) and bo_cnt/bo_sum (ny, nx, 32)."""
     ctb = 1 << st.ctb_log2
     ny = (st.h + ctb - 1) // ctb
@@ -395,6 +443,8 @@ def derive_sao_params_from_stats(st, stats, lam: float):
     grid = [[SaoCtbParams() for _ in range(nx)] for _ in range(ny)]
     mx = _max_offset(st.bit_depth)
 
+    cb_type = None      # decisions comp 1 reuses for comp 2
+    cb_eo = None
     for comp in range(3):
         c01 = min(comp, 1)
         eo_cnt = stats[comp]["eo_cnt"].astype(np.int64)
@@ -402,64 +452,42 @@ def derive_sao_params_from_stats(st, stats, lam: float):
         bo_cnt = stats[comp]["bo_cnt"].astype(np.int64)
         bo_sum = stats[comp]["bo_sum"].astype(np.int64)
 
-        for cy in range(ny):
-            for cx in range(nx):
+        eo_offs, eo_gain = _eo_offsets_gains(eo_cnt, eo_sum, mx)
+        eo_rate = 4 + (np.abs(eo_offs) + 1).sum(-1)
+        eo_score = eo_gain - lam * eo_rate
+        bo_bp, bo_offs, bo_score = _bo_offsets_gains(bo_cnt, bo_sum, lam, mx)
+        bo_valid = (bo_score > 0) & bo_offs.any(-1)
+
+        if comp == 2:
+            # cr shares the chroma type / eo class chosen for cb; only its
+            # offsets (and band position) are free
+            for cy, cx in zip(*np.nonzero(cb_type != SAO_OFF)):
                 p = grid[cy][cx]
-                if comp == 2:
-                    t = p.type_idx[1]
-                    if t == SAO_OFF:
-                        continue
-                    if t == SAO_EDGE:
-                        ec = p.eo_class[1]
-                        offs = [0, 0, 0, 0]
-                        for k in range(1, 5):
-                            c = int(eo_cnt[cy, cx, ec, k])
-                            if c == 0:
-                                continue
-                            s = int(eo_sum[cy, cx, ec, k])
-                            o = int(np.clip(round(s / c), -mx, mx))
-                            o = max(o, 0) if k <= 2 else min(o, 0)
-                            if 2 * o * s - c * o * o > 0:
-                                offs[k - 1] = o
-                        p.offsets[2] = offs
-                    else:
-                        bp, offs, g = _best_band_stats(bo_cnt[cy, cx],
-                                                       bo_sum[cy, cx],
-                                                       lam, mx)
-                        if g > 0 and any(offs):
-                            p.band_pos[2] = bp
-                            p.offsets[2] = offs
-                    continue
+                if cb_type[cy, cx] == SAO_EDGE:
+                    ec = cb_eo[cy, cx]
+                    p.offsets[2] = [int(v) for v in eo_offs[cy, cx, ec]]
+                elif bo_valid[cy, cx]:
+                    p.band_pos[2] = int(bo_bp[cy, cx])
+                    p.offsets[2] = [int(v) for v in bo_offs[cy, cx]]
+            continue
 
-                best = (0.0, SAO_OFF, 0, 0, [0, 0, 0, 0])
-                for ec in range(4):
-                    gain = 0.0
-                    offs = [0, 0, 0, 0]
-                    for k in range(1, 5):
-                        c = int(eo_cnt[cy, cx, ec, k])
-                        if c == 0:
-                            continue
-                        s = int(eo_sum[cy, cx, ec, k])
-                        o = int(np.clip(round(s / c), -mx, mx))
-                        o = max(o, 0) if k <= 2 else min(o, 0)
-                        g = 2 * o * s - c * o * o
-                        if g > 0:
-                            offs[k - 1] = o
-                            gain += g
-                    rate = 4 + sum(abs(o) + 1 for o in offs)
-                    gain -= lam * rate
-                    if gain > best[0]:
-                        best = (gain, SAO_EDGE, ec, 0, offs)
-
-                bp, offs, g = _best_band_stats(bo_cnt[cy, cx],
-                                               bo_sum[cy, cx], lam, mx)
-                if g > best[0] and any(offs):
-                    best = (g, SAO_BAND, 0, bp, offs)
-
-                if best[1] == SAO_OFF:
-                    continue
-                p.type_idx[c01] = best[1]
-                p.eo_class[c01] = best[2]
-                p.band_pos[comp] = best[3]
-                p.offsets[comp] = list(best[4])
+        best_ec = eo_score.argmax(-1)
+        best_eo_score = np.take_along_axis(eo_score, best_ec[..., None],
+                                           -1)[..., 0]
+        use_bo = bo_valid & (bo_score > np.maximum(best_eo_score, 0.0))
+        use_eo = ~use_bo & (best_eo_score > 0.0)
+        type_map = np.where(use_bo, SAO_BAND,
+                            np.where(use_eo, SAO_EDGE, SAO_OFF))
+        if comp == 1:
+            cb_type, cb_eo = type_map, best_ec
+        for cy, cx in zip(*np.nonzero(type_map != SAO_OFF)):
+            p = grid[cy][cx]
+            p.type_idx[c01] = int(type_map[cy, cx])
+            if type_map[cy, cx] == SAO_EDGE:
+                ec = int(best_ec[cy, cx])
+                p.eo_class[c01] = ec
+                p.offsets[comp] = [int(v) for v in eo_offs[cy, cx, ec]]
+            else:
+                p.band_pos[comp] = int(bo_bp[cy, cx])
+                p.offsets[comp] = [int(v) for v in bo_offs[cy, cx]]
     return grid

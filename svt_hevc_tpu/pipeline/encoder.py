@@ -139,6 +139,9 @@ class Encoder:
         self._frame_idx = 0
         self._ref_planes = None      # previous picture planes (post-filter)
         self._ref_poc = 0
+        # (poc, w64, h64) -> device (y, cb, cr) padded int32 reference
+        # planes, so fast-path P pictures never re-upload references
+        self._dev_dpb: dict = {}
         # dynamic preset (reference analogue: SpeedBufferControl,
         # EbResourceCoordinationProcess.c :68): adjusted in encode() when
         # speed control is enabled
@@ -355,28 +358,58 @@ class Encoder:
                 s.poc = poc
             return s
 
+        # ---- device context: ship the source once (narrow dtype), keep
+        # reference planes device-resident between frames, and let every
+        # TPU stage (HME, OIS, dense MD, encode pass) consume the device
+        # arrays — the tunneled chip pays ~70 ms latency per transfer
+        fast_capable = (cfg.chroma_format == 1 and cfg.bit_depth == 8
+                        and len(tiles) == 1 and not mcts
+                        and split_policy is None
+                        and part_nxn_policy is None)
+        w64, h64 = (cw + 63) // 64 * 64, (ch + 63) // 64 * 64
+        src_dev = ref_dev = None
+        single_ref = (not is_idr and refs_l0 is not None
+                      and len(refs_l0) == 1 and not refs_l1)
+        if fast_capable:
+            from ..tpu import encode as tenc
+            src_dev = tenc.prep_planes(np.ascontiguousarray(frame.y),
+                                       np.ascontiguousarray(frame.cb),
+                                       np.ascontiguousarray(frame.cr),
+                                       w64, h64)
+            if single_ref:
+                ref_dev = self._dev_dpb.get((refs_l0[0][1], w64, h64))
+                if ref_dev is None:
+                    dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+                    rp = refs_l0[0][0]
+                    ref_dev = tenc.prep_planes(rp[0].astype(dt),
+                                               rp[1].astype(dt),
+                                               rp[2].astype(dt), w64, h64)
+
         me_seed = None
         if not is_idr:
-            me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
+            if ref_dev is not None:
+                from ..tpu.me import hme_search
+                mv, _ = hme_search(src_dev[0], ref_dev[0])
+                me_seed = np.asarray(mv)
+            else:
+                me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
 
         # TPU open-loop intra search once per picture; its mode/cost maps
         # drive the MD shortlist at OIS presets (reference: OIS feeding MD
         # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
-        ois = self._ois_maps(src[0]) if feat.ois_intra else None
+        if feat.ois_intra:
+            ois = self._ois_maps(src[0] if src_dev is None else src_dev[0])
+        else:
+            ois = None
 
         # ---- fast path: TPU dense MD + batched encode pass + single host
         # walk (pipeline/fast_path.py) for the common P configuration ----
-        use_fast = (slice_type == 1 and not rd and not is_idr
-                    and refs_l0 is not None and len(refs_l0) == 1
-                    and not refs_l1
-                    and cfg.chroma_format == 1 and cfg.bit_depth == 8
-                    and qp_map is None and len(tiles) == 1 and not mcts
-                    and ois is not None and split_policy is None
-                    and part_nxn_policy is None)
+        use_fast = (fast_capable and slice_type == 1 and not rd
+                    and single_ref and qp_map is None and ois is not None)
         if use_fast:
             st = new_state()
             substreams = self._encode_fast_p(
-                st, src, refs_l0[0][0], qp, me_seed, ois, feat,
+                st, src, src_dev, ref_dev, qp, me_seed, ois, feat,
                 tiles[0][0], last_xy, init_type)
         else:
             substreams = None
@@ -521,6 +554,20 @@ class Encoder:
         self._ref_planes = [p.copy() for p in st.planes]
         self._ref_poc = poc
 
+        # device-resident DPB for the fast path: upload the final recon
+        # once (narrow dtype) so the next P picture's HME/MD/MC never
+        # re-ship reference pixels over the tunnel
+        if fast_capable and not non_ref:
+            from ..tpu import encode as tenc
+            if is_idr:
+                self._dev_dpb.clear()
+            dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+            self._dev_dpb[(poc, w64, h64)] = tenc.prep_planes(
+                st.planes[0].astype(dt), st.planes[1].astype(dt),
+                st.planes[2].astype(dt), w64, h64)
+            while len(self._dev_dpb) > 6:
+                del self._dev_dpb[next(iter(self._dev_dpb))]
+
         # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
         # bit-identical pre-filter by construction
         dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
@@ -649,8 +696,8 @@ class Encoder:
                             slice_type=2 if is_idr else (0 if b_slices else 1),
                             is_idr=is_idr, display_idx=idx, decode_idx=idx)
 
-    def _encode_fast_p(self, st, src, ref_planes, qp, hme_mv, ois, feat,
-                       order, last_xy, init_type) -> list[bytes]:
+    def _encode_fast_p(self, st, src, src_dev, ref_dev, qp, hme_mv, ois,
+                       feat, order, last_xy, init_type) -> list[bytes]:
         """Fast P-picture encode (pipeline/fast_path.py): TPU dense MD +
         batched encode pass, then ONE host walk per CTU recording bin ops
         (decide + emit fused — op streams carry context indices, not
@@ -658,7 +705,7 @@ class Encoder:
         native CABAC run. Returns the slice substream list."""
         from .fast_path import FastCtuEncoder, run_fast_p
         cfg = self.cfg
-        maps = run_fast_p(cfg, feat, st, src, ref_planes, qp, hme_mv, ois)
+        maps = run_fast_p(cfg, feat, st, qp, hme_mv, ois, src_dev, ref_dev)
         walker = FastCtuEncoder(st, None, src, maps, features=feat)
         ctu_ops = []
         st.begin_tile()
@@ -688,51 +735,62 @@ class Encoder:
     def _sao_params_tpu(self, st, src, lam):
         """SAO decision with TPU-batched per-CTB statistics (replaces the
         host per-CTB masking sweep of derive_sao_params; same decision
-        math via core.sao.derive_sao_params_from_stats)."""
-        import jax
-        import jax.numpy as jnp
-
+        math via core.sao.derive_sao_params_from_stats). All three planes
+        go up narrow-dtype in one launch; stats come back as one packed
+        buffer."""
         from ..core.sao import derive_sao_params_from_stats
-        from ..tpu.encode import sao_stats_plane
-        ctb = self.cfg.ctb_size
-        stats = []
-        for comp in range(3):
-            plane = st.planes[comp]
-            h, w = plane.shape
-            cy = ctb if comp == 0 else ctb >> st.ss_y
-            cx = ctb if comp == 0 else ctb >> st.ss_x
-            hh = (h + cy - 1) // cy * cy
-            ww = (w + cx - 1) // cx * cx
-            pre = pad_plane(plane, ww, hh)
-            s = pad_plane(src[comp], ww, hh)
-            valid = np.zeros((hh, ww), np.float32)
-            valid[:h, :w] = 1.0
-            out = sao_stats_plane(jnp.asarray(pre), jnp.asarray(s),
-                                  jnp.asarray(valid), cy, cx,
-                                  bit_depth=st.bit_depth)
-            stats.append({k: np.asarray(v) for k, v in
-                          jax.device_get(out).items()})
+        from ..tpu import encode as tenc
+        cfg = self.cfg
+        ctb = cfg.ctb_size
+        h, w = st.planes[0].shape
+        hh = (h + ctb - 1) // ctb * ctb
+        ww = (w + ctb - 1) // ctb * ctb
+        dt = np.uint8 if st.bit_depth == 8 else np.uint16
+        pre = [pad_plane(st.planes[c],
+                         ww >> (0 if c == 0 else st.ss_x),
+                         hh >> (0 if c == 0 else st.ss_y)).astype(dt)
+               for c in range(3)]
+        s = [pad_plane(src[c],
+                       ww >> (0 if c == 0 else st.ss_x),
+                       hh >> (0 if c == 0 else st.ss_y)).astype(dt)
+             for c in range(3)]
+        flat = tenc.sao_stats_frame_packed(pre[0], pre[1], pre[2],
+                                           s[0], s[1], s[2],
+                                           ctb=ctb, h=h, w=w,
+                                           bit_depth=st.bit_depth)
+        got = tenc.unpack(np.asarray(flat), tenc.sao_specs(ctb, hh, ww))
+        stats = [{k: got[f"{k}{c}"] for k in
+                  ("eo_cnt", "eo_sum", "bo_cnt", "bo_sum")}
+                 for c in range(3)]
         return derive_sao_params_from_stats(st, stats, lam)
 
-    def _ois_maps(self, y_plane: np.ndarray) -> dict:
+    def _ois_maps(self, y_plane) -> dict:
         """Per-picture TPU open-loop intra search: {n: (mode_map, cost_map)}
-        numpy maps for n in 4/8/16/32, fetched in one device round trip."""
+        numpy maps for n in 4/8/16/32, fetched in one device round trip.
+        y_plane: host plane (padded+uploaded here) or an already 64-aligned
+        device array (reused from the frame's device context)."""
         import jax
         import jax.numpy as jnp
 
-        from ..tpu.analysis import analyze_frame
-        h, w = y_plane.shape
-        hh, ww = (h + 63) // 64 * 64, (w + 63) // 64 * 64
-        out = analyze_frame(jnp.asarray(pad_plane(y_plane, ww, hh),
-                                        jnp.float32))
-        # costs leave the device as int32: float32 D2H is pathologically
-        # slow over the axon tunnel (~8 MB/s measured vs ~140 MB/s int32)
-        got = jax.device_get(
-            {n: (out[f"mode{n}"],
-                 jnp.round(out[f"cost{n}"]).astype(jnp.int32))
-             for n in (4, 8, 16, 32)})
-        return {n: (np.asarray(m), np.asarray(c))
-                for n, (m, c) in got.items()}
+        from ..tpu.analysis import ois_packed
+        if isinstance(y_plane, np.ndarray):
+            h, w = y_plane.shape
+            hh, ww = (h + 63) // 64 * 64, (w + 63) // 64 * 64
+            dev = jnp.asarray(pad_plane(y_plane, ww, hh), jnp.float32)
+        else:
+            hh, ww = y_plane.shape
+            dev = y_plane
+        # one packed int32 fetch (one ~70 ms tunnel round trip, and int32:
+        # float32 D2H is pathologically slow over the axon tunnel)
+        flat = ois_packed(dev)
+        from ..tpu.encode import unpack
+        specs = []
+        for n in (4, 8, 16, 32):
+            specs.append((f"mode{n}", (hh // n, ww // n), np.int32))
+            specs.append((f"cost{n}", (hh // n, ww // n), np.int32))
+        got = unpack(np.asarray(flat), specs)
+        return {n: (got[f"mode{n}"], got[f"cost{n}"])
+                for n in (4, 8, 16, 32)}
 
     def _denoise(self, frame: Frame) -> Frame:
         """Source denoising (reference PictureAnalysis denoise stage,

@@ -273,58 +273,53 @@ class FastCtuEncoder(CtuEncoder):
 
 # ------------------------------------------------------------- orchestration
 
-def run_fast_p(cfg, feat, st, src, ref_planes, qp, hme_mv, ois):
+def run_fast_p(cfg, feat, st, qp, hme_mv, ois, src_dev, ref_dev):
     """Device stages + host walk preparation for one P picture.
 
-    src: coded-dims int32 planes [y, cb, cr]. ref_planes: [y, cb, cr]
-    int32 coded-dims reference. Returns (maps, walker factory inputs):
-    DecisionMaps with device outputs attached, and the recon planes are
-    written into st.planes.
-    """
-    import jax
+    src_dev / ref_dev: (y, cb, cr) device int32 planes, 64-aligned
+    (pipeline-level device context — uploaded once per frame; references
+    stay device-resident between frames). The dense-MD and encode-pass
+    results each come back as ONE packed buffer (the tunneled chip pays
+    ~70 ms latency per transfer). Recon planes are written into
+    st.planes."""
     import jax.numpy as jnp
 
     from ..tpu import encode as tenc
-    from .encoder import pad_plane
 
     cw, ch = st.w, st.h
     w64 = (cw + 63) // 64 * 64
     h64 = (ch + 63) // 64 * 64
     bd = st.bit_depth
 
-    src_y = jnp.asarray(pad_plane(src[0], w64, h64))
-    src_cb = jnp.asarray(pad_plane(src[1], w64 // 2, h64 // 2))
-    src_cr = jnp.asarray(pad_plane(src[2], w64 // 2, h64 // 2))
-    ref_y = jnp.asarray(pad_plane(ref_planes[0], w64, h64))
-    ref_cb = jnp.asarray(pad_plane(ref_planes[1], w64 // 2, h64 // 2))
-    ref_cr = jnp.asarray(pad_plane(ref_planes[2], w64 // 2, h64 // 2))
+    src_y, src_cb, src_cr = src_dev
+    ref_y, ref_cb, ref_cr = ref_dev
 
     raw_y = tenc.luma_phase_planes(ref_y, bit_depth=bd)
     raw_cb = tenc.chroma_phase_planes(ref_cb, bit_depth=bd)
     raw_cr = tenc.chroma_phase_planes(ref_cr, bit_depth=bd)
 
-    md_dev = tenc.dense_md_p(src_y, ref_y, raw_y, jnp.asarray(hme_mv),
-                             bit_depth=bd)
-    md = {k: np.asarray(v) for k, v in jax.device_get(md_dev).items()}
+    md_flat = tenc.dense_md_p_packed(src_y, ref_y, raw_y,
+                                     jnp.asarray(hme_mv), bit_depth=bd)
+    md = tenc.unpack(np.asarray(md_flat), tenc.md_specs(h64, w64))
 
     maps = decide_tree(md, ois, st.ctb_log2)
 
     tu_log2 = np.minimum(maps.cu_log2_8, 5)
-    out = tenc.encode_pass_p(
+    flat = tenc.encode_pass_p_packed(
         src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
         jnp.asarray(maps.mv8), jnp.asarray(maps.inter8),
         jnp.asarray(tu_log2), jnp.int32(qp), jnp.int32(st.qp_c),
         bit_depth=bd)
-    out = jax.device_get(out)
+    out = tenc.unpack(np.asarray(flat), tenc.ep_specs(h64, w64))
 
-    maps.lv_y = np.asarray(out["lv_y"], np.int32)[:ch, :cw]
-    maps.lv_cb = np.asarray(out["lv_cb"], np.int32)[:ch // 2, :cw // 2]
-    maps.lv_cr = np.asarray(out["lv_cr"], np.int32)[:ch // 2, :cw // 2]
-    maps.nz4_y = np.asarray(out["nz4_y"])[:ch // 4, :cw // 4]
-    maps.nz4_cb = np.asarray(out["nz4_cb"])[:ch // 8, :cw // 8]
-    maps.nz4_cr = np.asarray(out["nz4_cr"])[:ch // 8, :cw // 8]
+    maps.lv_y = out["lv_y"][:ch, :cw]
+    maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]
+    maps.lv_cr = out["lv_cr"][:ch // 2, :cw // 2]
+    maps.nz4_y = out["nz4_y"][:ch // 4, :cw // 4]
+    maps.nz4_cb = out["nz4_cb"][:ch // 8, :cw // 8]
+    maps.nz4_cr = out["nz4_cr"][:ch // 8, :cw // 8]
 
-    st.planes[0][:, :] = np.asarray(out["rec_y"], np.int32)[:ch, :cw]
-    st.planes[1][:, :] = np.asarray(out["rec_cb"], np.int32)[:ch // 2, :cw // 2]
-    st.planes[2][:, :] = np.asarray(out["rec_cr"], np.int32)[:ch // 2, :cw // 2]
+    st.planes[0][:, :] = out["rec_y"][:ch, :cw]
+    st.planes[1][:, :] = out["rec_cb"][:ch // 2, :cw // 2]
+    st.planes[2][:, :] = out["rec_cr"][:ch // 2, :cw // 2]
     return maps

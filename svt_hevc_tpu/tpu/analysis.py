@@ -238,3 +238,15 @@ def analyze_frame(y: jnp.ndarray) -> dict:
     return out
 
 
+
+@jax.jit
+def ois_packed(y: jnp.ndarray) -> jnp.ndarray:
+    """Open-loop intra search maps for n in 4/8/16/32, packed into ONE
+    int32 buffer (mode then rounded cost per size) — a single device->host
+    transfer on the tunneled chip (~70 ms latency per fetch)."""
+    out = analyze_frame(y.astype(jnp.float32))
+    flats = []
+    for n in (4, 8, 16, 32):
+        flats.append(out[f"mode{n}"].ravel().astype(jnp.int32))
+        flats.append(jnp.round(out[f"cost{n}"]).ravel().astype(jnp.int32))
+    return jnp.concatenate(flats)

@@ -497,6 +497,121 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     return out
 
 
+# ------------------------------------------------------------ packed transfer
+#
+# The tunneled TPU pays ~70 ms latency per device->host transfer, so every
+# per-frame stage ships ONE flat buffer instead of a dict of arrays; the
+# host slices it back apart (specs = [(shape, dtype), ...]).
+
+MD_KEYS = ("mv8", "sad8", "mv16", "sad16", "mv32", "sad32",
+           "mv64", "sad64", "zsad8")
+EP_KEYS = ("lv_y", "lv_cb", "lv_cr", "rec_y", "rec_cb", "rec_cr",
+           "nz4_y", "nz4_cb", "nz4_cr")
+
+
+def _pack(arrs, dtype):
+    return jnp.concatenate([a.ravel().astype(dtype) for a in arrs])
+
+
+def unpack(flat: np.ndarray, specs):
+    """Split a fetched flat buffer back into named arrays."""
+    out = {}
+    off = 0
+    for name, shape, dt in specs:
+        n = int(np.prod(shape))
+        out[name] = np.ascontiguousarray(
+            flat[off:off + n]).astype(dt).reshape(shape)
+        off += n
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("w64", "h64"))
+def prep_planes(y, cb, cr, w64: int, h64: int):
+    """Upload-side prep: edge-pad raw-dtype (uint8/uint16) planes to the
+    64-aligned coded grid as int32 device arrays. Shipping the native
+    dtype quarters the host->device bytes vs int32 upload."""
+    def pad(p, ww, hh):
+        ph, pw = p.shape
+        return jnp.pad(p.astype(jnp.int32), ((0, hh - ph), (0, ww - pw)),
+                       mode="edge")
+    return (pad(y, w64, h64), pad(cb, w64 // 2, h64 // 2),
+            pad(cr, w64 // 2, h64 // 2))
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def dense_md_p_packed(src, ref, raw_y, hme_mv, bit_depth: int = 8):
+    out = dense_md_p(src, ref, raw_y, hme_mv, bit_depth=bit_depth)
+    return _pack([out[k] for k in MD_KEYS], jnp.int32)
+
+
+def md_specs(h64: int, w64: int):
+    sp = []
+    for n in (8, 16, 32, 64):
+        g = (h64 // n, w64 // n)
+        sp.append((f"mv{n}", (*g, 2), np.int32))
+        sp.append((f"sad{n}", g, np.int32))
+    sp.append(("zsad8", (h64 // 8, w64 // 8), np.int32))
+    return sp
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def encode_pass_p_packed(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+                         mv8, inter8, tu_log2_8, qp, qp_c,
+                         bit_depth: int = 8):
+    out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+                        mv8, inter8, tu_log2_8, qp, qp_c,
+                        bit_depth=bit_depth)
+    return _pack([out[k] for k in EP_KEYS], jnp.int16)
+
+
+def ep_specs(h64: int, w64: int):
+    hc, wc = h64 // 2, w64 // 2
+    return [("lv_y", (h64, w64), np.int32),
+            ("lv_cb", (hc, wc), np.int32),
+            ("lv_cr", (hc, wc), np.int32),
+            ("rec_y", (h64, w64), np.int32),
+            ("rec_cb", (hc, wc), np.int32),
+            ("rec_cr", (hc, wc), np.int32),
+            ("nz4_y", (h64 // 4, w64 // 4), bool),
+            ("nz4_cb", (h64 // 8, w64 // 8), bool),
+            ("nz4_cr", (h64 // 8, w64 // 8), bool)]
+
+
+@functools.partial(jax.jit, static_argnames=("ctb", "h", "w", "bit_depth"))
+def sao_stats_frame_packed(pre_y, pre_cb, pre_cr, src_y, src_cb, src_cr,
+                           ctb: int, h: int, w: int, bit_depth: int = 8):
+    """SAO statistics for all three planes in one launch, packed into a
+    single int32 buffer. pre_*/src_* are raw-dtype (uint8/uint16) planes
+    at 64-aligned coded dims; validity is derived from (h, w)."""
+    flats = []
+    for comp, (pre, src) in enumerate(((pre_y, src_y), (pre_cb, src_cb),
+                                       (pre_cr, src_cr))):
+        hp, wp = pre.shape
+        cy = ctb if comp == 0 else ctb // 2
+        cx = ctb if comp == 0 else ctb // 2
+        hv = h if comp == 0 else h // 2
+        wv = w if comp == 0 else w // 2
+        valid = ((jnp.arange(hp)[:, None] < hv)
+                 & (jnp.arange(wp)[None, :] < wv)).astype(jnp.float32)
+        out = sao_stats_plane(pre.astype(jnp.int32), src.astype(jnp.int32),
+                              valid, cy, cx, bit_depth=bit_depth)
+        flats.extend(out[k] for k in ("eo_cnt", "eo_sum", "bo_cnt", "bo_sum"))
+    return _pack(flats, jnp.int32)
+
+
+def sao_specs(ctb: int, h64: int, w64: int):
+    sp = []
+    for comp in range(3):
+        c = ctb  # CTB grid is the same for chroma (half plane, half CTB)
+        ny = h64 // c if comp == 0 else (h64 // 2) // (c // 2)
+        nx = w64 // c if comp == 0 else (w64 // 2) // (c // 2)
+        sp.append((f"eo_cnt{comp}", (ny, nx, 4, 5), np.int64))
+        sp.append((f"eo_sum{comp}", (ny, nx, 4, 5), np.int64))
+        sp.append((f"bo_cnt{comp}", (ny, nx, 32), np.int64))
+        sp.append((f"bo_sum{comp}", (ny, nx, 32), np.int64))
+    return sp
+
+
 # ----------------------------------------------------------------- SAO stats
 
 @functools.partial(jax.jit, static_argnames=("ctb_y", "ctb_x", "bit_depth"))
