@@ -385,31 +385,35 @@ class Encoder:
                                                rp[1].astype(dt),
                                                rp[2].astype(dt), w64, h64)
 
-        me_seed = None
+        # ---- fast path: ONE fused device graph (phases + dense MD + OIS
+        # + quadtree decision + encode pass) + single host walk
+        # (pipeline/fast_path.py) for the common P configuration ----
+        use_fast = (fast_capable and slice_type == 1 and not rd
+                    and single_ref and qp_map is None and feat.ois_intra)
+
+        me_seed = mv_dev = None
         if not is_idr:
             if ref_dev is not None:
                 from ..tpu.me import hme_search
-                mv, _ = hme_search(src_dev[0], ref_dev[0])
-                me_seed = np.asarray(mv)
+                mv_dev = hme_search(src_dev[0], ref_dev[0])[0]
+                if not use_fast:
+                    me_seed = np.asarray(mv_dev)
             else:
                 me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
 
         # TPU open-loop intra search once per picture; its mode/cost maps
         # drive the MD shortlist at OIS presets (reference: OIS feeding MD
-        # candidate pruning, EbModeDecisionConfigurationProcess.c:289)
-        if feat.ois_intra:
+        # candidate pruning, EbModeDecisionConfigurationProcess.c:289).
+        # Fast-path pictures run OIS inside the fused graph instead.
+        if feat.ois_intra and not use_fast:
             ois = self._ois_maps(src[0] if src_dev is None else src_dev[0])
         else:
             ois = None
 
-        # ---- fast path: TPU dense MD + batched encode pass + single host
-        # walk (pipeline/fast_path.py) for the common P configuration ----
-        use_fast = (fast_capable and slice_type == 1 and not rd
-                    and single_ref and qp_map is None and ois is not None)
         if use_fast:
             st = new_state()
             substreams = self._encode_fast_p(
-                st, src, src_dev, ref_dev, qp, me_seed, ois, feat,
+                st, src, src_dev, ref_dev, qp, mv_dev, feat,
                 tiles[0][0], last_xy, init_type)
         else:
             substreams = None
@@ -696,16 +700,17 @@ class Encoder:
                             slice_type=2 if is_idr else (0 if b_slices else 1),
                             is_idr=is_idr, display_idx=idx, decode_idx=idx)
 
-    def _encode_fast_p(self, st, src, src_dev, ref_dev, qp, hme_mv, ois,
+    def _encode_fast_p(self, st, src, src_dev, ref_dev, qp, mv_dev,
                        feat, order, last_xy, init_type) -> list[bytes]:
-        """Fast P-picture encode (pipeline/fast_path.py): TPU dense MD +
-        batched encode pass, then ONE host walk per CTU recording bin ops
-        (decide + emit fused — op streams carry context indices, not
-        state, so SAO syntax is stitched in afterwards), DLF/SAO, and one
-        native CABAC run. Returns the slice substream list."""
+        """Fast P-picture encode (pipeline/fast_path.py): one fused TPU
+        graph (dense MD + OIS + decision + encode pass), then ONE host
+        walk per CTU recording bin ops (decide + emit fused — op streams
+        carry context indices, not state, so SAO syntax is stitched in
+        afterwards), DLF/SAO, and one native CABAC run. Returns the slice
+        substream list."""
         from .fast_path import FastCtuEncoder, run_fast_p
         cfg = self.cfg
-        maps = run_fast_p(cfg, feat, st, qp, hme_mv, ois, src_dev, ref_dev)
+        maps = run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev)
         walker = FastCtuEncoder(st, None, src, maps, features=feat)
         ctu_ops = []
         st.begin_tile()

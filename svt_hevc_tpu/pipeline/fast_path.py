@@ -273,15 +273,16 @@ class FastCtuEncoder(CtuEncoder):
 
 # ------------------------------------------------------------- orchestration
 
-def run_fast_p(cfg, feat, st, qp, hme_mv, ois, src_dev, ref_dev):
+def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev):
     """Device stages + host walk preparation for one P picture.
 
     src_dev / ref_dev: (y, cb, cr) device int32 planes, 64-aligned
     (pipeline-level device context — uploaded once per frame; references
-    stay device-resident between frames). The dense-MD and encode-pass
-    results each come back as ONE packed buffer (the tunneled chip pays
-    ~70 ms latency per transfer). Recon planes are written into
-    st.planes."""
+    stay device-resident between frames). mv_dev: device HME field. The
+    whole device pipeline (phase planes, dense MD, OIS, quadtree
+    decision, encode pass) runs as ONE fused graph whose result comes
+    back as ONE packed buffer — the tunneled chip pays ~70 ms latency
+    per transfer. Recon planes are written into st.planes."""
     import jax.numpy as jnp
 
     from ..tpu import encode as tenc
@@ -294,23 +295,14 @@ def run_fast_p(cfg, feat, st, qp, hme_mv, ois, src_dev, ref_dev):
     src_y, src_cb, src_cr = src_dev
     ref_y, ref_cb, ref_cr = ref_dev
 
-    raw_y = tenc.luma_phase_planes(ref_y, bit_depth=bd)
-    raw_cb = tenc.chroma_phase_planes(ref_cb, bit_depth=bd)
-    raw_cr = tenc.chroma_phase_planes(ref_cr, bit_depth=bd)
+    flat = tenc.fast_p_fused_packed(
+        src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
+        jnp.int32(qp), jnp.int32(st.qp_c),
+        ctb_log2=st.ctb_log2, bit_depth=bd)
+    out = tenc.unpack(np.asarray(flat), tenc.fused_specs(h64, w64))
 
-    md_flat = tenc.dense_md_p_packed(src_y, ref_y, raw_y,
-                                     jnp.asarray(hme_mv), bit_depth=bd)
-    md = tenc.unpack(np.asarray(md_flat), tenc.md_specs(h64, w64))
-
-    maps = decide_tree(md, ois, st.ctb_log2)
-
-    tu_log2 = np.minimum(maps.cu_log2_8, 5)
-    flat = tenc.encode_pass_p_packed(
-        src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
-        jnp.asarray(maps.mv8), jnp.asarray(maps.inter8),
-        jnp.asarray(tu_log2), jnp.int32(qp), jnp.int32(st.qp_c),
-        bit_depth=bd)
-    out = tenc.unpack(np.asarray(flat), tenc.ep_specs(h64, w64))
+    maps = DecisionMaps(cu_log2_8=out["cu_log2_8"], inter8=out["inter8"],
+                        mv8=out["mv8"], intra_mode8=out["intra_mode8"])
 
     maps.lv_y = out["lv_y"][:ch, :cw]
     maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]

@@ -612,6 +612,133 @@ def sao_specs(ctb: int, h64: int, w64: int):
     return sp
 
 
+# --------------------------------------------------- fused device fast path
+
+def _mvd_bits_dev(v: jnp.ndarray) -> jnp.ndarray:
+    """jax mirror of pipeline.fast_path._mvd_bits_arr (approximate MVD
+    rate): 1 bit for 0, 3 for +/-1, else 4 + 2*bit_length(|v|-2 clamped
+    to >=1). Integer-exact vs the numpy version."""
+    a = jnp.abs(v)
+    big = jnp.maximum(a - 2, 1)
+    blen = (big[..., None] >= (1 << jnp.arange(12))).sum(-1)  # bit_length
+    out = 4 + 2 * blen
+    out = jnp.where(a == 1, 3, out)
+    return jnp.where(a == 0, 1, out).astype(jnp.int32)
+
+
+def decide_tree_dev(md: dict, ois: dict, ctb_log2: int):
+    """Device mirror of pipeline.fast_path.decide_tree: bottom-up
+    quadtree DP over the dense cost maps. All costs are integer-valued
+    (lambda 3, split charge 2 -> int32), so decisions match the numpy
+    host version bit-for-bit. Returns (cu_log2_8, inter8, mv8, mode8)."""
+    INF = jnp.int32(1 << 30)
+
+    zs = {8: md["zsad8"].astype(jnp.int32)}
+    for s in (16, 32, 64):
+        zs[s] = _boxsum(zs[s // 2], 2)
+
+    leaf_cost, leaf_inter, leaf_mv, leaf_mode = {}, {}, {}, {}
+    sizes = [s for s in (8, 16, 32, 64) if (1 << ctb_log2) >= s]
+    for s in sizes:
+        sad = md[f"sad{s}"].astype(jnp.int32)
+        mv = md[f"mv{s}"].astype(jnp.int32)
+        bits = _mvd_bits_dev(mv[..., 0]) + _mvd_bits_dev(mv[..., 1])
+        ic = sad + 3 * (bits + 4)
+        zc = zs[s] + 9
+        use_zero = zc < ic
+        inter_c = jnp.where(use_zero, zc, ic)
+        mv_sel = jnp.where(use_zero[..., None], 0, mv)
+        if s <= 32:
+            mode_map, cost_map = ois[s]
+            intra_c = 2 * cost_map + 18
+        else:
+            intra_c = jnp.full_like(inter_c, INF)
+            mode_map = jnp.zeros_like(inter_c)
+        use_intra = intra_c < inter_c
+        leaf_cost[s] = jnp.where(use_intra, intra_c, inter_c)
+        leaf_inter[s] = ~use_intra
+        leaf_mv[s] = mv_sel
+        leaf_mode[s] = mode_map.astype(jnp.int32)
+
+    best = {8: leaf_cost[8]}
+    split = {}
+    for s in sizes[1:]:
+        agg = _boxsum(best[s // 2], 2) + 6
+        split[s] = agg < leaf_cost[s]
+        best[s] = jnp.where(split[s], agg, leaf_cost[s])
+
+    nby, nbx = leaf_cost[8].shape
+    cu_log2 = jnp.zeros((nby, nbx), jnp.int32)
+    inter8 = jnp.zeros((nby, nbx), bool)
+    mv8 = jnp.zeros((nby, nbx, 2), jnp.int32)
+    mode8 = jnp.zeros((nby, nbx), jnp.int32)
+
+    def rep(m, k):
+        return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+    undecided = jnp.ones((nby, nbx), bool)
+    for s in reversed(sizes):
+        k = s // 8
+        if s == 8:
+            leaf_here = undecided
+        else:
+            leaf_here = undecided & ~rep(split[s], k)
+        lg = s.bit_length() - 1
+        cu_log2 = jnp.where(leaf_here, lg, cu_log2)
+        inter_rep = rep(leaf_inter[s], k)
+        inter8 = jnp.where(leaf_here, inter_rep, inter8)
+        take_mv = (leaf_here & inter_rep)[..., None]
+        mv8 = jnp.where(take_mv, rep(leaf_mv[s], k), mv8)
+        mode8 = jnp.where(leaf_here, rep(leaf_mode[s], k), mode8)
+        undecided = undecided & ~leaf_here
+    return cu_log2, inter8, mv8, mode8
+
+
+FUSED_EXTRA = ("cu_log2_8", "inter8", "mv8", "intra_mode8")
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth"))
+def fast_p_fused_packed(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                        hme_mv, qp, qp_c, ctb_log2: int,
+                        bit_depth: int = 8):
+    """The whole fast-path device pipeline for one P picture in ONE
+    compiled graph and ONE packed download: reference phase planes ->
+    dense inter MD + open-loop intra costs -> quadtree decision ->
+    normative encode pass. The host only walks CTUs for syntax
+    legalization afterwards (pipeline/fast_path.py)."""
+    from .analysis import intra_search_size
+
+    raw_y = luma_phase_planes(ref_y, bit_depth=bit_depth)
+    raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
+    raw_cr = chroma_phase_planes(ref_cr, bit_depth=bit_depth)
+
+    md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth)
+
+    yf = src_y.astype(jnp.float32)
+    ois = {}
+    for n in (8, 16, 32):
+        mode, cost = intra_search_size(yf, n)
+        ois[n] = (mode.astype(jnp.int32),
+                  jnp.round(cost).astype(jnp.int32))
+
+    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(md, ois, ctb_log2)
+    tu_log2 = jnp.minimum(cu_log2_8, 5)
+    out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+                        mv8, inter8, tu_log2, qp, qp_c,
+                        bit_depth=bit_depth)
+    arrs = [out[k] for k in EP_KEYS] + [cu_log2_8, inter8, mv8, mode8]
+    return _pack(arrs, jnp.int16)
+
+
+def fused_specs(h64: int, w64: int):
+    nby, nbx = h64 // 8, w64 // 8
+    return ep_specs(h64, w64) + [
+        ("cu_log2_8", (nby, nbx), np.int32),
+        ("inter8", (nby, nbx), bool),
+        ("mv8", (nby, nbx, 2), np.int32),
+        ("intra_mode8", (nby, nbx), np.int32)]
+
+
 # ----------------------------------------------------------------- SAO stats
 
 @functools.partial(jax.jit, static_argnames=("ctb_y", "ctb_x", "bit_depth"))

@@ -139,3 +139,40 @@ def test_encode_pass_p_recon_consistency():
     blk = src_cb[16:24, 32:40] - pcb
     want = quantize(forward_transform(blk, 8), 29, is_intra=False)
     assert np.array_equal(out["lv_cb"][16:24, 32:40], want)
+
+
+def test_decide_tree_dev_matches_host():
+    """decide_tree_dev (fused device graph) must reproduce the numpy
+    decide_tree bit-for-bit: costs are integer-valued on both sides."""
+    import jax.numpy as jnp
+
+    from svt_hevc_tpu.pipeline.fast_path import decide_tree
+    from svt_hevc_tpu.tpu.encode import decide_tree_dev
+
+    rng = np.random.default_rng(11)
+    h64, w64 = 128, 192
+    md = {}
+    for n in (8, 16, 32, 64):
+        g = (h64 // n, w64 // n)
+        md[f"sad{n}"] = rng.integers(0, n * n * 40, g).astype(np.int32)
+        md[f"mv{n}"] = rng.integers(-60, 61, (*g, 2)).astype(np.int32)
+    md["zsad8"] = rng.integers(0, 8 * 8 * 60, (h64 // 8, w64 // 8)).astype(
+        np.int32)
+    ois = {n: (rng.integers(0, 35, (h64 // n, w64 // n)).astype(np.int32),
+               rng.integers(0, n * n * 30, (h64 // n, w64 // n)).astype(
+                   np.int32))
+           for n in (4, 8, 16, 32)}
+
+    for ctb_log2 in (5, 6):
+        want = decide_tree(md, ois, ctb_log2)
+        ois_dev = {n: (jnp.asarray(m), jnp.asarray(c))
+                   for n, (m, c) in ois.items() if n in (8, 16, 32)}
+        md_dev = {k: jnp.asarray(v) for k, v in md.items()}
+        cu, inter, mv, mode = decide_tree_dev(md_dev, ois_dev, ctb_log2)
+        assert np.array_equal(np.asarray(cu), want.cu_log2_8), ctb_log2
+        assert np.array_equal(np.asarray(inter), want.inter8)
+        assert np.array_equal(np.asarray(mv), want.mv8)
+        # modes only matter where the CU is intra
+        m_dev = np.asarray(mode)
+        sel = ~want.inter8
+        assert np.array_equal(m_dev[sel], want.intra_mode8[sel])
