@@ -403,6 +403,51 @@ def _refine_subpel(src, raw16, mvqx, mvqy, best, k: int, bit_depth: int):
     return mvqx, mvqy, best
 
 
+def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
+                         bit_depth: int):
+    """Exhaustive +/-3 quarter-pel refinement around the per-k-block best
+    INTEGER MV, without per-candidate gathers: recenter the reference once
+    at the integer MVs (one gather), interpolate the 16 subpel phases of
+    the recentred plane with convolutions, then every candidate offset is
+    a STATIC slice of a phase plane — TPU-friendly fused map-reduces.
+
+    The interpolation of the recentred plane differs from true subpel MC
+    only inside the 8-tap support of block boundaries; this is a search
+    metric (the encode pass re-interpolates the winner exactly), matching
+    the reference's approximate AVC-style subpel search filters
+    (EbMotionEstimation.c EbHevcInterpolateSearchRegionAVC :645).
+
+    Covers the same +/-3 qpel reach as the staged half->quarter search.
+    Returns (mvqx, mvqy, best) with MVs in quarter-pel."""
+    h, w = src.shape
+    maxval = (1 << bit_depth) - 1
+    rep = k // 8
+
+    def up(m):
+        return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
+
+    rec = _recenter8(ref_ext, up(int_mvy), up(int_mvx), h, w)
+    raw = luma_phase_planes(rec, bit_depth=bit_depth)
+    shift = 14 - bit_depth
+    mvqx = int_mvx * 4
+    mvqy = int_mvy * 4
+    for fy in range(-3, 4):
+        for fx in range(-3, 4):
+            if fy == 0 and fx == 0:
+                continue
+            py, px = fy & 3, fx & 3
+            cy, cx = (fy >> 2) + PAD, (fx >> 2) + PAD
+            plane = jax.lax.dynamic_slice(raw[py, px], (cy, cx), (h, w))
+            pred = jnp.clip((plane + (1 << (shift - 1))) >> shift,
+                            0, maxval)
+            sad = _boxsum(jnp.abs(src - pred), k)
+            take = sad < best
+            mvqx = jnp.where(take, int_mvx * 4 + fx, mvqx)
+            mvqy = jnp.where(take, int_mvy * 4 + fy, mvqy)
+            best = jnp.where(take, sad, best)
+    return mvqx, mvqy, best
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
                hme_mv: jnp.ndarray, bit_depth: int = 8) -> dict:
@@ -470,14 +515,15 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     mv32x, mv32y, sad32 = best_of(stack32, up4(c64y), up4(c64x), 3)
     mv64x, mv64y, sad64 = best_of(stack64, c64y, c64x, 3)
 
-    # ---- staged subpel refinement per size (16/32/64; 8 stays integer,
-    # like the reference's block-size-gated subpel at fast presets)
-    mv16x, mv16y, sad16 = _refine_subpel(srcf, raw16, mv16x, mv16y, sad16,
-                                         16, bit_depth)
-    mv32x, mv32y, sad32 = _refine_subpel(srcf, raw16, mv32x, mv32y, sad32,
-                                         32, bit_depth)
-    mv64x, mv64y, sad64 = _refine_subpel(srcf, raw16, mv64x, mv64y, sad64,
-                                         64, bit_depth)
+    # ---- dense subpel refinement per size (16/32/64; 8 stays integer,
+    # like the reference's block-size-gated subpel at fast presets):
+    # recentre-and-filter, so candidates are static slices, not gathers
+    mv16x, mv16y, sad16 = _refine_subpel_dense(
+        srcf, ref_ext, mv16x >> 2, mv16y >> 2, sad16, 16, bit_depth)
+    mv32x, mv32y, sad32 = _refine_subpel_dense(
+        srcf, ref_ext, mv32x >> 2, mv32y >> 2, sad32, 32, bit_depth)
+    mv64x, mv64y, sad64 = _refine_subpel_dense(
+        srcf, ref_ext, mv64x >> 2, mv64y >> 2, sad64, 64, bit_depth)
 
     # ---- zero-MV SAD per size (merge/skip candidate evaluation)
     zdiff = jnp.abs(srcf - ref_ext[PAD:PAD + h, PAD:PAD + w])
