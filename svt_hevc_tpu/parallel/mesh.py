@@ -112,3 +112,39 @@ def frontend_step(mesh: Mesh):
         return out, total
 
     return jax.jit(step, in_shardings=in_sh), in_sh
+
+
+def gop_encode_step(mesh: Mesh):
+    """Build the jitted multi-chip ENCODE step: the full fused P-picture
+    device pipeline (HME + dense MD + OIS + quadtree decision + normative
+    encode pass, tpu.encode.fast_p_fused_packed) data-parallel over
+    independent pictures, sharded across every device of the mesh (gop and
+    tile axes flattened onto the batch). This is the encode itself on the
+    mesh — mini-GOPs / P chains with disjoint references are independent
+    work items (SURVEY.md §2.6 "data parallelism over pictures"; the
+    reference keeps dozens of pictures in flight, EbEncHandle.c:1645).
+
+    Returns (fn, in_sharding): fn(src3, ref3, hme_mv, qp, qp_c) -> packed
+    per-picture buffers (tpu.encode.fused_specs layout), where src3/ref3
+    are (B, H, W) luma + (B, H/2, W/2) cb/cr stacks and B divides the
+    device count."""
+    from ..tpu.encode import fast_p_fused_packed
+
+    batch_sh = NamedSharding(mesh, P(("gop", "tile"),))
+
+    def one(sy, scb, scr, ry, rcb, rcr, mv, qp, qp_c):
+        return fast_p_fused_packed(sy, scb, scr, ry, rcb, rcr, mv, qp,
+                                   qp_c, ctb_log2=5, bit_depth=8)
+
+    def step(src3, ref3, hme_mv, qp, qp_c):
+        return jax.vmap(
+            lambda sy, scb, scr, ry, rcb, rcr, mv: one(
+                sy, scb, scr, ry, rcb, rcr, mv, qp, qp_c)
+        )(src3[0], src3[1], src3[2], ref3[0], ref3[1], ref3[2], hme_mv)
+
+    in_sh = (
+        (batch_sh, batch_sh, batch_sh),
+        (batch_sh, batch_sh, batch_sh),
+        batch_sh, None, None,
+    )
+    return jax.jit(step, in_shardings=in_sh), batch_sh

@@ -68,3 +68,32 @@ def test_frontend_step_gop_tile_sharded(mesh):
     jax.block_until_ready(total)
     assert np.isfinite(float(total))
     assert out["cost16"].shape[0] == frames.shape[0]
+
+
+def test_gop_encode_step_matches_single_device():
+    """The real fused encode (dense MD + decision + encode pass) sharded
+    picture-parallel over the 8-device mesh must bit-match per-picture
+    single-device execution (SURVEY §2.6 gop sharding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from svt_hevc_tpu.parallel import gop_encode_step, make_mesh
+    from svt_hevc_tpu.tpu.encode import fast_p_fused_packed
+    from svt_hevc_tpu.tpu.me import hme_search
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    B, H, W = 8, 128, 128
+    srcs = jnp.asarray(rng.integers(0, 255, (B, H, W)), jnp.int32)
+    refs = jnp.roll(srcs, (0, 3, -2), (0, 1, 2))
+    csrc = jnp.asarray(rng.integers(0, 255, (B, H // 2, W // 2)), jnp.int32)
+    cref = jnp.roll(csrc, (0, 1, -1), (0, 1, 2))
+    mvs = jnp.stack([hme_search(srcs[b], refs[b])[0] for b in range(B)])
+    step, _ = gop_encode_step(mesh)
+    got = np.asarray(step((srcs, csrc, csrc), (refs, cref, cref), mvs,
+                          jnp.int32(30), jnp.int32(31)))
+    for b in (0, 3, 7):
+        want = np.asarray(fast_p_fused_packed(
+            srcs[b], csrc[b], csrc[b], refs[b], cref[b], cref[b], mvs[b],
+            jnp.int32(30), jnp.int32(31), ctb_log2=5, bit_depth=8))
+        assert np.array_equal(got[b], want), b
