@@ -334,7 +334,7 @@ class CtuCoderBase:
             skip = self.sx_skip_flag(x0, y0, log2, self._skip_ctx(x0, y0))
             if skip:
                 idx = self.sx_merge_idx(x0, y0, log2)
-                motion = merge_candidates(st, x0, y0, size, st.max_merge)[idx]
+                motion = self._merge_list(x0, y0, size)[idx]
                 self._inter_nocbf(x0, y0, log2, motion, skip=True)
                 return
             if not self.sx_pred_mode(x0, y0, log2):
@@ -375,6 +375,15 @@ class CtuCoderBase:
         """Encoder hook: forward-compute chroma TBs before cbf emission."""
 
     # ----------------------------------------------------------- inter CUs
+    def _merge_list(self, x0: int, y0: int, n: int):
+        """Merge candidate list (8.5.3.2.3); encoder subclasses serve the
+        MD pass's cached list."""
+        return merge_candidates(self.st, x0, y0, n, self.st.max_merge)
+
+    def _amvp(self, x0: int, y0: int, n: int, lst: int):
+        """AMVP candidate pair (8.5.3.2.5+); cached by encoder subclasses."""
+        return amvp_candidates(self.st, x0, y0, n, lst)
+
     def _skip_ctx(self, x0: int, y0: int) -> int:
         st = self.st
         inc = 0
@@ -436,7 +445,7 @@ class CtuCoderBase:
         merged = self.sx_merge_flag(x0, y0, log2)
         if merged:
             idx = self.sx_merge_idx(x0, y0, log2)
-            mi = merge_candidates(st, x0, y0, n, st.max_merge)[idx]
+            mi = self._merge_list(x0, y0, n)[idx]
         else:
             if st.slice_type == B_SLICE:
                 idc = self.sx_inter_pred_idc(x0, y0, log2, depth)
@@ -449,7 +458,7 @@ class CtuCoderBase:
                     # single active reference: ref_idx not signalled
                     mvd = self.sx_mvd(x0, y0, log2, lst)
                     mvp_idx = self.sx_mvp_flag(x0, y0, log2, lst)
-                    pred_mv = amvp_candidates(st, x0, y0, n, lst)[mvp_idx]
+                    pred_mv = self._amvp(x0, y0, n, lst)[mvp_idx]
                     mvs[lst] = (pred_mv[0] + mvd[0], pred_mv[1] + mvd[1])
                     refs[lst] = 0
             mi = Mi(mvs[0], refs[0], mvs[1], refs[1])
@@ -802,7 +811,7 @@ class _InterPlan:
     """The encoder's decided coding of one potential inter CU."""
 
     __slots__ = ("use_inter", "skip", "merge_flag", "merge_idx", "mvd",
-                 "mvp_idx", "mi", "idc", "root_cbf")
+                 "mvp_idx", "mi", "idc", "root_cbf", "merge_list", "amvp")
 
     def __init__(self):
         self.use_inter = False
@@ -814,6 +823,10 @@ class _InterPlan:
         self.mi = Mi()
         self.idc = 0                      # 0 L0, 1 L1, 2 BI
         self.root_cbf = 1
+        # cached spec derivations (the emit walk reuses the MD pass's
+        # merge/AMVP lists instead of re-deriving them per CU)
+        self.merge_list = None
+        self.amvp = [None, None]
 
 
 # integer refinement radius around the TPU HME seed (full-pel). The
@@ -992,6 +1005,18 @@ class CtuEncoder(CtuCoderBase):
             self._plans[key] = plan
         return plan
 
+    def _merge_list(self, x0, y0, n):
+        p = self._plans.get((x0, y0, n.bit_length() - 1))
+        if p is not None and p.merge_list is not None:
+            return p.merge_list
+        return super()._merge_list(x0, y0, n)
+
+    def _amvp(self, x0, y0, n, lst):
+        p = self._plans.get((x0, y0, n.bit_length() - 1))
+        if p is not None and p.amvp[lst] is not None:
+            return p.amvp[lst]
+        return super()._amvp(x0, y0, n, lst)
+
     def _pred_luma_mi(self, x0, y0, n, mi: Mi):
         """Luma-only MC prediction for cost evaluation."""
         from .inter import interp_luma, interp_luma_raw
@@ -1142,6 +1167,8 @@ class CtuEncoder(CtuCoderBase):
         merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
         amvp = [amvp_candidates(st, x0, y0, n, 0),
                 amvp_candidates(st, x0, y0, n, 1) if is_b else None]
+        plan.merge_list = merge_list
+        plan.amvp = amvp
 
         def sad_of(mi):
             p = self._pred_luma_mi(x0, y0, n, mi).astype(np.int64)

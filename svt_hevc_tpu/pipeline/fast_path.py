@@ -197,6 +197,7 @@ class FastCtuEncoder(CtuEncoder):
         any_nz = self._cu_any_nz(x0, y0, n)
         plan.root_cbf = int(any_nz)
         merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
+        plan.merge_list = merge_list
         for idx, cand in enumerate(merge_list):
             if cand == target:
                 plan.merge_flag = True
@@ -205,6 +206,7 @@ class FastCtuEncoder(CtuEncoder):
                 plan.skip = not any_nz
                 return plan
         amvp = amvp_candidates(st, x0, y0, n, 0)
+        plan.amvp[0] = amvp
         b0 = (_mvd_bits(mv[0] - amvp[0][0]) + _mvd_bits(mv[1] - amvp[0][1]))
         b1 = (_mvd_bits(mv[0] - amvp[1][0]) + _mvd_bits(mv[1] - amvp[1][1]))
         mvp_i = 1 if b1 < b0 else 0

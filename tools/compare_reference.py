@@ -1,0 +1,145 @@
+"""BD-rate / speed comparison against the reference SVT-HEVC encoder.
+
+Encodes the same clip with this framework and with the reference binary
+(built by tools/build_reference.sh) at matched QPs and preset, decodes
+BOTH streams with the independent libde265 oracle, and reports per-QP
+rate/PSNR plus the Bjontegaard delta rate (the reference project's own
+quality tracking methodology, SURVEY.md §4 implication (5)).
+
+Usage: python tools/compare_reference.py [--width W --height H --frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def make_clip(w, h, n, path):
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    frames = []
+    with open(path, "wb") as f:
+        for i in range(n):
+            y = base[i % 32:i % 32 + h, (2 * i) % 32:(2 * i) % 32 + w]
+            y = y.astype(np.uint8).copy()
+            sx, sy = (7 * i) % (w - 64), (5 * i) % (h - 64)
+            y[sy:sy + 48, sx:sx + 48] = (
+                base[sy:sy + 48, sx:sx + 48] * 0.5 + 90).astype(np.uint8)
+            cb = np.full((h // 2, w // 2), 120, np.uint8)
+            cr = np.full((h // 2, w // 2), 130, np.uint8)
+            f.write(y.tobytes())
+            f.write(cb.tobytes())
+            f.write(cr.tobytes())
+            frames.append((y, cb, cr))
+    return frames
+
+
+def psnr_stream(stream, frames):
+    from svt_hevc_tpu.io.de265_decoder import decode_annexb
+    dec = decode_annexb(stream)
+    assert len(dec) == len(frames), (len(dec), len(frames))
+    num = den = 0.0
+    for (dy, _, _), (sy, _, _) in zip(dec, frames):
+        num += float(((dy - sy.astype(np.int64)) ** 2).sum())
+        den += dy.size
+    mse = num / den
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def bd_rate(r1, p1, r2, p2):
+    """Bjontegaard delta rate of (r2, p2) vs anchor (r1, p1): % bitrate
+    change at equal quality (negative = anchor beaten)."""
+    lr1, lr2 = np.log10(r1), np.log10(r2)
+    c1 = np.polyfit(p1, lr1, 3)
+    c2 = np.polyfit(p2, lr2, 3)
+    lo = max(min(p1), min(p2))
+    hi = min(max(p1), max(p2))
+    i1 = np.polyint(c1)
+    i2 = np.polyint(c2)
+    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
+    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    return (10 ** (avg2 - avg1) - 1) * 100.0
+
+
+def run_ours(clip, w, h, n, qp, preset):
+    from svt_hevc_tpu.config import EncoderConfig
+    from svt_hevc_tpu.io.yuv import read_yuv420
+    from svt_hevc_tpu.pipeline.encoder import Encoder
+    cfg = EncoderConfig(width=w, height=h, qp=qp, enc_mode=preset,
+                        intra_period=-1, scene_change_detection=False)
+    enc = Encoder(cfg)
+    frames = list(read_yuv420(clip, w, h, max_frames=n))
+    t0 = time.perf_counter()
+    stream, _ = enc.encode(frames)
+    dt = time.perf_counter() - t0
+    return bytes(stream), dt
+
+
+def run_ref(app, clip, w, h, n, qp, preset):
+    out = tempfile.mktemp(suffix=".265")
+    t0 = time.perf_counter()
+    subprocess.run(
+        [app, "-i", clip, "-w", str(w), "-h", str(h), "-q", str(qp),
+         "-encMode", str(preset), "-intra-period", "-1", "-rc", "0",
+         "-n", str(n), "-scd", "0", "-b", out],
+        check=True, capture_output=True)
+    dt = time.perf_counter() - t0
+    data = open(out, "rb").read()
+    os.unlink(out)
+    return data, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=352)
+    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--preset", type=int, default=7)
+    ap.add_argument("--qps", type=int, nargs="+", default=[22, 27, 32, 37])
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    app = subprocess.run(["sh", os.path.join(here, "build_reference.sh")],
+                         capture_output=True, text=True,
+                         check=True).stdout.strip().splitlines()[-1]
+    clip = tempfile.mktemp(suffix=".yuv")
+    frames = make_clip(args.width, args.height, args.frames, clip)
+
+    ours_r, ours_p, ref_r, ref_p = [], [], [], []
+    print(f"{'qp':>4} {'ours kb':>9} {'ours dB':>8} {'ours fps':>9} "
+          f"{'ref kb':>9} {'ref dB':>8} {'ref fps':>9}")
+    for qp in args.qps:
+        so, to = run_ours(clip, args.width, args.height, args.frames, qp,
+                          args.preset)
+        sr, tr = run_ref(app, clip, args.width, args.height, args.frames,
+                         qp, args.preset)
+        po = psnr_stream(so, frames)
+        pr = psnr_stream(sr, frames)
+        ours_r.append(len(so))
+        ours_p.append(po)
+        ref_r.append(len(sr))
+        ref_p.append(pr)
+        print(f"{qp:>4} {len(so)/1000:>9.1f} {po:>8.2f} "
+              f"{args.frames/to:>9.2f} {len(sr)/1000:>9.1f} {pr:>8.2f} "
+              f"{args.frames/tr:>9.2f}")
+    bd = bd_rate(np.array(ref_r, float), np.array(ref_p),
+                 np.array(ours_r, float), np.array(ours_p))
+    print(f"\nBD-rate vs reference M{args.preset} (luma, IPPP, "
+          f"{args.width}x{args.height}): {bd:+.1f}% "
+          f"({'worse' if bd > 0 else 'better'} = more bits at equal PSNR)")
+    os.unlink(clip)
+
+
+if __name__ == "__main__":
+    main()
