@@ -66,9 +66,14 @@ def _dpb_size_minus1(cfg: EncoderConfig) -> int:
 
 
 def _max_reorder(cfg: EncoderConfig) -> int:
-    """sps/vps_max_num_reorder_pics: only random access reorders output."""
+    """sps/vps_max_num_reorder_pics: only random access reorders output.
+
+    The hierarchical-B schedule (_ra_segment) reorders by at most
+    `hierarchical_levels` pictures, and 7.4.3.2.1 requires
+    max_num_reorder_pics <= max_dec_pic_buffering_minus1 (the reference
+    clamps the same way, ComputeNumReorderPics)."""
     if cfg.pred_structure == 2:
-        return max((1 << max(cfg.hierarchical_levels, 1)) - 1, 0)
+        return min(max(cfg.hierarchical_levels, 1), _dpb_size_minus1(cfg))
     return 0
 
 

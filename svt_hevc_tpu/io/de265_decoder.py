@@ -88,9 +88,12 @@ def available() -> bool:
 
 
 _DE265_OK = 0
-# de265_error codes that mean "keep pumping", per de265.h
-_WAITING_INPUT = 4          # DE265_ERROR_WAITING_FOR_INPUT_DATA
-_IMAGE_BUFFER_FULL = 5      # DE265_ERROR_IMAGE_BUFFER_FULL
+# de265_error codes that mean "keep pumping", per de265.h (verified via
+# de265_get_error_text on the installed library; codes 4/5 are genuine
+# decode errors — COEFFICIENT_OUT_OF_IMAGE_BOUNDS / CHECKSUM_MISMATCH —
+# and must stay fatal)
+_WAITING_INPUT = 13         # DE265_ERROR_WAITING_FOR_INPUT_DATA
+_IMAGE_BUFFER_FULL = 9      # DE265_ERROR_IMAGE_BUFFER_FULL
 
 
 def _copy_plane(lib, img, channel: int) -> np.ndarray:

@@ -612,6 +612,10 @@ class Encoder:
         EbH265GetPacket surface; headers come from headers() like
         EbH265EncStreamHeader)."""
         import time as _time
+        # a new stream must never motion-compensate against a previous
+        # stream's device-resident references (advisor r2: stale _dev_dpb
+        # entries on POC reuse without an intervening IDR)
+        self._dev_dpb.clear()
         if self.cfg.pred_structure == 2:
             yield from self._ra_pictures(list(frames), rd=rd)
             return
@@ -877,6 +881,7 @@ class Encoder:
             yield fr, [c0] + [c for _, c in itertools.islice(buf, la)]
 
     def _encode_random_access(self, frames, *, rd=None):
+        self._dev_dpb.clear()
         frames = list(frames)
         chunks = [self.headers()]
         recons: list = [None] * len(frames)

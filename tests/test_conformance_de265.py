@@ -101,13 +101,20 @@ def test_oracle_adaptive_qp():
 
 
 def test_oracle_rejects_corrupt_stream():
-    stream = check(make_seq(64, 64, 2, seed=8), qp=30, intra_period=-1)
+    frames = make_seq(64, 64, 2, seed=8)
+    cfg = EncoderConfig(width=64, height=64, qp=30, intra_period=-1)
+    stream, recons = Encoder(cfg).encode(frames)
     data = bytearray(bytes(stream))
     data[len(data) // 2] ^= 0xFF
     try:
         decoded = oracle.decode_annexb(bytes(data))
     except RuntimeError:
         return
-    # a flipped bit mid-stream must change or lose at least one picture
-    ok = check(make_seq(64, 64, 2, seed=8), qp=30, intra_period=-1)
-    assert bytes(ok) != bytes(data)
+    # if the decoder doesn't error out, the flipped bit must at least have
+    # changed or lost a decoded picture vs the clean reconstruction
+    changed = len(decoded) != len(recons) or any(
+        not np.array_equal(dy, np.asarray(rec.y, np.int32))
+        or not np.array_equal(dcb, np.asarray(rec.cb, np.int32))
+        or not np.array_equal(dcr, np.asarray(rec.cr, np.int32))
+        for (dy, dcb, dcr), rec in zip(decoded, recons))
+    assert changed, "oracle decoded a corrupted stream to the clean recon"
