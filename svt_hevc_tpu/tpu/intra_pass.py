@@ -1,0 +1,403 @@
+"""TPU closed-loop intra encode pass: wavefront over CTB anti-diagonals.
+
+This is the TPU-native redesign of the reference's intra encode path
+(EbCodingLoop.c EncodePass :2989 with reference-sample generation
+EbIntraPrediction.c :212+), whose neighbor dependencies the reference
+parallelises with the EncDec segment wavefront + dependency map
+(EbEncDecProcess.c AssignEncDecSegments :1540).  Here the same DAG is
+honored by a single jitted ``lax.scan``:
+
+  - outer schedule: CTBs on anti-diagonal d = 2*row + col run in parallel
+    (the WPP slope: left and top-right CTBs are always on diagonal d-1);
+  - inner schedule: the 64 8x8-block z-scan slots of a CTB run
+    sequentially, so intra reference samples always see exactly the
+    reconstruction state a decoder in z-scan order would see;
+  - each micro-step processes, for every CTB lane on the diagonal, the
+    (masked) CU whose top-left 8x8 block sits at the current z-slot —
+    all three intra CU sizes (8/16/32) are computed with static shapes
+    and the real one is selected by the decision map.
+
+Per CU the pass is bit-exact with the host normative path
+(core.intra + core.transforms + core.quant, verified in
+tests/test_intra_pass.py):
+
+  - reference samples: gather from the carried recon planes, with spec
+    6.4.1 availability (z-scan precedence computed from Morton indices),
+    substitution per 8.4.4.2.2 (vectorized scan-order forward fill), and
+    the mode-dependent [1 2 1] filter (8.4.4.2.3);
+  - prediction: every mode is an integer weight matrix over the reference
+    vector (planar / angular), with DC and the normative DC/H/V boundary
+    columns applied as masked fix-ups — exact integer arithmetic, not the
+    float approximation used by the open-loop search (intra_weights.py);
+  - residual -> forward DCT -> quant (intra offset) -> dequant -> inverse
+    DCT -> clip, identical shift-for-shift to core.transforms/core.quant;
+  - chroma (4:2:0) is coded with its luma CU at half size with the DM
+    mode, unfiltered references, no boundary filters (8.4.4.2.5/6).
+
+The same kernel serves two callers: I pictures (every CU intra) and the
+P/B fused path (intra8 marks only the CUs the dense mode decision sent to
+intra; inter blocks' reconstruction is already final and is read as
+neighbor state but never written).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.intra import INTRA_PRED_ANGLE, INV_ANGLE, _filter_flag
+from ..core.quant import INV_QUANT_SCALES, QUANT_SCALES
+from ..core.transforms import DCT
+
+
+# --------------------------------------------------------------- mode tables
+
+@functools.lru_cache(maxsize=None)
+def _mode_tables(n: int):
+    """Integer prediction tables for an (n, n) TB.
+
+    Returns (W, shift, offset, filt):
+      W:      (35, n*n, 4n+1) int32 — pred = (W[m] @ refs + offset[m])
+              >> shift[m] for planar/angular modes (DC is handled apart);
+      shift:  (35,) int32; offset: (35,) int32;
+      filt:   (35,) bool — mode uses the [1 2 1]-filtered references
+              (luma; chroma 4:2:0 never filters).
+    Reference vector layout: [left[0..2n-1], corner, top[0..2n-1]]
+    (matches intra_weights._ref_index). The V/H/DC boundary fix-ups are
+    NOT baked in (they are two-stage-rounded / clipped, hence non-linear)
+    — the kernel applies them with masked element ops.
+    """
+    m = 4 * n + 1
+    corner = 2 * n
+    log2 = n.bit_length() - 1
+    w = np.zeros((35, n * n, m), np.int32)
+    shift = np.zeros(35, np.int32)
+    offset = np.zeros(35, np.int32)
+
+    # planar (8.4.4.2.4): integer weights, shift log2+1, offset n
+    wp = np.zeros((n, n, m), np.int32)
+    for y in range(n):
+        for x in range(n):
+            wp[y, x, y] += n - 1 - x              # left[y]
+            wp[y, x, corner + 1 + n] += x + 1     # top[n]
+            wp[y, x, corner + 1 + x] += n - 1 - y  # top[x]
+            wp[y, x, n] += y + 1                  # left[n]
+    w[0] = wp.reshape(n * n, m)
+    shift[0], offset[0] = log2 + 1, n
+
+    # angular 2..34 (8.4.4.2.6): two taps (32-f, f), shift 5, offset 16
+    for mode in range(2, 35):
+        angle = INTRA_PRED_ANGLE[mode]
+        vertical = mode >= 18
+
+        def ext(k: int) -> int:
+            """Packed-vector index of extended-reference position k."""
+            if k == 0:
+                return corner
+            if k > 0:
+                idx = min(k - 1, 2 * n - 1)
+                return corner + 1 + idx if vertical else idx
+            inv = INV_ANGLE[mode]
+            idx = ((k * inv + 128) >> 8) - 1
+            assert 0 <= idx < 2 * n, (mode, k, idx)
+            return idx if vertical else corner + 1 + idx
+
+        wa = np.zeros((n, n, m), np.int32)
+        for q in range(n):                   # main-direction coordinate
+            iidx = ((q + 1) * angle) >> 5
+            ifact = ((q + 1) * angle) & 31
+            for p in range(n):               # cross coordinate
+                y, x = (q, p) if vertical else (p, q)
+                wa[y, x, ext(p + iidx + 1)] += 32 - ifact
+                if ifact:
+                    wa[y, x, ext(p + iidx + 2)] += ifact
+        w[mode] = wa.reshape(n * n, m)
+        shift[mode], offset[mode] = 5, 16
+
+    shift[1], offset[1] = 0, 0               # DC: overridden by the kernel
+    filt = np.array([_filter_flag(md, n) for md in range(35)], bool)
+    return w, shift, offset, filt
+
+
+def _morton_spread(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 4 bits of v: b3 b2 b1 b0 -> b3 0 b2 0 b1 0 b0."""
+    return ((v & 1) | ((v & 2) << 1) | ((v & 4) << 2) | ((v & 8) << 3))
+
+
+def _zidx(x, y, nctbx: int):
+    """z-scan precedence index of luma position (x, y): CTB raster index,
+    then the Morton index of the 4x4 unit inside the CTB (6.4.1
+    MinTbAddrZs semantics at 4x4 granularity)."""
+    ctb = (y >> 6) * nctbx + (x >> 6)
+    ix = (x >> 2) & 15
+    iy = (y >> 2) & 15
+    return ctb * 256 + (_morton_spread(iy) << 1) + _morton_spread(ix)
+
+
+def _gather_refs(plane, x0, y0, n: int, cur_z, w: int, h: int,
+                 nctbx: int, scale: int, default: int):
+    """Reference-sample vectors for a batch of TBs at (x0, y0) (plane
+    coords, (R,) int arrays). Returns (refs_u, any_avail):
+    refs_u (R, 4n+1) substituted per 8.4.4.2.2 in the packed layout
+    [left[0..2n-1], corner, top[0..2n-1]].
+
+    scale: 1 luma, 2 chroma 4:2:0 (availability is evaluated at the luma
+    position scale*coord against the current CU's luma z-index cur_z).
+    w/h: valid (coded) extent of THIS plane.
+    """
+    ph, pw = plane.shape
+    n2 = 2 * n
+    k = jnp.arange(n2)
+
+    # sample coords
+    ly = y0[:, None] + k[None, :]            # left column rows
+    lx = x0 - 1
+    tx = x0[:, None] + k[None, :]            # top row cols
+    ty = y0 - 1
+    cx, cy = x0 - 1, y0 - 1
+
+    l_av = ((lx >= 0)[:, None] & (ly < h)
+            & (_zidx((lx[:, None] * scale).clip(0), ly * scale, nctbx)
+               < cur_z[:, None]))
+    t_av = ((ty >= 0)[:, None] & (tx < w)
+            & (_zidx(tx * scale, (ty[:, None] * scale).clip(0), nctbx)
+               < cur_z[:, None]))
+    c_av = ((cx >= 0) & (cy >= 0)
+            & (_zidx((cx * scale).clip(0), (cy * scale).clip(0), nctbx)
+               < cur_z))
+
+    lv = plane[ly.clip(0, ph - 1), lx[:, None].clip(0, pw - 1)]
+    tv = plane[ty[:, None].clip(0, ph - 1), tx.clip(0, pw - 1)]
+    cv = plane[cy.clip(0, ph - 1), cx.clip(0, pw - 1)]
+
+    # substitution 8.4.4.2.2: scan order left[2n-1]..left[0], corner,
+    # top[0]..top[2n-1]; first unavailable head takes the first available
+    # value anywhere later in the scan, then forward-fill
+    seq = jnp.concatenate([lv[:, ::-1], cv[:, None], tv], axis=1)
+    av = jnp.concatenate([l_av[:, ::-1], c_av[:, None], t_av], axis=1)
+    ln = seq.shape[1]
+    any_av = av.any(axis=1)
+    first_idx = jnp.argmax(av, axis=1)
+    first_val = jnp.take_along_axis(seq, first_idx[:, None], 1)[:, 0]
+    head = jnp.where(av[:, 0], seq[:, 0], first_val)
+    seq = seq.at[:, 0].set(head)
+    av = av.at[:, 0].set(True)
+    pos = jnp.where(av, jnp.arange(ln)[None, :], -1)
+    last = jax.lax.cummax(pos, axis=1)
+    filled = jnp.take_along_axis(seq, last, 1)
+    filled = jnp.where(any_av[:, None], filled, default)
+
+    # repack: [left[0..2n-1], corner, top[0..2n-1]]
+    refs = jnp.concatenate([filled[:, :n2][:, ::-1],
+                            filled[:, n2:n2 + 1],
+                            filled[:, n2 + 1:]], axis=1)
+    return refs
+
+
+def _filter_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1 2 1]/4 smoothing (8.4.4.2.3) of a packed (R, 4n+1) batch."""
+    n2 = 2 * n
+    left, corner, top = refs[:, :n2], refs[:, n2:n2 + 1], refs[:, n2 + 1:]
+    lprev = jnp.concatenate([corner, left[:, :-1]], axis=1)
+    lnext = jnp.concatenate([left[:, 1:], left[:, -1:]], axis=1)
+    fl = (lprev + 2 * left + lnext + 2) >> 2
+    fl = fl.at[:, -1].set(left[:, -1])
+    tprev = jnp.concatenate([corner, top[:, :-1]], axis=1)
+    tnext = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=1)
+    ft = (tprev + 2 * top + tnext + 2) >> 2
+    ft = ft.at[:, -1].set(top[:, -1])
+    fc = (left[:, :1] + 2 * corner + top[:, :1] + 2) >> 2
+    return jnp.concatenate([fl, fc, ft], axis=1)
+
+
+def _predict_batch(refs_u, refs_f, mode, n: int, luma: bool,
+                   bit_depth: int):
+    """Exact intra prediction of a (R, n, n) batch with per-lane mode."""
+    wt, sh, off, filt = _mode_tables(n)
+    wt = jnp.asarray(wt)
+    log2 = n.bit_length() - 1
+    maxval = (1 << bit_depth) - 1
+    n2 = 2 * n
+
+    if luma and refs_f is not None:
+        use_f = jnp.asarray(filt)[mode]
+        refs = jnp.where(use_f[:, None], refs_f, refs_u)
+    else:
+        refs = refs_u
+
+    wm = wt[mode]                                      # (R, n*n, 4n+1)
+    lin = jnp.einsum("rk,rpk->rp", refs, wm)
+    lin = ((lin + jnp.asarray(off)[mode][:, None])
+           >> jnp.asarray(sh)[mode][:, None]).reshape(-1, n, n)
+
+    # DC (8.4.4.2.5) from unfiltered refs
+    left_u = refs_u[:, :n2]
+    top_u = refs_u[:, n2 + 1:]
+    corner_u = refs_u[:, n2]
+    dc = ((top_u[:, :n].sum(1) + left_u[:, :n].sum(1) + n) >> (log2 + 1))
+    dcp = jnp.broadcast_to(dc[:, None, None], lin.shape)
+    if luma and n < 32:
+        row0 = (top_u[:, :n] + 3 * dc[:, None] + 2) >> 2
+        col0 = (left_u[:, :n] + 3 * dc[:, None] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0)
+        dcp = dcp.at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(
+            (left_u[:, 0] + 2 * dc + top_u[:, 0] + 2) >> 2)
+    pred = jnp.where((mode == 1)[:, None, None], dcp, lin)
+
+    # normative V/H boundary columns (8.4.4.2.6), luma n < 32
+    if luma and n < 32:
+        vcol = jnp.clip(top_u[:, :1]
+                        + ((left_u[:, :n] - corner_u[:, None]) >> 1),
+                        0, maxval)
+        hrow = jnp.clip(left_u[:, :1]
+                        + ((top_u[:, :n] - corner_u[:, None]) >> 1),
+                        0, maxval)
+        pred = jnp.where((mode == 26)[:, None, None],
+                         pred.at[:, :, 0].set(vcol), pred)
+        pred = jnp.where((mode == 10)[:, None, None],
+                         pred.at[:, 0, :].set(hrow), pred)
+    return pred
+
+
+def _tq_batch(resid, n: int, qp, bit_depth: int):
+    """Forward DCT + intra quant + dequant + inverse DCT of an (R, n, n)
+    residual batch; bit-exact with core.transforms/core.quant (same
+    formulas as encode.dense_tq_size). Returns (levels, recon_residual)."""
+    t = jnp.asarray(DCT[n].astype(np.int32))
+    log2n = n.bit_length() - 1
+    s1 = log2n + bit_depth - 9
+    s2 = log2n + 6
+    b = resid.astype(jnp.int32)
+    tmp = (jnp.einsum("byx,kx->byk", b, t) + (1 << (s1 - 1))) >> s1
+    coef = (jnp.einsum("iy,byj->bij", t, tmp) + (1 << (s2 - 1))) >> s2
+
+    qp = qp + 6 * (bit_depth - 8)
+    qbits = 14 + qp // 6 + (15 - bit_depth - log2n)
+    f = jnp.asarray(QUANT_SCALES.astype(np.int32))[qp % 6]
+    off = 171 << (qbits - 9)                       # intra offset
+    lv = jnp.minimum((jnp.abs(coef) * f + off) >> qbits, 32767)
+    lv = jnp.sign(coef) * lv
+
+    dq_shift = log2n + bit_depth - 9
+    scale = jnp.asarray(INV_QUANT_SCALES.astype(np.int32))[qp % 6] \
+        << (qp // 6)
+    d = jnp.clip((lv * scale + (1 << (dq_shift - 1))) >> dq_shift,
+                 -32768, 32767)
+    e = jnp.clip((jnp.einsum("ky,bkx->byx", t, d) + 64) >> 7,
+                 -32768, 32767)
+    bd_shift = 20 - bit_depth
+    r = jnp.clip((jnp.einsum("byk,kx->byx", e, t)
+                  + (1 << (bd_shift - 1))) >> bd_shift, -32768, 32767)
+    return lv, r
+
+
+def _scatter(plane, vals, x0, y0, n: int, mask):
+    """Masked disjoint block write: rows with mask=False are dropped."""
+    ph = plane.shape[0]
+    r = x0.shape[0]
+    a = jnp.arange(n)
+    yy = jnp.broadcast_to(y0[:, None, None] + a[None, :, None], (r, n, n))
+    xx = jnp.broadcast_to(x0[:, None, None] + a[None, None, :], (r, n, n))
+    yy = jnp.where(mask[:, None, None], yy, ph)      # OOB -> dropped
+    return plane.at[yy, xx].set(vals, mode="drop")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "h", "bit_depth", "ctb_log2"))
+def intra_wavefront_pass(src_y, src_cb, src_cr,
+                         rec_y, rec_cb, rec_cr,
+                         lv_y, lv_cb, lv_cr,
+                         cu_log2_8, mode8, intra8,
+                         qp, qp_c, w: int, h: int,
+                         bit_depth: int = 8, ctb_log2: int = 6):
+    """Closed-loop intra encode for all CUs flagged in intra8.
+
+    src_*: int32 source planes at 64-aligned dims. rec_*/lv_*: int32
+    reconstruction / quantized-levels planes to update in place (I
+    pictures pass zeros; the P path passes the inter encode-pass output).
+    cu_log2_8/mode8/intra8: per-8x8-block decision maps (intra CU sizes
+    8/16/32; 64 must be pre-split by the decision). w/h: coded picture
+    dims. Returns the six updated planes.
+    """
+    h64, w64 = src_y.shape
+    R, C = h64 // 64, w64 // 64
+    nctbx = C
+    D = 2 * (R - 1) + C
+    T = D * 64
+    maxval = (1 << bit_depth) - 1
+    default = 1 << (bit_depth - 1)
+    rows = jnp.arange(R)
+
+    def body(carry, t):
+        rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = carry
+        d = t >> 6
+        k = t & 63
+        zx = ((k >> 4) & 1) * 4 + ((k >> 2) & 1) * 2 + (k & 1)
+        zy = ((k >> 5) & 1) * 4 + ((k >> 3) & 1) * 2 + ((k >> 1) & 1)
+        cols = d - 2 * rows
+        x0 = cols * 64 + zx * 8
+        y0 = rows * 64 + zy * 8
+        active = (cols >= 0) & (cols < C) & (x0 < w) & (y0 < h)
+        x0c = jnp.where(active, x0, 0)
+        y0c = jnp.where(active, y0, 0)
+        by = (y0c >> 3).astype(jnp.int32)
+        bx = (x0c >> 3).astype(jnp.int32)
+        cu_lg = cu_log2_8[by, bx]
+        mode = mode8[by, bx]
+        is_intra = intra8[by, bx]
+        cur_z = _zidx(x0c, y0c, nctbx)
+
+        for n in (8, 16, 32):
+            lg = n.bit_length() - 1
+            sel = (active & is_intra & (cu_lg == lg)
+                   & (x0c % n == 0) & (y0c % n == 0))
+            # ---- luma TB
+            refs_u = _gather_refs(rec_y, x0c, y0c, n, cur_z, w, h,
+                                  nctbx, 1, default)
+            refs_f = _filter_refs(refs_u, n)
+            pred = _predict_batch(refs_u, refs_f, mode, n, True, bit_depth)
+            # unselected lanes may point past the plane: clamp the read
+            # (the values are dropped by the masked scatter anyway)
+            a = jnp.arange(n)
+            sy = (y0c[:, None, None] + a[None, :, None]).clip(0, h64 - 1)
+            sx = (x0c[:, None, None] + a[None, None, :]).clip(0, w64 - 1)
+            srcb = src_y[jnp.broadcast_to(sy, (R, n, n)),
+                         jnp.broadcast_to(sx, (R, n, n))]
+            lv, rr = _tq_batch(srcb - pred, n, qp, bit_depth)
+            rec = jnp.clip(pred + rr, 0, maxval)
+            rec_y = _scatter(rec_y, rec, x0c, y0c, n, sel)
+            lv_y = _scatter(lv_y, lv, x0c, y0c, n, sel)
+
+            # ---- chroma TBs (4:2:0, DM mode, size n/2)
+            nc = n // 2
+            xc, yc = x0c >> 1, y0c >> 1
+            ac = jnp.arange(nc)
+            cyi = (yc[:, None, None] + ac[None, :, None]).clip(0, h64 // 2 - 1)
+            cxi = (xc[:, None, None] + ac[None, None, :]).clip(0, w64 // 2 - 1)
+            for comp, (srcp, recp, lvp) in enumerate(
+                    ((src_cb, rec_cb, lv_cb), (src_cr, rec_cr, lv_cr))):
+                crefs = _gather_refs(recp, xc, yc, nc, cur_z,
+                                     w // 2, h // 2, nctbx, 2, default)
+                cpred = _predict_batch(crefs, None, mode, nc, False,
+                                       bit_depth)
+                csrc = srcp[jnp.broadcast_to(cyi, (R, nc, nc)),
+                            jnp.broadcast_to(cxi, (R, nc, nc))]
+                clv, crr = _tq_batch(csrc - cpred, nc, qp_c, bit_depth)
+                crec = jnp.clip(cpred + crr, 0, maxval)
+                if comp == 0:
+                    rec_cb = _scatter(rec_cb, crec, xc, yc, nc, sel)
+                    lv_cb = _scatter(lv_cb, clv, xc, yc, nc, sel)
+                else:
+                    rec_cr = _scatter(rec_cr, crec, xc, yc, nc, sel)
+                    lv_cr = _scatter(lv_cr, clv, xc, yc, nc, sel)
+        return (rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr), None
+
+    carry = (rec_y.astype(jnp.int32), rec_cb.astype(jnp.int32),
+             rec_cr.astype(jnp.int32), lv_y.astype(jnp.int32),
+             lv_cb.astype(jnp.int32), lv_cr.astype(jnp.int32))
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(T, dtype=jnp.int32))
+    return carry
