@@ -137,7 +137,7 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.flag(0)            # pcm_enabled_flag
     w.ue(0)              # num_short_term_ref_pic_sets
     w.flag(0)            # long_term_ref_pics_present_flag
-    w.flag(0)            # sps_temporal_mvp_enabled_flag
+    w.flag(1 if cfg.tmvp else 0)   # sps_temporal_mvp_enabled_flag
     w.flag(0)            # strong_intra_smoothing_enabled_flag
     w.flag(1)            # vui_parameters_present_flag
     # ---- vui_parameters() (E.2.1): timing info only ----
@@ -300,6 +300,8 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
             w.ue(d - prev - 1)        # delta_poc_s1_minus1
             w.flag(used)
             prev = d
+        if cfg.tmvp:
+            w.flag(1)    # slice_temporal_mvp_enabled_flag
     if cfg.enable_sao:
         w.flag(1)        # slice_sao_luma_flag
         w.flag(1)        # slice_sao_chroma_flag
@@ -307,6 +309,10 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
         w.flag(0)        # num_ref_idx_active_override_flag (default: 1 ref)
         if slice_type == 0:
             w.flag(0)    # mvd_l1_zero_flag
+        if cfg.tmvp and not is_idr:
+            if slice_type == 0:
+                w.flag(1)    # collocated_from_l0_flag
+            # collocated_ref_idx not signalled: one active ref per list
         w.ue(0)          # five_minus_max_num_merge_cand -> MaxNumMergeCand=5
     w.se(slice_qp - 26)  # slice_qp_delta (init_qp = 26)
     if cfg.enable_sao or cfg.enable_deblocking:
@@ -348,6 +354,7 @@ class Sps:
     scaling_list_enabled: bool = False
     pcm_enabled: bool = False
     strong_intra_smoothing: bool = False
+    temporal_mvp: bool = False
 
 
 def tile_grid(n_ctb_x: int, n_ctb_y: int, cols: int, rows: int):
@@ -393,6 +400,8 @@ class SliceHeader:
     sao_luma: bool = False
     sao_chroma: bool = False
     max_num_merge_cand: int = 5
+    temporal_mvp: bool = False
+    col_from_l0: bool = True
     neg_deltas: list = field(default_factory=list)     # past-ref POC deltas
     pos_deltas: list = field(default_factory=list)     # future-ref POC deltas
     keep_neg: list = field(default_factory=list)       # all RPS neg deltas
@@ -452,7 +461,7 @@ def parse_sps(rbsp: bytes) -> Sps:
         raise NotImplementedError("short-term RPS parsing")
     if r.flag():
         raise NotImplementedError("long-term ref pics")
-    r.flag()                     # sps_temporal_mvp_enabled_flag
+    s.temporal_mvp = r.flag()    # sps_temporal_mvp_enabled_flag
     s.strong_intra_smoothing = r.flag()
     # ignore VUI / extensions
     return s
@@ -539,6 +548,8 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
                 h.keep_pos.append(prev)
                 if r.flag():
                     h.pos_deltas.append(prev)
+        if sps.temporal_mvp:
+            h.temporal_mvp = bool(r.flag())
     if sps.sao_enabled:
         h.sao_luma = r.flag()
         h.sao_chroma = r.flag()
@@ -552,6 +563,10 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
         if h.slice_type == 0:
             if r.flag():         # mvd_l1_zero_flag
                 raise NotImplementedError("mvd_l1_zero")
+        if h.temporal_mvp:
+            if h.slice_type == 0:
+                h.col_from_l0 = bool(r.flag())
+            # collocated_ref_idx absent: one active reference per list
         h.max_num_merge_cand = 5 - r.ue()
     h.slice_qp = pps.init_qp + r.se()
     if pps.deblocking_control_present and pps.deblocking_override_enabled:

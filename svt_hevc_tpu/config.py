@@ -79,6 +79,10 @@ class EncoderConfig:
                                       # noisy sources before encoding
     scene_change_detection: bool = True   # EbApi.h sceneChangeDetection
     constrained_intra: bool = False
+    # temporal MV prediction (sps_temporal_mvp_enabled_flag; reference
+    # candidates EbAdaptiveMotionVectorPrediction.c:1749, map fill
+    # EbCodingLoop.c:4500)
+    tmvp: bool = True
     # per-LCU adaptive QP, the reference's QPM visual-quality tools
     # (EbApi.h improveSharpness / bitRateReduction; derivation
     # EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919)

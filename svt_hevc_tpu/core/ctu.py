@@ -99,6 +99,10 @@ class PictureState:
         self.ref_pocs: list = [[], []]         # [lst][ref] -> POC
         self.poc = 0
         self.max_merge = 5
+        # collocated picture's motion for TMVP (8.5.3.2.7): dict with
+        # mv / ref_idx (4x4-gran maps), ref_pocs, poc, from_l0; None
+        # disables the temporal candidate
+        self.col: dict | None = None
         self.mv = np.zeros((coded_h // 4, coded_w // 4, 2, 2), np.int32)
         self.ref_idx = np.full((coded_h // 4, coded_w // 4, 2), -1, np.int8)
         self.skip = np.zeros((coded_h // 4, coded_w // 4), bool)

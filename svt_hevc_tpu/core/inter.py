@@ -2,12 +2,11 @@
 
 Motion-compensated prediction per H.265 8.5.4 (8-tap luma / 4-tap chroma
 separable interpolation, quarter-pel luma, eighth-pel chroma) and the
-spatial merge (8.5.3.2.3/4) and AMVP (8.5.3.2.5/6) candidate lists.
-Temporal (TMVP) candidates are disabled via sps_temporal_mvp_enabled_flag=0,
-which is a conformant configuration and removes the collocated-picture
-dependency (this encoder's scope for the low-delay P path; the reference
-equivalent is EbAdaptiveMotionVectorPrediction.c FillAMVPCandidates :1749 /
-EbMvMerge.h with its TMVP map, EbCodingLoop.c:4500).
+merge (8.5.3.2.3/4) and AMVP (8.5.3.2.5/6) candidate lists with spatial
+and temporal (TMVP, 8.5.3.2.7/8) candidates; the collocated picture's
+compressed motion is attached as st.col (the reference equivalent is
+EbAdaptiveMotionVectorPrediction.c FillAMVPCandidates :1749 / EbMvMerge.h
+with its TMVP map, EbCodingLoop.c:4500).
 
 MVs are (mvx, mvy) in quarter-luma-sample units. The motion field lives in
 PictureState at 4x4 granularity: st.mv[(y>>2, x>>2)] and st.ref_idx
@@ -238,10 +237,83 @@ def _motion_at(st, x: int, y: int) -> Mi | None:
               r1)
 
 
+def _scale_mv_td(mv, tb: int, td: int):
+    """MV scaling with explicit POC distances (8.5.3.2.8 general form)."""
+    tb = max(-128, min(127, tb))
+    td = max(-128, min(127, td))
+    if td == tb or td == 0:
+        return (int(mv[0]), int(mv[1]))
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+    out = []
+    for c in mv:
+        v = dsf * int(c)
+        v = (abs(v) + 127) >> 8
+        v = v if dsf * int(c) >= 0 else -v
+        out.append(max(-32768, min(32767, v)))
+    return (out[0], out[1])
+
+
+def _col_motion_at(col: dict, x: int, y: int) -> Mi | None:
+    """Collocated picture's (compressed, 16x16) motion at luma (x, y).
+    col maps are stored at 16x16 granularity (the spec's motion
+    compression: the top-left 4x4 of each 16x16 region)."""
+    mvm, refm = col["mv"], col["ref_idx"]
+    cy, cx = y >> 4, x >> 4
+    if cy >= refm.shape[0] or cx >= refm.shape[1]:
+        return None
+    r0, r1 = int(refm[cy, cx, 0]), int(refm[cy, cx, 1])
+    if r0 < 0 and r1 < 0:
+        return None
+    return Mi((int(mvm[cy, cx, 0, 0]), int(mvm[cy, cx, 0, 1])), r0,
+              (int(mvm[cy, cx, 1, 0]), int(mvm[cy, cx, 1, 1])), r1)
+
+
+def tmvp_mv(st, x0: int, y0: int, n: int, lst: int,
+            target_poc: int) -> tuple[int, int] | None:
+    """Temporal MV predictor (8.5.3.2.7/8): collocated bottom-right
+    block (same CTB row, inside the picture), else the collocated
+    center block; the chosen list's MV is POC-scaled. Reference:
+    EbAdaptiveMotionVectorPrediction.c FillAMVPCandidates :1749 /
+    the TMVP map fill EbCodingLoop.c:4500."""
+    col = getattr(st, "col", None)
+    if col is None:
+        return None
+    cur_poc = getattr(st, "poc", 0)
+    no_backward = all(p <= cur_poc
+                     for refs in st.ref_pocs for p in refs)
+
+    cands = []
+    xbr, ybr = x0 + n, y0 + n
+    if (xbr < st.w and ybr < st.h
+            and (ybr >> st.ctb_log2) == (y0 >> st.ctb_log2)):
+        cands.append((xbr, ybr))
+    cands.append((x0 + n // 2, y0 + n // 2))
+
+    for (x, y) in cands:
+        m = _col_motion_at(col, x, y)
+        if m is None:
+            continue
+        if not m.uses(0):
+            lc = 1
+        elif not m.uses(1):
+            lc = 0
+        elif no_backward:
+            lc = lst
+        else:
+            lc = 1 if col.get("from_l0", True) else 0
+        ref_poc_col = col["ref_pocs"][lc][m.ref(lc)]
+        tb = cur_poc - target_poc
+        td = col["poc"] - ref_poc_col
+        return _scale_mv_td(m.mv(lc), tb, td)
+    return None
+
+
 def merge_candidates(st, x0: int, y0: int, n: int, max_cand: int = 5):
-    """Merge list (8.5.3.2.3/4): spatial candidates, then (B slices)
-    combined bi-predictive candidates, then zero candidates. TMVP is
-    disabled (sps_temporal_mvp_enabled_flag = 0). Returns list of Mi."""
+    """Merge list (8.5.3.2.3/4): spatial candidates, the temporal (TMVP)
+    candidate when a collocated picture is attached (st.col), then (B
+    slices) combined bi-predictive candidates, then zero candidates.
+    Returns list of Mi."""
     a1 = _motion_at(st, x0 - 1, y0 + n - 1)
     b1 = _motion_at(st, x0 + n - 1, y0 - 1)
     b0 = _motion_at(st, x0 + n, y0 - 1)
@@ -261,6 +333,15 @@ def merge_candidates(st, x0: int, y0: int, n: int, max_cand: int = 5):
         cand.append(b2)
 
     is_b = getattr(st, "slice_type", 1) == 0
+    # temporal candidate (8.5.3.2.3 step after B2; refIdxLXCol = 0; no
+    # pruning against the spatial candidates per spec)
+    if getattr(st, "col", None) is not None and len(cand) < max_cand:
+        mv0 = tmvp_mv(st, x0, y0, n, 0, st.ref_pocs[0][0])
+        mv1 = (tmvp_mv(st, x0, y0, n, 1, st.ref_pocs[1][0])
+               if is_b else None)
+        if mv0 is not None or mv1 is not None:
+            cand.append(Mi(mv0 or (0, 0), 0 if mv0 is not None else -1,
+                           mv1 or (0, 0), 0 if mv1 is not None else -1))
     if is_b and len(cand) > 1:
         # combined bi-predictive candidates (8.5.3.2.4)
         l0i = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
@@ -356,6 +437,11 @@ def amvp_candidates(st, x0: int, y0: int, n: int, lst: int = 0):
         cand.append(mv_a)
     if mv_b is not None and mv_b != mv_a:
         cand.append(mv_b)
+    if len(cand) < 2 and getattr(st, "col", None) is not None:
+        # temporal candidate (8.5.3.2.6: appended without pruning)
+        mv_t = tmvp_mv(st, x0, y0, n, lst, target_poc)
+        if mv_t is not None:
+            cand.append(mv_t)
     while len(cand) < 2:
         cand.append((0, 0))
     return cand[:2]

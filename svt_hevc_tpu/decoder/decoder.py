@@ -32,6 +32,7 @@ def decode_stream(stream: bytes) -> list[Frame]:
     segments (e.g. one slice per tile, the reference's tileSliceMode)."""
     sps = pps = None
     dpb: dict[int, list] = {}       # poc -> planes
+    motion: dict[int, dict] = {}    # poc -> TMVP collocated motion
     out: list[tuple[int, int, Frame]] = []    # (cvs, poc, frame)
     cvs = 0
     cur: _PictureCtx | None = None
@@ -53,6 +54,7 @@ def decode_stream(stream: bytes) -> list[Frame]:
                 if nal_type in (NalUnitType.IDR_W_RADL,
                                 NalUnitType.IDR_N_LP):
                     dpb.clear()
+                    motion.clear()
                     cvs += 1
                 else:
                     # RPS-driven DPB eviction (8.3.2): any reference
@@ -63,16 +65,20 @@ def decode_stream(stream: bytes) -> list[Frame]:
                             | {hdr.poc + d for d in hdr.keep_pos})
                     for stale in [p for p in dpb if p not in keep]:
                         del dpb[stale]
-                cur = _PictureCtx(hdr, sps, pps, dpb)
+                        motion.pop(stale, None)
+                cur = _PictureCtx(hdr, sps, pps, dpb, motion)
             elif cur is None:
                 raise ValueError("non-first slice without an open picture")
             cur.decode_slice(rbsp, hdr)
             if cur.done():
                 frame, planes, poc = cur.finish()
                 dpb[poc] = planes
+                motion[poc] = cur.motion()
                 out.append((cvs, poc, frame))
                 if len(dpb) > 17:
-                    del dpb[min(dpb)]
+                    dead = min(dpb)
+                    del dpb[dead]
+                    motion.pop(dead, None)
                 cur = None
     if cur is not None:
         raise ValueError("stream ended mid-picture")
@@ -83,7 +89,7 @@ def decode_stream(stream: bytes) -> list[Frame]:
 class _PictureCtx:
     """One picture being assembled from >= 1 independent slice segments."""
 
-    def __init__(self, hdr, sps, pps, dpb):
+    def __init__(self, hdr, sps, pps, dpb, motion=None):
         self.sps, self.pps, self.hdr0 = sps, pps, hdr
         st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                           sps.bit_depth, chroma_format=sps.chroma_format_idc)
@@ -110,6 +116,13 @@ class _PictureCtx:
             st.ref_pocs = [[l0[0]], [l1[0]] if l1 else []]
             st.poc = hdr.poc
             st.max_merge = hdr.max_num_merge_cand
+            if hdr.temporal_mvp and motion is not None:
+                col_poc = (l0[0] if hdr.col_from_l0 or not l1 else l1[0])
+                col = motion.get(col_poc)
+                if col is None:
+                    raise ValueError(
+                        f"collocated picture {col_poc} has no motion")
+                st.col = dict(col, from_l0=hdr.col_from_l0)
         self.st = st
         ctb = 1 << sps.log2_ctb
         self.ctb = ctb
@@ -217,3 +230,13 @@ class _PictureCtx:
                             left:left + (w // swc)].astype(dt),
         )
         return frame, [p.copy() for p in st.planes], hdr.poc
+
+    def motion(self) -> dict:
+        """This picture's motion field for later TMVP (8.5.3.2.8
+        collocated data): 4x4-granularity MV/ref maps + its reference
+        POCs."""
+        st = self.st
+        return {"mv": st.mv[::4, ::4].copy(),    # 16x16 compression
+                "ref_idx": st.ref_idx[::4, ::4].copy(),
+                "ref_pocs": [list(st.ref_pocs[0]), list(st.ref_pocs[1])],
+                "poc": self.hdr0.poc}

@@ -134,7 +134,9 @@ def gop_encode_step(mesh: Mesh):
 
     def one(sy, scb, scr, ry, rcb, rcr, mv, qp, qp_c):
         return fast_p_fused_packed(sy, scb, scr, ry, rcb, rcr, mv, qp,
-                                   qp_c, ctb_log2=5, bit_depth=8)
+                                   qp_c, ctb_log2=5,
+                                   w=sy.shape[1], h=sy.shape[0],
+                                   bit_depth=8)
 
     def step(src3, ref3, hme_mv, qp, qp_c):
         return jax.vmap(

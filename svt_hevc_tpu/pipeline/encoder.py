@@ -108,12 +108,84 @@ def tpu_me_field(src_y: np.ndarray, ref_y: np.ndarray) -> np.ndarray:
     return np.asarray(mv)
 
 
+class _LazyPlanes:
+    """List-like [y, cb, cr] post-filter recon planes (coded dims, int32)
+    materialized from device-resident arrays on first access — fast-path
+    pictures never download their reconstruction unless something
+    actually reads it (recon output, a host-path reference, RA DPB)."""
+
+    def __init__(self, rec_dev, cw: int, ch: int):
+        self._dev = rec_dev
+        self._cw, self._ch = cw, ch
+        self._v = None
+
+    def _get(self):
+        if self._v is None:
+            y, cb, cr = self._dev
+            cw, ch = self._cw, self._ch
+            self._v = [np.asarray(y)[:ch, :cw].astype(np.int32),
+                       np.asarray(cb)[:ch // 2, :cw // 2].astype(np.int32),
+                       np.asarray(cr)[:ch // 2, :cw // 2].astype(np.int32)]
+        return self._v
+
+    def __getitem__(self, i):
+        return self._get()[i]
+
+    def __iter__(self):
+        return iter(self._get())
+
+    def __len__(self):
+        return 3
+
+
+class _LazyFrame:
+    """Frame-like recon view over _LazyPlanes: materializes a real Frame
+    (display crop + dtype) on first attribute access, so fast-path
+    pictures whose recon nobody reads never download it."""
+
+    def __init__(self, planes: _LazyPlanes, w: int, h: int, wc: int,
+                 hc: int, dt):
+        object.__setattr__(self, "_spec", (planes, w, h, wc, hc, dt))
+        object.__setattr__(self, "_frame", None)
+
+    def _materialize(self) -> Frame:
+        if self._frame is None:
+            planes, w, h, wc, hc, dt = self._spec
+            object.__setattr__(self, "_frame", Frame(
+                y=planes[0][:h, :w].astype(dt),
+                cb=planes[1][:hc, :wc].astype(dt),
+                cr=planes[2][:hc, :wc].astype(dt)))
+        return self._frame
+
+    def __getattr__(self, name):
+        return getattr(self._materialize(), name)
+
+
 @dataclass
 class EncodedPicture:
     nal_bytes: bytes          # slice NAL (Annex-B)
-    recon: Frame              # cropped reconstruction
+    recon: Frame              # cropped reconstruction (possibly lazy)
     poc: int = 0
     ref_planes: list | None = None   # full-plane post-filter recon (DPB)
+
+
+@dataclass
+class PendingPicture:
+    """A dispatched-but-not-finalized fast-path picture: the device graph
+    is running; recon/DPB handles already exist so the NEXT frame can be
+    dispatched against it, and finish() downloads + walks + assembles the
+    bitstream (the one-frame-deep analogue of the reference's
+    frames-in-flight pipeline, EbEncHandle.c:1645)."""
+    poc: int
+    recon: object
+    ref_planes: object
+    _finish: object
+    _pic: EncodedPicture | None = None
+
+    def finish(self) -> EncodedPicture:
+        if self._pic is None:
+            self._pic = self._finish()
+        return self._pic
 
 
 @dataclass
@@ -142,6 +214,13 @@ class Encoder:
         # (poc, w64, h64) -> device (y, cb, cr) padded int32 reference
         # planes, so fast-path P pictures never re-upload references
         self._dev_dpb: dict = {}
+        # poc -> motion field of coded reference pictures (TMVP
+        # collocated data; reference: the TMVP map, EbCodingLoop.c:4500)
+        self._ref_motion: dict = {}
+        # the not-yet-finalized pipelined picture (PendingPicture):
+        # synchronous (host-path) encodes force-finish it first so the
+        # collocated motion field exists
+        self._inflight = None
         # dynamic preset (reference analogue: SpeedBufferControl,
         # EbResourceCoordinationProcess.c :68): adjusted in encode() when
         # speed control is enabled
@@ -153,6 +232,20 @@ class Encoder:
         rate; enc_mode then floats in [cfg.enc_mode, 11]."""
         self._speed_target_fps = target_fps
         self._dyn_enc_mode = self.cfg.enc_mode
+
+    def _flush_inflight(self) -> None:
+        """Force-finish the pipelined picture in flight (host-path
+        encodes and TMVP lookups need its final motion field)."""
+        if self._inflight is not None:
+            self._inflight.finish()
+            self._inflight = None
+
+    def _col_for(self, col_poc):
+        """Collocated motion dict for TMVP, or None."""
+        if col_poc is None:
+            return None
+        ent = self._ref_motion.get(col_poc)
+        return dict(ent, from_l0=True) if ent is not None else None
 
     def _frame_is_idr(self, idx: int) -> bool:
         ip = self.cfg.intra_period
@@ -258,7 +351,8 @@ class Encoder:
                      refs_l0=None, refs_l1=None,
                      qp_map: np.ndarray | None = None,
                      non_ref: bool = False,
-                     retain_pocs=None) -> EncodedPicture:
+                     retain_pocs=None,
+                     pipelined: bool = False) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB). qp_map:
         explicit per-CTB QP grid (overrides the derived QPM map).
@@ -284,6 +378,10 @@ class Encoder:
         if slice_type == 0 and not refs_l1:
             refs_l1 = list(refs_l0)          # low-delay B: L1 = L0
         init_type = {2: 0, 1: 1, 0: 2}[slice_type]
+        # TMVP collocated picture: list-0 ref 0 (collocated_from_l0
+        # signalled 1 for B slices)
+        col_poc = (refs_l0[0][1]
+                   if cfg.tmvp and not is_idr and refs_l0 else None)
         cw, ch = cfg.coded_width, cfg.coded_height
         cw_c, ch_c = cw // cfg.sub_width_c, ch // cfg.sub_height_c
         src = [
@@ -385,11 +483,15 @@ class Encoder:
                                                rp[1].astype(dt),
                                                rp[2].astype(dt), w64, h64)
 
-        # ---- fast path: ONE fused device graph (phases + dense MD + OIS
-        # + quadtree decision + encode pass) + single host walk
-        # (pipeline/fast_path.py) for the common P configuration ----
+        # ---- fast paths: ONE fused device graph (P: phases + dense MD +
+        # OIS + quadtree decision + encode pass + intra wavefront;
+        # I: OIS + decision + intra wavefront) + single host walk
+        # (pipeline/fast_path.py) emitting syntax from the maps ----
         use_fast = (fast_capable and slice_type == 1 and not rd
-                    and single_ref and qp_map is None and feat.ois_intra)
+                    and single_ref and qp_map is None and feat.ois_intra
+                    and not cfg.constrained_intra)
+        use_fast_i = (fast_capable and slice_type == 2 and not rd
+                      and qp_map is None and feat.ois_intra)
 
         me_seed = mv_dev = None
         if not is_idr:
@@ -405,23 +507,35 @@ class Encoder:
         # drive the MD shortlist at OIS presets (reference: OIS feeding MD
         # candidate pruning, EbModeDecisionConfigurationProcess.c:289).
         # Fast-path pictures run OIS inside the fused graph instead.
-        if feat.ois_intra and not use_fast:
+        if feat.ois_intra and not (use_fast or use_fast_i):
             ois = self._ois_maps(src[0] if src_dev is None else src_dev[0])
         else:
             ois = None
 
-        if use_fast:
+        rec_dev = packed = None
+        if use_fast or use_fast_i:
+            # dispatch the fused device graph; the download + host walk
+            # happen in _complete() so a pipelined caller can dispatch
+            # the NEXT frame first (frames-in-flight)
+            from .fast_path import run_fast_i, run_fast_p
             st = new_state()
-            substreams = self._encode_fast_p(
-                st, src, src_dev, ref_dev, qp, mv_dev, feat,
-                tiles[0][0], last_xy, init_type)
+            if use_fast_i:
+                packed, rec_dev = run_fast_i(cfg, feat, st, qp, src_dev)
+            else:
+                packed, rec_dev = run_fast_p(cfg, feat, st, qp,
+                                             mv_dev, src_dev, ref_dev)
+            substreams = None
         else:
             substreams = None
 
         slice_per_tile = bool(cfg.tile_slice_mode) and len(tiles) > 1
-        if not use_fast:
+        if substreams is None and packed is None:
+            # synchronous host-path encode: the previous pipelined frame
+            # must be final (its motion field is this frame's TMVP source)
+            self._flush_inflight()
             # ---- pass 1: decide + reconstruct (no bitstream output) ----
             st = new_state()
+            st.col = self._col_for(col_poc)
             decisions_all: dict = {}
             # decide-once cache shared with pass 2 (identical recon state
             # => identical plans/modes; pass 2 only replays)
@@ -462,6 +576,7 @@ class Encoder:
             # stream; each tile's sequential arithmetic runs independently
             # in the native C core (svt_hevc_tpu/native/cabac.c) ----
             st2 = new_state()
+            st2.col = st.col
             substreams = []
             for t_idx, (order, left_col, top_row, rect) in enumerate(tiles):
                 st2.begin_tile()
@@ -511,79 +626,129 @@ class Encoder:
         nal_type = (NalUnitType.IDR_W_RADL if is_idr
                     else NalUnitType.TRAIL_N if non_ref
                     else NalUnitType.TRAIL_R)
-        if slice_per_tile:
-            # one independent slice NAL per tile (reference tileSliceMode,
-            # EbApi.h:360; MCTS packaging tested by the reference's
-            # FunctionalTests MCTS check)
-            nals = []
-            for t_idx, (order, _, _, _) in enumerate(tiles):
-                ax, ay = order[0]
-                addr = (ay >> cfg.ctb_log2) * n_ctb_x + (ax >> cfg.ctb_log2)
-                w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
-                                       poc=poc, slice_type=slice_type,
-                                       entry_points=[], neg_deltas=negs,
-                                       pos_deltas=poss,
-                                       first_slice=t_idx == 0,
-                                       slice_address=addr)
-                w.write_bytes(substreams[t_idx])
-                nals.append(wrap_nal(nal_type, w.get_bytes()))
-            nal = b"".join(nals)
-        else:
-            payload = b"".join(substreams)
-            entry_points = [len(s) for s in substreams[:-1]]
-            w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
-                                   poc=poc, slice_type=slice_type,
-                                   entry_points=entry_points,
-                                   neg_deltas=negs, pos_deltas=poss)
-            w.write_bytes(payload)
-            nal = wrap_nal(nal_type, w.get_bytes())
 
-        # per-picture metadata: prefix user-data SEIs before the slice,
-        # Dolby Vision RPU as NAL 62 after it (reference: per-buffer SEI
-        # attachments + RPU passthrough, EbPacketizationProcess.c:733-752)
-        pre_msgs = []
-        if frame.sei_t35 is not None:
-            pre_msgs.append(sei.write_user_data_registered(frame.sei_t35))
-        if frame.sei_unreg is not None:
-            pre_msgs.append(sei.write_user_data_unregistered(
-                frame.sei_unreg[0], frame.sei_unreg[1]))
-        if pre_msgs:
-            nal = wrap_nal(NalUnitType.PREFIX_SEI_NUT,
-                           sei.sei_rbsp(pre_msgs)) + nal
-        if cfg.dolby_vision_profile == 81 and frame.dv_rpu:
-            nal += wrap_nal(NalUnitType.UNSPEC62, frame.dv_rpu)
-
-        # update the low-delay DPB: the post-filter pass-1 picture is the
-        # default reference for the next frame
-        self._ref_planes = [p.copy() for p in st.planes]
-        self._ref_poc = poc
-
-        # device-resident DPB for the fast path: upload the final recon
-        # once (narrow dtype) so the next P picture's HME/MD/MC never
-        # re-ship reference pixels over the tunnel
-        if fast_capable and not non_ref:
-            from ..tpu import encode as tenc
-            if is_idr:
-                self._dev_dpb.clear()
-            dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
-            self._dev_dpb[(poc, w64, h64)] = tenc.prep_planes(
-                st.planes[0].astype(dt), st.planes[1].astype(dt),
-                st.planes[2].astype(dt), w64, h64)
-            while len(self._dev_dpb) > 6:
-                del self._dev_dpb[next(iter(self._dev_dpb))]
-
-        # output recon comes from pass 1 (post DLF + SAO); pass-2 recon is
-        # bit-identical pre-filter by construction
+        # ---- DPB updates happen at dispatch time: the device recon
+        # handle (fast) / host planes (slow) already exist, so the next
+        # frame can reference this one before its bitstream is final
         dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
         hc, wc = frame.cb.shape
-        recon = Frame(
-            y=st.planes[0][:frame.height, :frame.width].astype(dt),
-            cb=st.planes[1][:hc, :wc].astype(dt),
-            cr=st.planes[2][:hc, :wc].astype(dt),
-        )
-        pic = EncodedPicture(nal_bytes=nal, recon=recon, poc=poc)
-        pic.ref_planes = self._ref_planes
-        return pic
+        if rec_dev is not None:
+            # fast path: the post-filter recon lives on the device; it
+            # becomes the next reference directly (device-resident DPB —
+            # no download, no upload), and the host-side recon / DPB
+            # views materialize lazily only if something reads them
+            if is_idr:
+                self._dev_dpb.clear()
+            if not non_ref:
+                self._dev_dpb[(poc, w64, h64)] = rec_dev
+                while len(self._dev_dpb) > 6:
+                    del self._dev_dpb[next(iter(self._dev_dpb))]
+            lazy = _LazyPlanes(rec_dev, cw, ch)
+            self._ref_planes = lazy
+            self._ref_poc = poc
+            recon = _LazyFrame(lazy, frame.width, frame.height, wc, hc, dt)
+        else:
+            # host-path picture: planes are the post-filter recon
+            self._ref_planes = [p.copy() for p in st.planes]
+            self._ref_poc = poc
+            # keep the device DPB coherent so a following fast P picture
+            # can still motion-compensate without re-uploading later
+            if fast_capable and not non_ref:
+                from ..tpu import encode as tenc
+                if is_idr:
+                    self._dev_dpb.clear()
+                self._dev_dpb[(poc, w64, h64)] = tenc.prep_planes(
+                    st.planes[0].astype(dt), st.planes[1].astype(dt),
+                    st.planes[2].astype(dt), w64, h64)
+                while len(self._dev_dpb) > 6:
+                    del self._dev_dpb[next(iter(self._dev_dpb))]
+            recon = Frame(
+                y=st.planes[0][:frame.height, :frame.width].astype(dt),
+                cb=st.planes[1][:hc, :wc].astype(dt),
+                cr=st.planes[2][:hc, :wc].astype(dt),
+            )
+        ref_planes = self._ref_planes
+
+        def _complete() -> EncodedPicture:
+            substr = substreams
+            if substr is None:
+                # fast path: fetch the packed device buffer, walk, CABAC.
+                # The collocated motion binds HERE (not at dispatch): the
+                # previous frame's walk has finished by completion order.
+                st.col = self._col_for(col_poc)
+                from .fast_path import complete_fast
+                maps, sao_np = complete_fast(cfg, st, packed)
+                substr = self._encode_fast(
+                    st, src, maps, sao_np, qp, feat, tiles[0][0], last_xy,
+                    init_type)
+            if cfg.tmvp and not non_ref:
+                # this picture's final motion field is a future TMVP
+                # collocated source (reference: TMVP map fill,
+                # EbCodingLoop.c:4500)
+                self._ref_motion[poc] = {
+                    "mv": st.mv[::4, ::4].copy(),     # 16x16 compression
+                    "ref_idx": st.ref_idx[::4, ::4].copy(),
+                    "ref_pocs": [list(st.ref_pocs[0]),
+                                 list(st.ref_pocs[1])],
+                    "poc": poc}
+                # lifetime mirrors the decoder DPB: anything a future
+                # picture could still collocate against stays
+                for k in [k for k in self._ref_motion
+                          if abs(k - poc) > 64]:
+                    del self._ref_motion[k]
+            if slice_per_tile:
+                # one independent slice NAL per tile (reference
+                # tileSliceMode, EbApi.h:360; MCTS packaging tested by
+                # the reference's FunctionalTests MCTS check)
+                nals = []
+                for t_idx, (order, _, _, _) in enumerate(tiles):
+                    ax, ay = order[0]
+                    addr = ((ay >> cfg.ctb_log2) * n_ctb_x
+                            + (ax >> cfg.ctb_log2))
+                    w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
+                                           poc=poc, slice_type=slice_type,
+                                           entry_points=[], neg_deltas=negs,
+                                           pos_deltas=poss,
+                                           first_slice=t_idx == 0,
+                                           slice_address=addr)
+                    w.write_bytes(substr[t_idx])
+                    nals.append(wrap_nal(nal_type, w.get_bytes()))
+                nal = b"".join(nals)
+            else:
+                payload = b"".join(substr)
+                entry_points = [len(s) for s in substr[:-1]]
+                w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
+                                       poc=poc, slice_type=slice_type,
+                                       entry_points=entry_points,
+                                       neg_deltas=negs, pos_deltas=poss)
+                w.write_bytes(payload)
+                nal = wrap_nal(nal_type, w.get_bytes())
+
+            # per-picture metadata: prefix user-data SEIs before the
+            # slice, Dolby Vision RPU as NAL 62 after it (reference:
+            # per-buffer SEI attachments + RPU passthrough,
+            # EbPacketizationProcess.c:733-752)
+            pre_msgs = []
+            if frame.sei_t35 is not None:
+                pre_msgs.append(sei.write_user_data_registered(
+                    frame.sei_t35))
+            if frame.sei_unreg is not None:
+                pre_msgs.append(sei.write_user_data_unregistered(
+                    frame.sei_unreg[0], frame.sei_unreg[1]))
+            out = nal
+            if pre_msgs:
+                out = wrap_nal(NalUnitType.PREFIX_SEI_NUT,
+                               sei.sei_rbsp(pre_msgs)) + out
+            if cfg.dolby_vision_profile == 81 and frame.dv_rpu:
+                out += wrap_nal(NalUnitType.UNSPEC62, frame.dv_rpu)
+            pic = EncodedPicture(nal_bytes=out, recon=recon, poc=poc)
+            pic.ref_planes = ref_planes
+            return pic
+
+        if pipelined and packed is not None:
+            return PendingPicture(poc=poc, recon=recon,
+                                  ref_planes=ref_planes, _finish=_complete)
+        return _complete()
 
     def encode(self, frames, *, rd: bool | None = None,
                frame_qps=None) -> tuple[bytes, list[Frame]]:
@@ -616,6 +781,7 @@ class Encoder:
         # stream's device-resident references (advisor r2: stale _dev_dpb
         # entries on POC reuse without an intervening IDR)
         self._dev_dpb.clear()
+        self._ref_motion.clear()
         if self.cfg.pred_structure == 2:
             yield from self._ra_pictures(list(frames), rd=rd)
             return
@@ -635,6 +801,42 @@ class Encoder:
         # prediction structures EbPredictionStructure.c:72-236)
         hl = self.cfg.hierarchical_levels
         ll_last: dict[int, tuple] = {}       # layer -> (idx, planes, poc)
+        pending = None
+
+        def _emit(res, meta):
+            pic = res.finish() if isinstance(res, PendingPicture) \
+                else res
+            m_idx, m_idr, m_stype, m_qp, m_window, m_t0 = meta
+            if self._speed_target_fps is not None:
+                fps = 1.0 / max(_time.perf_counter() - m_t0, 1e-9)
+                if fps < self._speed_target_fps:
+                    self._dyn_enc_mode = min(self._dyn_enc_mode + 1, 11)
+                elif fps > 2.0 * self._speed_target_fps:
+                    self._dyn_enc_mode = max(self._dyn_enc_mode - 1,
+                                             self.cfg.enc_mode)
+            data = pic.nal_bytes
+            # strict-CBR filler: pad the AU so the VBV cannot overflow
+            # (reference: EbPacketizationProcess.c:708-723); filler
+            # bits count toward the RC totals like the reference's
+            # fillerBitsSent
+            fill = rc.filler_bits(8 * len(data))
+            if fill >= 16 * 8:
+                nbytes = fill // 8 - 7   # NAL overhead
+                data += wrap_nal(NalUnitType.FD_NUT,
+                                 b"\xff" * nbytes + b"\x80")
+            total_bits = 8 * len(data)
+            if m_window is not None:
+                rc.update_lookahead(total_bits, m_qp, m_window[0],
+                                    is_idr=m_idr)
+            else:
+                rc.update(total_bits, m_qp)
+            if self.cfg.enable_hrd:
+                data = self._hrd_sei(m_idr) + data
+            return EncodedAu(data=data, recon=pic.recon, poc=pic.poc,
+                             slice_type=m_stype, is_idr=m_idr,
+                             display_idx=m_idx, decode_idx=m_idx)
+
+
         for fr, window in stream:
             idx = self._frame_idx
             self._frame_idx += 1
@@ -669,52 +871,44 @@ class Encoder:
             # every layer's most recent picture can still be referenced by
             # later pictures — keep them alive in the decoder's DPB
             retain = {e[2] for e in ll_last.values()}
-            pic = self.encode_frame(
-                fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,
-                slice_type=2 if is_idr else (0 if b_slices else 1),
-                refs_l0=refs_l0, non_ref=non_ref, retain_pocs=retain)
-            if hl > 0 and (layer < hl or is_idr):
-                ll_last[0 if is_idr else layer] = (idx, pic.ref_planes, rel)
-            if self._speed_target_fps is not None:
-                fps = 1.0 / max(_time.perf_counter() - t0, 1e-9)
-                if fps < self._speed_target_fps:
-                    self._dyn_enc_mode = min(self._dyn_enc_mode + 1, 11)
-                elif fps > 2.0 * self._speed_target_fps:
-                    self._dyn_enc_mode = max(self._dyn_enc_mode - 1,
-                                             self.cfg.enc_mode)
-            data = pic.nal_bytes
-            # strict-CBR filler: pad the AU so the VBV cannot overflow
-            # (reference: EbPacketizationProcess.c:708-723); filler bits
-            # count toward the RC totals like the reference's
-            # fillerBitsSent
-            fill = rc.filler_bits(8 * len(data))
-            if fill >= 16 * 8:
-                nbytes = fill // 8 - 7      # NAL overhead: start+hdr+stop
-                data += wrap_nal(NalUnitType.FD_NUT,
-                                 b"\xff" * nbytes + b"\x80")
-            total_bits = 8 * len(data)
-            if window is not None:
-                rc.update_lookahead(total_bits, qp, window[0],
-                                    is_idr=is_idr)
-            else:
-                rc.update(total_bits, qp)
-            if self.cfg.enable_hrd:
-                data = self._hrd_sei(is_idr) + data
-            yield EncodedAu(data=data, recon=pic.recon, poc=pic.poc,
-                            slice_type=2 if is_idr else (0 if b_slices else 1),
-                            is_idr=is_idr, display_idx=idx, decode_idx=idx)
+            stype = 2 if is_idr else (0 if b_slices else 1)
 
-    def _encode_fast_p(self, st, src, src_dev, ref_dev, qp, mv_dev,
-                       feat, order, last_xy, init_type) -> list[bytes]:
-        """Fast P-picture encode (pipeline/fast_path.py): one fused TPU
-        graph (dense MD + OIS + decision + encode pass), then ONE host
-        walk per CTU recording bin ops (decide + emit fused — op streams
-        carry context indices, not state, so SAO syntax is stitched in
-        afterwards), DLF/SAO, and one native CABAC run. Returns the slice
-        substream list."""
-        from .fast_path import FastCtuEncoder, run_fast_p
+            # one-frame-deep pipelining: dispatch this frame's device
+            # graph before finalizing the previous frame, so the host
+            # walk overlaps the device compute + download (safe under
+            # CQP — the RC feedback path needs same-frame bits)
+            can_pipe = (rc.mode == 0 and self._speed_target_fps is None)
+            res = self.encode_frame(
+                fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,
+                slice_type=stype, refs_l0=refs_l0, non_ref=non_ref,
+                retain_pocs=retain, pipelined=can_pipe)
+            if hl > 0 and (layer < hl or is_idr):
+                ll_last[0 if is_idr else layer] = (idx, res.ref_planes, rel)
+            meta = (idx, is_idr, stype, qp, window, t0)
+            if pending is not None:
+                yield _emit(*pending)
+                pending = None
+                self._inflight = None
+            if isinstance(res, PendingPicture):
+                pending = (res, meta)
+                self._inflight = res
+            else:
+                yield _emit(res, meta)
+        if pending is not None:
+            yield _emit(*pending)
+            self._inflight = None
+
+    def _encode_fast(self, st, src, maps, sao_np, qp, feat, order, last_xy,
+                     init_type) -> list[bytes]:
+        """Fast-path host half, shared by I and P pictures: ONE host walk
+        per CTU recording bin ops from the device maps (decide + emit
+        fused — op streams carry context indices, not state, so SAO
+        syntax is stitched in afterwards from the device-decided
+        parameters), and one native CABAC run. DLF and SAO already ran on
+        device (tpu.encode.fast_finish_dev). Returns the slice substream
+        list."""
+        from .fast_path import FastCtuEncoder, sao_grid_from_arrays
         cfg = self.cfg
-        maps = run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev)
         walker = FastCtuEncoder(st, None, src, maps, features=feat)
         ctu_ops = []
         st.begin_tile()
@@ -724,12 +918,11 @@ class Encoder:
             walker.code_ctu(x0, y0)
             ctu_ops.append(rec)
 
-        if cfg.enable_deblocking:
-            deblock_picture(st)
         sao_grid = None
         if cfg.enable_sao:
-            sao_grid = self._sao_params_tpu(st, src, lambda_sse(qp))
-            apply_sao(st, sao_grid, True, True)
+            ny = (st.h + cfg.ctb_size - 1) // cfg.ctb_size
+            nx = (st.w + cfg.ctb_size - 1) // cfg.ctb_size
+            sao_grid = sao_grid_from_arrays(sao_np, ny, nx)
 
         ctb = cfg.ctb_size
         bac = CabacRecorder(init_contexts(qp, init_type=init_type))
@@ -740,38 +933,6 @@ class Encoder:
             bac.extend_from(ctu_ops[i])
             bac.encode_terminate(1 if (x0, y0) == last_xy else 0)
         return [finalize_cabac(bac, init_contexts(qp, init_type=init_type))]
-
-    def _sao_params_tpu(self, st, src, lam):
-        """SAO decision with TPU-batched per-CTB statistics (replaces the
-        host per-CTB masking sweep of derive_sao_params; same decision
-        math via core.sao.derive_sao_params_from_stats). All three planes
-        go up narrow-dtype in one launch; stats come back as one packed
-        buffer."""
-        from ..core.sao import derive_sao_params_from_stats
-        from ..tpu import encode as tenc
-        cfg = self.cfg
-        ctb = cfg.ctb_size
-        h, w = st.planes[0].shape
-        hh = (h + ctb - 1) // ctb * ctb
-        ww = (w + ctb - 1) // ctb * ctb
-        dt = np.uint8 if st.bit_depth == 8 else np.uint16
-        pre = [pad_plane(st.planes[c],
-                         ww >> (0 if c == 0 else st.ss_x),
-                         hh >> (0 if c == 0 else st.ss_y)).astype(dt)
-               for c in range(3)]
-        s = [pad_plane(src[c],
-                       ww >> (0 if c == 0 else st.ss_x),
-                       hh >> (0 if c == 0 else st.ss_y)).astype(dt)
-             for c in range(3)]
-        flat = tenc.sao_stats_frame_packed(pre[0], pre[1], pre[2],
-                                           s[0], s[1], s[2],
-                                           ctb=ctb, h=h, w=w,
-                                           bit_depth=st.bit_depth)
-        got = tenc.unpack(np.asarray(flat), tenc.sao_specs(ctb, hh, ww))
-        stats = [{k: got[f"{k}{c}"] for k in
-                  ("eo_cnt", "eo_sum", "bo_cnt", "bo_sum")}
-                 for c in range(3)]
-        return derive_sao_params_from_stats(st, stats, lam)
 
     def _ois_maps(self, y_plane) -> dict:
         """Per-picture TPU open-loop intra search: {n: (mode_map, cost_map)}
@@ -882,6 +1043,7 @@ class Encoder:
 
     def _encode_random_access(self, frames, *, rd=None):
         self._dev_dpb.clear()
+        self._ref_motion.clear()
         frames = list(frames)
         chunks = [self.headers()]
         recons: list = [None] * len(frames)

@@ -216,6 +216,21 @@ class FastCtuEncoder(CtuEncoder):
         plan.mvd[0] = (mv[0] - amvp[mvp_i][0], mv[1] - amvp[mvp_i][1])
         return plan
 
+    # ------------------------------------------- intra pixel work: disabled
+    # (the wavefront device pass computed recon + levels; the walk only
+    # emits syntax and maintains availability)
+    def sx_cbf_luma(self, cu, x0, y0, log2, depth):
+        if cu.is_inter:
+            return super().sx_cbf_luma(cu, x0, y0, log2, depth)
+        from ..bitstream.contexts import Ctx
+        st, n = self.st, 1 << log2
+        lv = self.m.lv_y[y0:y0 + n, x0:x0 + n]
+        cu.luma_levels[(x0, y0)] = lv
+        st.mark(0, x0, y0, n)
+        cbf = int(lv.any())
+        self.bac.encode_bin(Ctx.CBF_LUMA + (1 if depth == 0 else 0), cbf)
+        return cbf
+
     # -------------------------------------------- inter pixel work: disabled
     def _predict_mi(self, x0, y0, n, mi):
         # prediction lives on the device; nothing downstream reads it
@@ -246,8 +261,8 @@ class FastCtuEncoder(CtuEncoder):
         st.mark(0, x0, y0, n)
 
     def _chroma_tree(self, cu, x0, y0, log2, depth):
-        if not cu.is_inter:
-            return super()._chroma_tree(cu, x0, y0, log2, depth)
+        # both inter and intra CUs take their chroma levels from the
+        # device maps (inter: encode_pass_p; intra: the wavefront pass)
         st = self.st
         split = log2 > 5
         if split:
@@ -297,23 +312,77 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev):
     src_y, src_cb, src_cr = src_dev
     ref_y, ref_cb, ref_cr = ref_dev
 
-    flat = tenc.fast_p_fused_packed(
-        src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
-        jnp.int32(qp), jnp.int32(st.qp_c),
-        ctb_log2=st.ctb_log2, bit_depth=bd)
-    out = tenc.unpack(np.asarray(flat), tenc.fused_specs(h64, w64))
+    from ..core.rdo import lambda_sse
 
+    packed, rec_y, rec_cb, rec_cr = tenc.fast_p_fused_dev(
+        src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
+        jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
+        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=bd,
+        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr)
+
+
+def complete_fast(cfg, st, packed):
+    """Blocking half of run_fast_p / run_fast_i: fetch the packed device
+    buffer and build the host-side maps. Kept separate so the caller can
+    dispatch the NEXT frame's graph before this download+walk
+    (frames-in-flight; reference analogue: EbEncHandle.c:1645)."""
+    from ..tpu import encode as tenc
+    cw, ch = st.w, st.h
+    w64 = (cw + 63) // 64 * 64
+    h64 = (ch + 63) // 64 * 64
+    out = tenc.unpack(np.asarray(packed),
+                      tenc.fused_dev_specs(h64, w64, cfg.ctb_size))
+    return _build_maps(st, out)
+
+
+def _build_maps(st, out: dict):
+    """(DecisionMaps, sao param arrays) from unpacked download dicts.
+    Reconstruction stays device-resident — nothing writes st.planes."""
+    cw, ch = st.w, st.h
     maps = DecisionMaps(cu_log2_8=out["cu_log2_8"], inter8=out["inter8"],
                         mv8=out["mv8"], intra_mode8=out["intra_mode8"])
-
     maps.lv_y = out["lv_y"][:ch, :cw]
     maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]
     maps.lv_cr = out["lv_cr"][:ch // 2, :cw // 2]
     maps.nz4_y = out["nz4_y"][:ch // 4, :cw // 4]
     maps.nz4_cb = out["nz4_cb"][:ch // 8, :cw // 8]
     maps.nz4_cr = out["nz4_cr"][:ch // 8, :cw // 8]
+    sao_np = {k[4:]: out[k] for k in ("sao_type", "sao_eo", "sao_bp",
+                                      "sao_offs")}
+    return maps, sao_np
 
-    st.planes[0][:, :] = out["rec_y"][:ch, :cw]
-    st.planes[1][:, :] = out["rec_cb"][:ch // 2, :cw // 2]
-    st.planes[2][:, :] = out["rec_cr"][:ch // 2, :cw // 2]
-    return maps
+
+def sao_grid_from_arrays(sao_np: dict, ny: int, nx: int):
+    """Build the SaoCtbParams grid (syntax emission input) from the
+    device decision arrays, cropped to the coded CTB grid."""
+    from ..core.sao import SaoCtbParams
+    t, e, b, o = (sao_np["type"], sao_np["eo"], sao_np["bp"],
+                  sao_np["offs"])
+    return [[SaoCtbParams([int(t[y, x, 0]), int(t[y, x, 1])],
+                          [int(e[y, x, 0]), int(e[y, x, 1])],
+                          [int(b[y, x, c]) for c in range(3)],
+                          [[int(v) for v in o[y, x, c]] for c in range(3)])
+             for x in range(nx)] for y in range(ny)]
+
+
+def run_fast_i(cfg, feat, st, qp, src_dev):
+    """Device stages + host walk preparation for one I picture: OIS ->
+    intra quadtree decision -> closed-loop wavefront encode pass -> DLF
+    -> SAO, one fused graph, one packed download (the I analogue of
+    run_fast_p)."""
+    import jax.numpy as jnp
+
+    from ..core.rdo import lambda_sse
+    from ..tpu import encode as tenc
+
+    cw, ch = st.w, st.h
+    w64 = (cw + 63) // 64 * 64
+    h64 = (ch + 63) // 64 * 64
+    src_y, src_cb, src_cr = src_dev
+    packed, rec_y, rec_cb, rec_cr = tenc.fast_i_fused_dev(
+        src_y, src_cb, src_cr, jnp.int32(qp), jnp.int32(st.qp_c),
+        jnp.float32(lambda_sse(qp)),
+        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
+        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr)

@@ -672,12 +672,24 @@ def _mvd_bits_dev(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a == 0, 1, out).astype(jnp.int32)
 
 
-def decide_tree_dev(md: dict, ois: dict, ctb_log2: int):
+def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
+                    min_intra_log2: int = 3,
+                    w: int | None = None, h: int | None = None,
+                    qp=None):
     """Device mirror of pipeline.fast_path.decide_tree: bottom-up
     quadtree DP over the dense cost maps. All costs are integer-valued
-    (lambda 3, split charge 2 -> int32), so decisions match the numpy
-    host version bit-for-bit. Returns (cu_log2_8, inter8, mv8, mode8)."""
+    (integer SAD-domain lambda, split charge 2 -> int32), so decisions
+    match the numpy host version bit-for-bit. min_intra_log2: smallest
+    intra CU offered (the P fast path restricts intra to >=16, the
+    analogue of the reference's CU-8x8 gating,
+    EbPictureDecisionProcess.c:425). w/h: coded dims — CUs crossing the
+    picture boundary are forced to split (the syntax forces the same
+    split, 7.3.8.4). qp: traced scalar selecting the per-QP lambda (the
+    reference drives MD with QP-indexed lambda tables,
+    EbLambdaRateTables.h:55); None keeps the legacy constant 3. Returns
+    (cu_log2_8, inter8, mv8, mode8)."""
     INF = jnp.int32(1 << 30)
+    lam = jnp.int32(3) if qp is None else jnp.asarray(LAMBDA_SAD)[qp]
 
     zs = {8: md["zsad8"].astype(jnp.int32)}
     for s in (16, 32, 64):
@@ -689,14 +701,14 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int):
         sad = md[f"sad{s}"].astype(jnp.int32)
         mv = md[f"mv{s}"].astype(jnp.int32)
         bits = _mvd_bits_dev(mv[..., 0]) + _mvd_bits_dev(mv[..., 1])
-        ic = sad + 3 * (bits + 4)
-        zc = zs[s] + 9
+        ic = sad + lam * (bits + 4)
+        zc = zs[s] + lam * 3
         use_zero = zc < ic
         inter_c = jnp.where(use_zero, zc, ic)
         mv_sel = jnp.where(use_zero[..., None], 0, mv)
-        if s <= 32:
+        if s <= 32 and s >= (1 << min_intra_log2):
             mode_map, cost_map = ois[s]
-            intra_c = 2 * cost_map + 18
+            intra_c = 2 * cost_map + lam * 6
         else:
             intra_c = jnp.full_like(inter_c, INF)
             mode_map = jnp.zeros_like(inter_c)
@@ -709,8 +721,15 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int):
     best = {8: leaf_cost[8]}
     split = {}
     for s in sizes[1:]:
-        agg = _boxsum(best[s // 2], 2) + 6
+        agg = _boxsum(best[s // 2], 2) + lam * 2
         split[s] = agg < leaf_cost[s]
+        if w is not None:
+            # CUs crossing the coded boundary are never leaves (the
+            # syntax forces their split, 7.3.8.4)
+            gy, gx = leaf_cost[s].shape
+            cross = (((jnp.arange(gx) * s + s) > w)[None, :]
+                     | ((jnp.arange(gy) * s + s) > h)[:, None])
+            split[s] = split[s] | cross
         best[s] = jnp.where(split[s], agg, leaf_cost[s])
 
     nby, nbx = leaf_cost[8].shape
@@ -743,16 +762,19 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int):
 FUSED_EXTRA = ("cu_log2_8", "inter8", "mv8", "intra_mode8")
 
 
-@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h"))
 def fast_p_fused_packed(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
                         hme_mv, qp, qp_c, ctb_log2: int,
-                        bit_depth: int = 8):
+                        w: int, h: int, bit_depth: int = 8):
     """The whole fast-path device pipeline for one P picture in ONE
     compiled graph and ONE packed download: reference phase planes ->
     dense inter MD + open-loop intra costs -> quadtree decision ->
-    normative encode pass. The host only walks CTUs for syntax
+    normative inter encode pass -> closed-loop wavefront pass for the
+    intra CUs (tpu/intra_pass.py). The host only walks CTUs for syntax
     legalization afterwards (pipeline/fast_path.py)."""
     from .analysis import intra_search_size
+    from .intra_pass import intra_wavefront_pass
 
     raw_y = luma_phase_planes(ref_y, bit_depth=bit_depth)
     raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
@@ -767,12 +789,33 @@ def fast_p_fused_packed(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
         ois[n] = (mode.astype(jnp.int32),
                   jnp.round(cost).astype(jnp.int32))
 
-    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(md, ois, ctb_log2)
+    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(md, ois, ctb_log2,
+                                                    w=w, h=h)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                         mv8, inter8, tu_log2, qp, qp_c,
                         bit_depth=bit_depth)
-    arrs = [out[k] for k in EP_KEYS] + [cu_log2_8, inter8, mv8, mode8]
+    # closed-loop intra for the CUs the decision sent to intra: inter
+    # recon is final (MC never reads intra recon), so fixing up intra CUs
+    # in wavefront order reproduces exact z-scan decoder state
+    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = intra_wavefront_pass(
+        src_y, src_cb, src_cr,
+        out["rec_y"], out["rec_cb"], out["rec_cr"],
+        out["lv_y"], out["lv_cb"], out["lv_cr"],
+        cu_log2_8, mode8, ~inter8,
+        qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2)
+    fin = {
+        "lv_y": lv_y.astype(jnp.int16),
+        "lv_cb": lv_cb.astype(jnp.int16),
+        "lv_cr": lv_cr.astype(jnp.int16),
+        "rec_y": rec_y.astype(jnp.uint16),
+        "rec_cb": rec_cb.astype(jnp.uint16),
+        "rec_cr": rec_cr.astype(jnp.uint16),
+        "nz4_y": _nz_map(lv_y, 4).astype(jnp.uint8),
+        "nz4_cb": _nz_map(lv_cb, 4).astype(jnp.uint8),
+        "nz4_cr": _nz_map(lv_cr, 4).astype(jnp.uint8),
+    }
+    arrs = [fin[k] for k in EP_KEYS] + [cu_log2_8, inter8, mv8, mode8]
     return _pack(arrs, jnp.int16)
 
 
@@ -783,6 +826,334 @@ def fused_specs(h64: int, w64: int):
         ("inter8", (nby, nbx), bool),
         ("mv8", (nby, nbx, 2), np.int32),
         ("intra_mode8", (nby, nbx), np.int32)]
+
+
+# ------------------------------------------------------- fused I-picture path
+
+# SAD-domain lambda per QP (HM-style sqrt(0.85 * 2^((qp-12)/3)), rounded
+# to int so device and host decisions are bit-identical; the reference
+# drives MD with per-QP lambda tables, EbLambdaRateTables.h:55-232)
+LAMBDA_SAD = np.maximum(
+    np.round(np.sqrt(0.85 * 2.0 ** ((np.arange(64) - 12) / 3.0))),
+    1).astype(np.int32)
+
+
+def decide_tree_i_dev(ois: dict, qp, ctb_log2: int, w: int, h: int):
+    """Intra-only quadtree DP over the OIS cost maps (sizes 8/16/32; a
+    64 node always splits — coded intra TBs are <= 32). Picture-boundary
+    CUs are forced to split by an INF leaf cost, matching the syntax's
+    forced split outside the coded area. Returns (cu_log2_8, mode8)."""
+    INF = jnp.int32(1 << 28)
+    lam = jnp.asarray(LAMBDA_SAD)[qp]
+    sizes = [s for s in (8, 16, 32) if (1 << ctb_log2) >= s]
+
+    leaf_cost, leaf_mode = {}, {}
+    for s in sizes:
+        mode_map, cost_map = ois[s]
+        gy, gx = cost_map.shape
+        ok = (((jnp.arange(gx) * s + s) <= w)[None, :]
+              & ((jnp.arange(gy) * s + s) <= h)[:, None])
+        # SATD is ~2x SAD scale; ~3 bits mode signalling charge
+        leaf_cost[s] = jnp.where(ok, 2 * cost_map + lam * 3, INF)
+        leaf_mode[s] = mode_map.astype(jnp.int32)
+
+    best = {sizes[0]: leaf_cost[sizes[0]]}
+    split = {}
+    for s in sizes[1:]:
+        agg = _boxsum(best[s // 2], 2) + lam * 2
+        # boundary-crossing CUs must split even when the children are
+        # also INF (out-of-picture): never emit a crossing leaf
+        split[s] = (agg < leaf_cost[s]) | (leaf_cost[s] >= INF)
+        best[s] = jnp.minimum(jnp.where(split[s], agg, leaf_cost[s]), INF)
+
+    nby, nbx = leaf_cost[8].shape
+    cu_log2 = jnp.full((nby, nbx), 3, jnp.int32)
+    mode8 = jnp.zeros((nby, nbx), jnp.int32)
+
+    def rep(m, k):
+        return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+    undecided = jnp.ones((nby, nbx), bool)
+    for s in reversed(sizes):
+        k = s // 8
+        if s == 8:
+            leaf_here = undecided
+        else:
+            leaf_here = undecided & ~rep(split[s], k)
+        cu_log2 = jnp.where(leaf_here, s.bit_length() - 1, cu_log2)
+        mode8 = jnp.where(leaf_here, rep(leaf_mode[s], k), mode8)
+        undecided = undecided & ~leaf_here
+    return cu_log2, mode8
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h"))
+def fast_i_fused_packed(src_y, src_cb, src_cr, qp, qp_c, ctb_log2: int,
+                        w: int, h: int, bit_depth: int = 8):
+    """The whole I-picture device pipeline in ONE compiled graph and ONE
+    packed download: open-loop intra search -> quadtree decision ->
+    closed-loop wavefront encode pass (tpu/intra_pass.py). The host walk
+    afterwards only emits syntax from the maps (pipeline/fast_path.py).
+    Replaces the per-CTU host Python walk of the non-fast path
+    (reference hot loop: EbCodingLoop.c EncodePass :2989 under the
+    EncDec wavefront, EbEncDecProcess.c :1540)."""
+    from .analysis import intra_search_size
+    from .intra_pass import intra_wavefront_pass
+
+    yf = src_y.astype(jnp.float32)
+    ois = {}
+    for n in (8, 16, 32):
+        mode, cost = intra_search_size(yf, n)
+        ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
+    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h)
+
+    h64, w64 = src_y.shape
+    zy = jnp.zeros((h64, w64), jnp.int32)
+    zc = jnp.zeros((h64 // 2, w64 // 2), jnp.int32)
+    nby, nbx = h64 // 8, w64 // 8
+    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = intra_wavefront_pass(
+        src_y, src_cb, src_cr, zy, zc, zc, zy, zc, zc,
+        cu_log2_8, mode8, jnp.ones((nby, nbx), bool),
+        qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2)
+
+    out = {
+        "lv_y": lv_y.astype(jnp.int16),
+        "lv_cb": lv_cb.astype(jnp.int16),
+        "lv_cr": lv_cr.astype(jnp.int16),
+        "rec_y": rec_y.astype(jnp.uint16),
+        "rec_cb": rec_cb.astype(jnp.uint16),
+        "rec_cr": rec_cr.astype(jnp.uint16),
+        "nz4_y": _nz_map(lv_y, 4).astype(jnp.uint8),
+        "nz4_cb": _nz_map(lv_cb, 4).astype(jnp.uint8),
+        "nz4_cr": _nz_map(lv_cr, 4).astype(jnp.uint8),
+    }
+    arrs = [out[k] for k in EP_KEYS] + [
+        cu_log2_8, jnp.zeros((nby, nbx), bool),
+        jnp.zeros((nby, nbx, 2), jnp.int32), mode8]
+    return _pack(arrs, jnp.int16)
+
+
+# --------------------------------------------- device-resident fused encodes
+#
+# The _dev variants keep the reconstruction ON DEVICE: the packed download
+# carries only levels / nz / decision maps / SAO parameters, and the
+# returned recon planes (post-DLF, post-SAO, edge-padded) chain directly
+# into the next picture's reference without any host round trip — the
+# TPU-native form of the reference's in-flight reference objects
+# (EbEncHandle.c:1645, PadRefAndSetFlags EbEncDecProcess.c:3107).
+
+SAO_KEYS = ("sao_type", "sao_eo", "sao_bp", "sao_offs")
+
+
+def _cbf4_map(lv_y, tu_log2_8):
+    """Per-4x4 luma cbf of the covering TU (deblocking bS input)."""
+    out = None
+    for lg in (3, 4, 5):
+        n = 1 << lg
+        anyn = _boxsum(jnp.abs(lv_y), n) > 0
+        rep = jnp.repeat(jnp.repeat(anyn, n // 4, 0), n // 4, 1)
+        m = jnp.repeat(jnp.repeat(tu_log2_8 == lg, 2, 0), 2, 1)
+        out = jnp.where(m, rep, out if out is not None else False)
+    return out.astype(jnp.int32)
+
+
+def _edge_pad_to(rec, w: int, h: int):
+    """Replicate the coded boundary into the 64-aligned pad region (the
+    reference pads reference pictures, EbMcp.c GeneratePadding :1017)."""
+    hh, ww = rec.shape
+    iy = jnp.clip(jnp.arange(hh), 0, h - 1)
+    ix = jnp.clip(jnp.arange(ww), 0, w - 1)
+    return rec[iy][:, ix]
+
+
+def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8,
+                  qp, qp_c, lam, ctb_log2: int, w: int, h: int,
+                  bit_depth: int, dlf: bool, sao: bool):
+    """Shared fused tail: cbf map -> DLF -> SAO decide + apply ->
+    edge-pad, then pack everything the host needs (no recon planes)."""
+    from .dlf import deblock_dev, derive_bs_maps
+    from .sao import sao_apply_dev, sao_decide_dev
+
+    src_y, src_cb, src_cr = src3
+    rec_y, rec_cb, rec_cr = rec3
+    lv_y, lv_cb, lv_cr = lv3
+    h64, w64 = src_y.shape
+    ctb = 1 << ctb_log2
+    ny, nx = h64 // ctb, w64 // ctb
+
+    if dlf:
+        tu8 = jnp.minimum(cu_log2_8, 5)
+        cbf4 = _cbf4_map(lv_y, tu8)
+        bs_v, bs_ht = derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w, h)
+        rec_y, rec_cb, rec_cr = deblock_dev(rec_y, rec_cb, rec_cr,
+                                            bs_v, bs_ht, qp, qp_c,
+                                            bit_depth=bit_depth)
+    if sao:
+        stats = []
+        for comp, (rec, src) in enumerate(((rec_y, src_y), (rec_cb, src_cb),
+                                           (rec_cr, src_cr))):
+            cell = ctb if comp == 0 else ctb // 2
+            hv = h if comp == 0 else h // 2
+            wv = w if comp == 0 else w // 2
+            hh, ww = rec.shape
+            valid = ((jnp.arange(hh)[:, None] < hv)
+                     & (jnp.arange(ww)[None, :] < wv)).astype(jnp.float32)
+            stats.append(sao_stats_plane(rec, src, valid, cell, cell,
+                                         bit_depth=bit_depth))
+        params = sao_decide_dev(stats, lam, bit_depth=bit_depth)
+        rec_y = sao_apply_dev(rec_y, params, 0, ctb, w, h,
+                              bit_depth=bit_depth)
+        rec_cb = sao_apply_dev(rec_cb, params, 1, ctb, w // 2, h // 2,
+                               bit_depth=bit_depth)
+        rec_cr = sao_apply_dev(rec_cr, params, 2, ctb, w // 2, h // 2,
+                               bit_depth=bit_depth)
+    else:
+        params = {"type": jnp.zeros((ny, nx, 2), jnp.int32),
+                  "eo": jnp.zeros((ny, nx, 2), jnp.int32),
+                  "bp": jnp.zeros((ny, nx, 3), jnp.int32),
+                  "offs": jnp.zeros((ny, nx, 3, 4), jnp.int32)}
+
+    rec_y = _edge_pad_to(rec_y, w, h)
+    rec_cb = _edge_pad_to(rec_cb, w // 2, h // 2)
+    rec_cr = _edge_pad_to(rec_cr, w // 2, h // 2)
+
+    arrs = [lv_y.astype(jnp.int16), lv_cb.astype(jnp.int16),
+            lv_cr.astype(jnp.int16),
+            _nz_map(lv_y, 4).astype(jnp.int16),
+            _nz_map(lv_cb, 4).astype(jnp.int16),
+            _nz_map(lv_cr, 4).astype(jnp.int16),
+            params["type"], params["eo"], params["bp"], params["offs"]]
+    return _pack(arrs, jnp.int16), rec_y, rec_cb, rec_cr
+
+
+def dec_specs(h64: int, w64: int):
+    nby, nbx = h64 // 8, w64 // 8
+    return [("cu_log2_8", (nby, nbx), np.int32),
+            ("inter8", (nby, nbx), bool),
+            ("mv8", (nby, nbx, 2), np.int32),
+            ("intra_mode8", (nby, nbx), np.int32)]
+
+
+def finish_specs(h64: int, w64: int, ctb: int):
+    ny, nx = h64 // ctb, w64 // ctb
+    hc, wc = h64 // 2, w64 // 2
+    return [("lv_y", (h64, w64), np.int32),
+            ("lv_cb", (hc, wc), np.int32),
+            ("lv_cr", (hc, wc), np.int32),
+            ("nz4_y", (h64 // 4, w64 // 4), bool),
+            ("nz4_cb", (h64 // 8, w64 // 8), bool),
+            ("nz4_cr", (h64 // 8, w64 // 8), bool),
+            ("sao_type", (ny, nx, 2), np.int32),
+            ("sao_eo", (ny, nx, 2), np.int32),
+            ("sao_bp", (ny, nx, 3), np.int32),
+            ("sao_offs", (ny, nx, 3, 4), np.int32)]
+
+
+def fused_dev_specs(h64: int, w64: int, ctb: int):
+    return dec_specs(h64, w64) + finish_specs(h64, w64, ctb)
+
+
+# the P fast path offers intra only at 16/32 (reference analogue: CU-8x8
+# gating at fast presets, EbPictureDecisionProcess.c:425-449); this also
+# quarters the intra-fixup wavefront's scan length
+P_MIN_INTRA_LOG2 = 4
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h", "dlf", "sao"))
+def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                     hme_mv, qp, qp_c, lam, ctb_log2: int,
+                     w: int, h: int, bit_depth: int = 8,
+                     dlf: bool = True, sao: bool = True):
+    """Device-resident P-picture pipeline in ONE graph: dense MD + OIS +
+    decision + inter encode pass, an intra-fixup wavefront behind a
+    runtime lax.cond (zero cost on the common all-inter frame — the
+    device itself checks whether any CU went intra), then DLF + SAO
+    decide/apply. One packed download (decisions + levels + SAO params);
+    recon stays device-resident."""
+    from .analysis import intra_search_size
+    from .intra_pass import intra_wavefront_pass
+
+    raw_y = luma_phase_planes(ref_y, bit_depth=bit_depth)
+    raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
+    raw_cr = chroma_phase_planes(ref_cr, bit_depth=bit_depth)
+    md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth)
+    yf = src_y.astype(jnp.float32)
+    ois = {}
+    for n in (16, 32):
+        mode, cost = intra_search_size(yf, n)
+        ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
+    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
+        md, ois, ctb_log2, min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h,
+        qp=qp)
+    tu_log2 = jnp.minimum(cu_log2_8, 5)
+    out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
+                        mv8, inter8, tu_log2, qp, qp_c,
+                        bit_depth=bit_depth)
+    rec3 = (out["rec_y"].astype(jnp.int32), out["rec_cb"].astype(jnp.int32),
+            out["rec_cr"].astype(jnp.int32))
+    lv3 = (out["lv_y"].astype(jnp.int32), out["lv_cb"].astype(jnp.int32),
+           out["lv_cr"].astype(jnp.int32))
+
+    nby, nbx = cu_log2_8.shape
+    inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
+             & (jnp.arange(nby) * 8 < h)[:, None])
+    any_intra = (~inter8 & inpic).any()
+
+    def run_wavefront(args):
+        r3, l3 = args
+        out6 = intra_wavefront_pass(
+            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, mode8, ~inter8,
+            qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
+            min_cu_log2=P_MIN_INTRA_LOG2)
+        return out6[:3], out6[3:]
+
+    rec3, lv3 = jax.lax.cond(any_intra, run_wavefront, lambda a: a,
+                             (rec3, lv3))
+
+    packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
+        (src_y, src_cb, src_cr), rec3, lv3,
+        cu_log2_8, inter8, mv8, qp, qp_c, lam,
+        ctb_log2, w, h, bit_depth, dlf, sao)
+    packed = jnp.concatenate(
+        [_pack([cu_log2_8, inter8, mv8, mode8], jnp.int16), packed_fin])
+    return packed, rec_y, rec_cb, rec_cr
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h", "dlf", "sao"))
+def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
+                     w: int, h: int, bit_depth: int = 8,
+                     dlf: bool = True, sao: bool = True):
+    """Device-resident I-picture pipeline: OIS -> decision -> wavefront
+    closed-loop encode -> DLF -> SAO, one graph, one small download
+    (decision maps + levels + SAO params)."""
+    from .analysis import intra_search_size
+    from .intra_pass import intra_wavefront_pass
+
+    yf = src_y.astype(jnp.float32)
+    ois = {}
+    for n in (8, 16, 32):
+        mode, cost = intra_search_size(yf, n)
+        ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
+    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h)
+    h64, w64 = src_y.shape
+    zy = jnp.zeros((h64, w64), jnp.int32)
+    zc = jnp.zeros((h64 // 2, w64 // 2), jnp.int32)
+    nby, nbx = h64 // 8, w64 // 8
+    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = intra_wavefront_pass(
+        src_y, src_cb, src_cr, zy, zc, zc, zy, zc, zc,
+        cu_log2_8, mode8, jnp.ones((nby, nbx), bool),
+        qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2)
+    inter8 = jnp.zeros((nby, nbx), bool)
+    mv8 = jnp.zeros((nby, nbx, 2), jnp.int32)
+    packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
+        (src_y, src_cb, src_cr), (rec_y, rec_cb, rec_cr),
+        (lv_y, lv_cb, lv_cr), cu_log2_8, inter8, mv8, qp, qp_c, lam,
+        ctb_log2, w, h, bit_depth, dlf, sao)
+    packed = jnp.concatenate(
+        [_pack([cu_log2_8, inter8, mv8, mode8], jnp.int16), packed_fin])
+    return packed, rec_y, rec_cb, rec_cr
 
 
 # ----------------------------------------------------------------- SAO stats

@@ -127,74 +127,85 @@ def _morton_spread(v: jnp.ndarray) -> jnp.ndarray:
     return ((v & 1) | ((v & 2) << 1) | ((v & 4) << 2) | ((v & 8) << 3))
 
 
-def _zidx(x, y, nctbx: int):
-    """z-scan precedence index of luma position (x, y): CTB raster index,
-    then the Morton index of the 4x4 unit inside the CTB (6.4.1
-    MinTbAddrZs semantics at 4x4 granularity)."""
-    ctb = (y >> 6) * nctbx + (x >> 6)
-    ix = (x >> 2) & 15
-    iy = (y >> 2) & 15
-    return ctb * 256 + (_morton_spread(iy) << 1) + _morton_spread(ix)
+def _zidx(x, y, nctbx: int, ctb_log2: int):
+    """z-scan precedence index of luma position (x, y): CTB raster index
+    (CTB size from ctb_log2), then the Morton index of the 4x4 unit
+    inside the CTB (6.4.1 MinTbAddrZs semantics at 4x4 granularity)."""
+    c = ctb_log2
+    ctb = (y >> c) * nctbx + (x >> c)
+    m = (1 << (c - 2)) - 1
+    ix = (x >> 2) & m
+    iy = (y >> 2) & m
+    return (ctb << (2 * (c - 2))) + (_morton_spread(iy) << 1) \
+        + _morton_spread(ix)
 
 
-def _gather_refs(plane, x0, y0, n: int, cur_z, w: int, h: int,
-                 nctbx: int, scale: int, default: int):
-    """Reference-sample vectors for a batch of TBs at (x0, y0) (plane
-    coords, (R,) int arrays). Returns (refs_u, any_avail):
-    refs_u (R, 4n+1) substituted per 8.4.4.2.2 in the packed layout
-    [left[0..2n-1], corner, top[0..2n-1]].
+def _gather_lt(plane, x0, y0, n2max: int, cur_z, w: int, h: int,
+               nctbx: int, ctb_log2: int, scale: int):
+    """Shared left/top/corner gather for ALL CU sizes at a batch of
+    positions: one gather of the largest extent, sliced per size later.
 
-    scale: 1 luma, 2 chroma 4:2:0 (availability is evaluated at the luma
-    position scale*coord against the current CU's luma z-index cur_z).
-    w/h: valid (coded) extent of THIS plane.
-    """
-    ph, pw = plane.shape
-    n2 = 2 * n
-    k = jnp.arange(n2)
-
-    # sample coords
-    ly = y0[:, None] + k[None, :]            # left column rows
+    plane: (H, W) or stacked (2, H, W) chroma. Returns
+    (lv, l_av, cv, c_av, tv, t_av) with value arrays (..., R, n2max) /
+    (..., R) and avail arrays (R, n2max) / (R,). scale: 1 luma, 2 chroma
+    (availability evaluated at luma scale). w/h: THIS plane's coded
+    extent."""
+    ph, pw = plane.shape[-2:]
+    k = jnp.arange(n2max)
+    ly = y0[:, None] + k[None, :]
     lx = x0 - 1
-    tx = x0[:, None] + k[None, :]            # top row cols
+    tx = x0[:, None] + k[None, :]
     ty = y0 - 1
-    cx, cy = x0 - 1, y0 - 1
 
     l_av = ((lx >= 0)[:, None] & (ly < h)
-            & (_zidx((lx[:, None] * scale).clip(0), ly * scale, nctbx)
-               < cur_z[:, None]))
+            & (_zidx((lx[:, None] * scale).clip(0), ly * scale, nctbx,
+                     ctb_log2) < cur_z[:, None]))
     t_av = ((ty >= 0)[:, None] & (tx < w)
-            & (_zidx(tx * scale, (ty[:, None] * scale).clip(0), nctbx)
-               < cur_z[:, None]))
-    c_av = ((cx >= 0) & (cy >= 0)
-            & (_zidx((cx * scale).clip(0), (cy * scale).clip(0), nctbx)
-               < cur_z))
+            & (_zidx(tx * scale, (ty[:, None] * scale).clip(0), nctbx,
+                     ctb_log2) < cur_z[:, None]))
+    c_av = ((lx >= 0) & (ty >= 0)
+            & (_zidx((lx * scale).clip(0), (ty * scale).clip(0), nctbx,
+                     ctb_log2) < cur_z))
 
-    lv = plane[ly.clip(0, ph - 1), lx[:, None].clip(0, pw - 1)]
-    tv = plane[ty[:, None].clip(0, ph - 1), tx.clip(0, pw - 1)]
-    cv = plane[cy.clip(0, ph - 1), cx.clip(0, pw - 1)]
+    lyc = ly.clip(0, ph - 1)
+    lxc = lx[:, None].clip(0, pw - 1)
+    tyc = ty[:, None].clip(0, ph - 1)
+    txc = tx.clip(0, pw - 1)
+    if plane.ndim == 3:
+        lv = plane[:, lyc, lxc]
+        tv = plane[:, tyc, txc]
+        cv = plane[:, ty.clip(0, ph - 1), lx.clip(0, pw - 1)]
+    else:
+        lv = plane[lyc, lxc]
+        tv = plane[tyc, txc]
+        cv = plane[ty.clip(0, ph - 1), lx.clip(0, pw - 1)]
+    return lv, l_av, cv, c_av, tv, t_av
 
-    # substitution 8.4.4.2.2: scan order left[2n-1]..left[0], corner,
-    # top[0]..top[2n-1]; first unavailable head takes the first available
-    # value anywhere later in the scan, then forward-fill
-    seq = jnp.concatenate([lv[:, ::-1], cv[:, None], tv], axis=1)
-    av = jnp.concatenate([l_av[:, ::-1], c_av[:, None], t_av], axis=1)
-    ln = seq.shape[1]
-    any_av = av.any(axis=1)
-    first_idx = jnp.argmax(av, axis=1)
-    first_val = jnp.take_along_axis(seq, first_idx[:, None], 1)[:, 0]
-    head = jnp.where(av[:, 0], seq[:, 0], first_val)
-    seq = seq.at[:, 0].set(head)
-    av = av.at[:, 0].set(True)
-    pos = jnp.where(av, jnp.arange(ln)[None, :], -1)
-    last = jax.lax.cummax(pos, axis=1)
-    filled = jnp.take_along_axis(seq, last, 1)
-    filled = jnp.where(any_av[:, None], filled, default)
 
-    # repack: [left[0..2n-1], corner, top[0..2n-1]]
-    refs = jnp.concatenate([filled[:, :n2][:, ::-1],
-                            filled[:, n2:n2 + 1],
-                            filled[:, n2 + 1:]], axis=1)
-    return refs
+def _substitute(lv, l_av, cv, c_av, tv, t_av, n: int, default: int):
+    """8.4.4.2.2 substitution for size n from (possibly larger) gathered
+    arrays: scan order left[2n-1]..left[0], corner, top[0]..top[2n-1];
+    the first unavailable head takes the first available value later in
+    the scan, then forward-fill. Returns (R', 4n+1) packed refs."""
+    n2 = 2 * n
+    lv, tv = lv[..., :n2], tv[..., :n2]
+    la, ta = l_av[..., :n2], t_av[..., :n2]
+    seq = jnp.concatenate([lv[..., ::-1], cv[..., None], tv], axis=-1)
+    av = jnp.concatenate([la[..., ::-1], c_av[..., None], ta], axis=-1)
+    ln = seq.shape[-1]
+    any_av = av.any(axis=-1)
+    first_idx = jnp.argmax(av, axis=-1)
+    first_val = jnp.take_along_axis(seq, first_idx[..., None], -1)[..., 0]
+    head = jnp.where(av[..., 0], seq[..., 0], first_val)
+    seq = seq.at[..., 0].set(head)
+    av = av.at[..., 0].set(True)
+    pos = jnp.where(av, jnp.arange(ln), -1)
+    last = jax.lax.cummax(pos, axis=pos.ndim - 1)
+    filled = jnp.take_along_axis(seq, last, -1)
+    filled = jnp.where(any_av[..., None], filled, default)
+    return jnp.concatenate([filled[..., :n2][..., ::-1],
+                            filled[..., n2:n2 + 1],
+                            filled[..., n2 + 1:]], axis=-1)
 
 
 def _filter_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -296,51 +307,72 @@ def _tq_batch(resid, n: int, qp, bit_depth: int):
 
 
 def _scatter(plane, vals, x0, y0, n: int, mask):
-    """Masked disjoint block write: rows with mask=False are dropped."""
-    ph = plane.shape[0]
+    """Masked disjoint block write: rows with mask=False are dropped.
+    plane: (H, W), or stacked (2, H, W) with vals (2R, n, n)."""
+    ph = plane.shape[-2]
     r = x0.shape[0]
     a = jnp.arange(n)
     yy = jnp.broadcast_to(y0[:, None, None] + a[None, :, None], (r, n, n))
     xx = jnp.broadcast_to(x0[:, None, None] + a[None, None, :], (r, n, n))
     yy = jnp.where(mask[:, None, None], yy, ph)      # OOB -> dropped
+    if plane.ndim == 3:
+        yy = jnp.concatenate([yy, yy], 0)
+        xx = jnp.concatenate([xx, xx], 0)
+        cc = jnp.repeat(jnp.arange(2), r)[:, None, None]
+        cc = jnp.broadcast_to(cc, (2 * r, n, n))
+        return plane.at[cc, yy, xx].set(vals, mode="drop")
     return plane.at[yy, xx].set(vals, mode="drop")
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "h", "bit_depth", "ctb_log2"))
+                   static_argnames=("w", "h", "bit_depth", "ctb_log2",
+                                    "min_cu_log2"))
 def intra_wavefront_pass(src_y, src_cb, src_cr,
                          rec_y, rec_cb, rec_cr,
                          lv_y, lv_cb, lv_cr,
                          cu_log2_8, mode8, intra8,
                          qp, qp_c, w: int, h: int,
-                         bit_depth: int = 8, ctb_log2: int = 6):
+                         bit_depth: int = 8, ctb_log2: int = 6,
+                         min_cu_log2: int = 3):
     """Closed-loop intra encode for all CUs flagged in intra8.
 
     src_*: int32 source planes at 64-aligned dims. rec_*/lv_*: int32
     reconstruction / quantized-levels planes to update in place (I
     pictures pass zeros; the P path passes the inter encode-pass output).
     cu_log2_8/mode8/intra8: per-8x8-block decision maps (intra CU sizes
-    8/16/32; 64 must be pre-split by the decision). w/h: coded picture
-    dims. Returns the six updated planes.
+    min_cu..32; 64 must be pre-split by the decision). w/h: coded picture
+    dims. min_cu_log2: smallest intra CU present — larger minimums
+    quarter the scan length per step (the P fast path restricts intra to
+    >=16, like the reference's CU-8x8 gating at fast presets,
+    EbPictureDecisionProcess.c:425). Returns the six updated planes.
     """
     h64, w64 = src_y.shape
-    R, C = h64 // 64, w64 // 64
+    tile = 1 << ctb_log2              # the CTB is the wavefront tile
+    unit = 1 << min_cu_log2           # z-scan slot granularity
+    R, C = h64 // tile, w64 // tile
     nctbx = C
+    nbits = ctb_log2 - min_cu_log2    # z-scan bits per axis
+    slots = 1 << (2 * nbits)          # slots per CTB
     D = 2 * (R - 1) + C
-    T = D * 64
+    T = D * slots
     maxval = (1 << bit_depth) - 1
     default = 1 << (bit_depth - 1)
     rows = jnp.arange(R)
+    sizes = [n for n in (8, 16, 32) if unit <= n <= tile]
+    nmax = sizes[-1]
+    ncmax = nmax // 2
 
     def body(carry, t):
-        rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = carry
-        d = t >> 6
-        k = t & 63
-        zx = ((k >> 4) & 1) * 4 + ((k >> 2) & 1) * 2 + (k & 1)
-        zy = ((k >> 5) & 1) * 4 + ((k >> 3) & 1) * 2 + ((k >> 1) & 1)
+        rec_y, rec_c, lv_y, lv_c = carry
+        d = t // slots
+        k = t % slots
+        zx = sum((((k >> (2 * b)) & 1) << b) for b in range(nbits)) \
+            if nbits else jnp.int32(0)
+        zy = sum((((k >> (2 * b + 1)) & 1) << b) for b in range(nbits)) \
+            if nbits else jnp.int32(0)
         cols = d - 2 * rows
-        x0 = cols * 64 + zx * 8
-        y0 = rows * 64 + zy * 8
+        x0 = cols * tile + zx * unit
+        y0 = rows * tile + zy * unit
         active = (cols >= 0) & (cols < C) & (x0 < w) & (y0 < h)
         x0c = jnp.where(active, x0, 0)
         y0c = jnp.where(active, y0, 0)
@@ -348,56 +380,66 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
         bx = (x0c >> 3).astype(jnp.int32)
         cu_lg = cu_log2_8[by, bx]
         mode = mode8[by, bx]
+        mode2 = jnp.concatenate([mode, mode])
         is_intra = intra8[by, bx]
-        cur_z = _zidx(x0c, y0c, nctbx)
+        cur_z = _zidx(x0c, y0c, nctbx, ctb_log2)
 
-        for n in (8, 16, 32):
+        # one gather at the largest size, sliced per size below
+        glt = _gather_lt(rec_y, x0c, y0c, 2 * nmax, cur_z, w, h,
+                         nctbx, ctb_log2, 1)
+        xc, yc = x0c >> 1, y0c >> 1
+        cglt = _gather_lt(rec_c, xc, yc, 2 * ncmax, cur_z,
+                          w // 2, h // 2, nctbx, ctb_log2, 2)
+        a = jnp.arange(nmax)
+        sy = (y0c[:, None, None] + a[None, :, None]).clip(0, h64 - 1)
+        sx = (x0c[:, None, None] + a[None, None, :]).clip(0, w64 - 1)
+        src_max = src_y[jnp.broadcast_to(sy, (R, nmax, nmax)),
+                        jnp.broadcast_to(sx, (R, nmax, nmax))]
+        ac = jnp.arange(ncmax)
+        cyi = (yc[:, None, None] + ac[None, :, None]).clip(0, h64 // 2 - 1)
+        cxi = (xc[:, None, None] + ac[None, None, :]).clip(0, w64 // 2 - 1)
+        csrc_max = src_c[:, jnp.broadcast_to(cyi, (R, ncmax, ncmax)),
+                         jnp.broadcast_to(cxi, (R, ncmax, ncmax))]
+        csrc_max = csrc_max.reshape(2 * R, ncmax, ncmax)
+
+        for n in sizes:
             lg = n.bit_length() - 1
             sel = (active & is_intra & (cu_lg == lg)
                    & (x0c % n == 0) & (y0c % n == 0))
             # ---- luma TB
-            refs_u = _gather_refs(rec_y, x0c, y0c, n, cur_z, w, h,
-                                  nctbx, 1, default)
+            refs_u = _substitute(*glt, n, default)
             refs_f = _filter_refs(refs_u, n)
             pred = _predict_batch(refs_u, refs_f, mode, n, True, bit_depth)
-            # unselected lanes may point past the plane: clamp the read
-            # (the values are dropped by the masked scatter anyway)
-            a = jnp.arange(n)
-            sy = (y0c[:, None, None] + a[None, :, None]).clip(0, h64 - 1)
-            sx = (x0c[:, None, None] + a[None, None, :]).clip(0, w64 - 1)
-            srcb = src_y[jnp.broadcast_to(sy, (R, n, n)),
-                         jnp.broadcast_to(sx, (R, n, n))]
-            lv, rr = _tq_batch(srcb - pred, n, qp, bit_depth)
+            lv, rr = _tq_batch(src_max[:, :n, :n] - pred, n, qp, bit_depth)
             rec = jnp.clip(pred + rr, 0, maxval)
             rec_y = _scatter(rec_y, rec, x0c, y0c, n, sel)
             lv_y = _scatter(lv_y, lv, x0c, y0c, n, sel)
 
-            # ---- chroma TBs (4:2:0, DM mode, size n/2)
+            # ---- chroma TBs (4:2:0, DM mode, size n/2, cb+cr stacked)
             nc = n // 2
-            xc, yc = x0c >> 1, y0c >> 1
-            ac = jnp.arange(nc)
-            cyi = (yc[:, None, None] + ac[None, :, None]).clip(0, h64 // 2 - 1)
-            cxi = (xc[:, None, None] + ac[None, None, :]).clip(0, w64 // 2 - 1)
-            for comp, (srcp, recp, lvp) in enumerate(
-                    ((src_cb, rec_cb, lv_cb), (src_cr, rec_cr, lv_cr))):
-                crefs = _gather_refs(recp, xc, yc, nc, cur_z,
-                                     w // 2, h // 2, nctbx, 2, default)
-                cpred = _predict_batch(crefs, None, mode, nc, False,
-                                       bit_depth)
-                csrc = srcp[jnp.broadcast_to(cyi, (R, nc, nc)),
-                            jnp.broadcast_to(cxi, (R, nc, nc))]
-                clv, crr = _tq_batch(csrc - cpred, nc, qp_c, bit_depth)
-                crec = jnp.clip(cpred + crr, 0, maxval)
-                if comp == 0:
-                    rec_cb = _scatter(rec_cb, crec, xc, yc, nc, sel)
-                    lv_cb = _scatter(lv_cb, clv, xc, yc, nc, sel)
-                else:
-                    rec_cr = _scatter(rec_cr, crec, xc, yc, nc, sel)
-                    lv_cr = _scatter(lv_cr, clv, xc, yc, nc, sel)
-        return (rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr), None
+            clv2, cl_av, ccv2, cc_av, ctv2, ct_av = cglt
+            crefs = _substitute(
+                clv2.reshape(2 * R, -1), jnp.concatenate([cl_av, cl_av]),
+                ccv2.reshape(2 * R), jnp.concatenate([cc_av, cc_av]),
+                ctv2.reshape(2 * R, -1), jnp.concatenate([ct_av, ct_av]),
+                nc, default)
+            cpred = _predict_batch(crefs, None, mode2, nc, False,
+                                   bit_depth)
+            clv, crr = _tq_batch(csrc_max[:, :nc, :nc] - cpred, nc, qp_c,
+                                 bit_depth)
+            crec = jnp.clip(cpred + crr, 0, maxval)
+            rec_c = _scatter(rec_c, crec, xc, yc, nc, sel)
+            lv_c = _scatter(lv_c, clv, xc, yc, nc, sel)
+        return (rec_y, rec_c, lv_y, lv_c), None
 
-    carry = (rec_y.astype(jnp.int32), rec_cb.astype(jnp.int32),
-             rec_cr.astype(jnp.int32), lv_y.astype(jnp.int32),
-             lv_cb.astype(jnp.int32), lv_cr.astype(jnp.int32))
-    carry, _ = jax.lax.scan(body, carry, jnp.arange(T, dtype=jnp.int32))
-    return carry
+    src_c = jnp.stack([src_cb.astype(jnp.int32),
+                       src_cr.astype(jnp.int32)])
+    carry = (rec_y.astype(jnp.int32),
+             jnp.stack([rec_cb.astype(jnp.int32),
+                        rec_cr.astype(jnp.int32)]),
+             lv_y.astype(jnp.int32),
+             jnp.stack([lv_cb.astype(jnp.int32),
+                        lv_cr.astype(jnp.int32)]))
+    (rec_y, rec_c, lv_y, lv_c), _ = jax.lax.scan(
+        body, carry, jnp.arange(T, dtype=jnp.int32))
+    return (rec_y, rec_c[0], rec_c[1], lv_y, lv_c[0], lv_c[1])

@@ -21,8 +21,8 @@ from svt_hevc_tpu.core.transforms import forward_transform  # noqa: E402
 from svt_hevc_tpu.tpu.intra_pass import intra_wavefront_pass  # noqa: E402
 
 
-def random_quadtree(nby, nbx, w, h, rng):
-    """Random valid intra CU map at 8x8 granularity (sizes 8/16/32),
+def random_quadtree(nby, nbx, w, h, rng, max_lg=5):
+    """Random valid intra CU map at 8x8 granularity (sizes 8..2^max_lg),
     respecting the picture boundary (a CU must lie fully inside)."""
     cu_log2 = np.full((nby, nbx), 3, np.int32)
 
@@ -31,7 +31,7 @@ def random_quadtree(nby, nbx, w, h, rng):
         if bx * 8 >= w or by * 8 >= h:
             return
         inside = (bx * 8 + s <= w) and (by * 8 + s <= h)
-        if lg > 5 or not inside or (lg > 3 and rng.random() < 0.55):
+        if lg > max_lg or not inside or (lg > 3 and rng.random() < 0.55):
             if lg == 3:
                 cu_log2[by, bx] = 3
                 return
@@ -49,9 +49,10 @@ def random_quadtree(nby, nbx, w, h, rng):
     return cu_log2
 
 
-def host_mirror(src, cu_log2, mode8, w, h, qp, bit_depth=8):
+def host_mirror(src, cu_log2, mode8, w, h, qp, bit_depth=8, ctb_log2=6):
     """Normative scalar encode of the same decisions, in z-scan order."""
-    st = PictureState(src[0].shape[1], src[0].shape[0], qp, 6, bit_depth)
+    st = PictureState(src[0].shape[1], src[0].shape[0], qp, ctb_log2,
+                      bit_depth)
     lv = [np.zeros_like(p) for p in st.planes]
     qpc = chroma_qp(qp)
 
@@ -87,19 +88,23 @@ def host_mirror(src, cu_log2, mode8, w, h, qp, bit_depth=8):
         for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
             walk(x0 + dx, y0 + dy, lg - 1)
 
-    for cy in range(0, h, 64):
-        for cx in range(0, w, 64):
-            walk(cx, cy, 6)
+    ctb = 1 << ctb_log2
+    for cy in range(0, h, ctb):
+        for cx in range(0, w, ctb):
+            walk(cx, cy, ctb_log2)
     return st.planes, lv
 
 
-@pytest.mark.parametrize("w,h,seed,qp", [
-    (128, 64, 0, 32),
-    (96, 80, 1, 27),      # partial CTBs on both axes
-    (64, 64, 2, 45),
-    (192, 136, 3, 22),    # partial bottom row
+@pytest.mark.parametrize("w,h,seed,qp,ctb_log2", [
+    (128, 64, 0, 32, 6),
+    (96, 80, 1, 27, 6),      # partial CTBs on both axes
+    (64, 64, 2, 45, 6),
+    (192, 136, 3, 22, 6),    # partial bottom row
+    (128, 64, 0, 32, 5),     # CTB 32: raster z-order differs from 64-tiles
+    (96, 80, 4, 30, 5),
+    (128, 96, 5, 34, 4),     # CTB 16
 ])
-def test_wavefront_matches_host(w, h, seed, qp):
+def test_wavefront_matches_host(w, h, seed, qp, ctb_log2):
     rng = np.random.default_rng(seed)
     w64, h64 = (w + 63) // 64 * 64, (h + 63) // 64 * 64
     nby, nbx = h64 // 8, w64 // 8
@@ -109,7 +114,8 @@ def test_wavefront_matches_host(w, h, seed, qp):
            rng.integers(0, 256, (h64 // 2, w64 // 2)).astype(np.int32)]
     # smooth a bit so angular modes matter
     src = [((p + np.roll(p, 1, 0) + np.roll(p, 1, 1)) // 3) for p in src]
-    cu_log2 = random_quadtree(nby, nbx, w, h, rng)
+    cu_log2 = random_quadtree(nby, nbx, w, h, rng,
+                              max_lg=min(ctb_log2, 5))
     mode8 = rng.integers(0, 35, (nby, nbx)).astype(np.int32)
     # mode is per-CU: broadcast the top-left block's mode over each CU
     for by in range(nby):
@@ -120,7 +126,8 @@ def test_wavefront_matches_host(w, h, seed, qp):
 
     src_host = [src[0][:h, :w], src[1][:h // 2, :w // 2],
                 src[2][:h // 2, :w // 2]]
-    planes, lv = host_mirror(src_host, cu_log2, mode8, w, h, qp)
+    planes, lv = host_mirror(src_host, cu_log2, mode8, w, h, qp,
+                             ctb_log2=ctb_log2)
 
     z = [jnp.zeros((h64, w64), jnp.int32),
          jnp.zeros((h64 // 2, w64 // 2), jnp.int32)]
@@ -129,7 +136,8 @@ def test_wavefront_matches_host(w, h, seed, qp):
         z[0], z[1], z[1], z[0], z[1], z[1],
         jnp.asarray(cu_log2), jnp.asarray(mode8),
         jnp.ones((nby, nbx), bool),
-        jnp.int32(qp), jnp.int32(chroma_qp(qp)), w=w, h=h)
+        jnp.int32(qp), jnp.int32(chroma_qp(qp)), w=w, h=h,
+        ctb_log2=ctb_log2)
     rec = [np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])]
     lvd = [np.asarray(out[3]), np.asarray(out[4]), np.asarray(out[5])]
 

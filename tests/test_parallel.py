@@ -95,5 +95,6 @@ def test_gop_encode_step_matches_single_device():
     for b in (0, 3, 7):
         want = np.asarray(fast_p_fused_packed(
             srcs[b], csrc[b], csrc[b], refs[b], cref[b], cref[b], mvs[b],
-            jnp.int32(30), jnp.int32(31), ctb_log2=5, bit_depth=8))
+            jnp.int32(30), jnp.int32(31), ctb_log2=5, w=W, h=H,
+            bit_depth=8))
         assert np.array_equal(got[b], want), b
