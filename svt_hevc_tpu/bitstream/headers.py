@@ -129,7 +129,7 @@ def write_sps(cfg: EncoderConfig) -> bytes:
     w.ue(cfg.ctb_log2 - 3)    # log2_diff_max_min_luma_coding_block_size
     w.ue(0)              # log2_min_luma_transform_block_size_minus2 -> 4
     w.ue(3)              # log2_diff_max_min_luma_transform_block_size -> max TU 32
-    w.ue(0)              # max_transform_hierarchy_depth_inter
+    w.ue(2)              # max_transform_hierarchy_depth_inter (RQT)
     w.ue(0)              # max_transform_hierarchy_depth_intra
     w.flag(0)            # scaling_list_enabled_flag
     w.flag(0)            # amp_enabled_flag

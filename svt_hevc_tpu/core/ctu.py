@@ -99,6 +99,9 @@ class PictureState:
         self.ref_pocs: list = [[], []]         # [lst][ref] -> POC
         self.poc = 0
         self.max_merge = 5
+        # transform-tree depth budget for inter CUs (SPS
+        # max_transform_hierarchy_depth_inter); intra stays 0
+        self.max_tt_depth_inter = 0
         # collocated picture's motion for TMVP (8.5.3.2.7): dict with
         # mv / ref_idx (4x4-gran maps), ref_pocs, poc, from_l0; None
         # disables the temporal candidate
@@ -499,6 +502,11 @@ class CtuCoderBase:
                        parent_cbf_cb: tuple, parent_cbf_cr: tuple) -> None:
         cf = self.st.chroma_format
         split = (log2 > 5) or (cu.part_nxn and depth == 0)
+        # split_transform_flag (7.3.8.8): signalled for inter CUs within
+        # the SPS depth budget, BEFORE the chroma cbfs
+        if (not split and cu.is_inter and log2 > 2
+                and depth < self.st.max_tt_depth_inter):
+            split = self.sx_split_transform(cu, x0, y0, log2, depth)
         cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
         if log2 > 2 or cf == 3:
             # 4:2:2 signals two flags per component — one per stacked
@@ -597,6 +605,9 @@ class CtuCoderBase:
         raise NotImplementedError
 
     def sx_chroma_mode(self, x0, y0, luma_mode0) -> int:
+        raise NotImplementedError
+
+    def sx_split_transform(self, cu, x0, y0, log2, depth) -> int:
         raise NotImplementedError
 
     def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub) -> int:
@@ -745,6 +756,9 @@ class CtuDecoder(CtuCoderBase):
             return luma_mode0                      # DM
         idx = self.bac.decode_bypass_bins(2)
         return chroma_cand_list(luma_mode0)[idx]
+
+    def sx_split_transform(self, cu, x0, y0, log2, depth):
+        return self.bac.decode_bin(Ctx.SPLIT_TRANSFORM + 5 - log2)
 
     def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub):
         return self.bac.decode_bin(Ctx.CBF_CHROMA + depth)
@@ -1436,6 +1450,10 @@ class CtuEncoder(CtuCoderBase):
                 cu.chroma_cbf[(c_idx, x0, y0, log2, sub)] = int(levels.any())
                 reconstruct_tb(st, c_idx, xc, yc, n, pred, levels,
                                is_intra=not cu.is_inter)
+
+    def sx_split_transform(self, cu, x0, y0, log2, depth):
+        self.bac.encode_bin(Ctx.SPLIT_TRANSFORM + 5 - log2, 0)
+        return 0
 
     def sx_cbf_chroma(self, cu, x0, y0, log2, depth, c_idx, sub):
         cbf = cu.chroma_cbf[(c_idx, x0, y0, log2, sub)]

@@ -94,6 +94,7 @@ class _PictureCtx:
         st = PictureState(sps.width, sps.height, hdr.slice_qp, sps.log2_ctb,
                           sps.bit_depth, chroma_format=sps.chroma_format_idc)
         st.constrained_intra = pps.constrained_intra
+        st.max_tt_depth_inter = sps.max_transform_hierarchy_depth_inter
         if pps.cu_qp_delta_enabled:
             if pps.diff_cu_qp_delta_depth != 0:
                 raise NotImplementedError("QG smaller than CTB")

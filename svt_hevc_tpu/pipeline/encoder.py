@@ -441,6 +441,7 @@ class Encoder:
             s = PictureState(cw, ch, qp, cfg.ctb_log2, cfg.bit_depth,
                              chroma_format=cfg.chroma_format)
             s.constrained_intra = cfg.constrained_intra
+            s.max_tt_depth_inter = 2     # matches the SPS (write_sps)
             if mcts:
                 s.filter_across_tiles = False
                 s.tile_edges_x = tile_edges_x

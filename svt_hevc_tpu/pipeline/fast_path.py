@@ -58,6 +58,7 @@ class DecisionMaps:
     inter8: np.ndarray        # bool: inter vs intra
     mv8: np.ndarray           # (nby, nbx, 2) quarter-pel decided MV
     intra_mode8: np.ndarray   # intra mode of the covering CU
+    tu_log2_8: np.ndarray | None = None   # chosen TU log2 (3..5, RQT)
     # filled after encode_pass_p:
     lv_y: np.ndarray | None = None
     lv_cb: np.ndarray | None = None
@@ -216,6 +217,13 @@ class FastCtuEncoder(CtuEncoder):
         plan.mvd[0] = (mv[0] - amvp[mvp_i][0], mv[1] - amvp[mvp_i][1])
         return plan
 
+    # ----------------------------------------------- transform tree (RQT)
+    def sx_split_transform(self, cu, x0, y0, log2, depth):
+        from ..bitstream.contexts import Ctx
+        v = 1 if int(self.m.tu_log2_8[y0 >> 3, x0 >> 3]) < log2 else 0
+        self.bac.encode_bin(Ctx.SPLIT_TRANSFORM + 5 - log2, v)
+        return v
+
     # ------------------------------------------- intra pixel work: disabled
     # (the wavefront device pass computed recon + levels; the walk only
     # emits syntax and maintains availability)
@@ -250,8 +258,16 @@ class FastCtuEncoder(CtuEncoder):
                         x0 >> sx >> 2:(x0 + n) >> sx >> 2] = True
         st.cbf4[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = 0
 
-    def _luma_tree_inter(self, cu, x0, y0, log2):
+    def _tu_split(self, x0, y0, log2) -> bool:
+        """The transform tree's split decision at a node (mirrors
+        sx_split_transform without emitting)."""
         if log2 > 5:
+            return True
+        return (log2 > 3
+                and int(self.m.tu_log2_8[y0 >> 3, x0 >> 3]) < log2)
+
+    def _luma_tree_inter(self, cu, x0, y0, log2):
+        if self._tu_split(x0, y0, log2):
             h = 1 << (log2 - 1)
             for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
                 self._luma_tree_inter(cu, x0 + dx, y0 + dy, log2 - 1)
@@ -262,9 +278,10 @@ class FastCtuEncoder(CtuEncoder):
 
     def _chroma_tree(self, cu, x0, y0, log2, depth):
         # both inter and intra CUs take their chroma levels from the
-        # device maps (inter: encode_pass_p; intra: the wavefront pass)
+        # device maps (inter: encode_pass_p; intra: the wavefront pass);
+        # the recursion mirrors the transform tree incl. RQT splits
         st = self.st
-        split = log2 > 5
+        split = self._tu_split(x0, y0, log2) if cu.is_inter else log2 > 5
         if split:
             half = 1 << (log2 - 1)
             any_cbf = {1: 0, 2: 0}
@@ -341,7 +358,8 @@ def _build_maps(st, out: dict):
     Reconstruction stays device-resident — nothing writes st.planes."""
     cw, ch = st.w, st.h
     maps = DecisionMaps(cu_log2_8=out["cu_log2_8"], inter8=out["inter8"],
-                        mv8=out["mv8"], intra_mode8=out["intra_mode8"])
+                        mv8=out["mv8"], intra_mode8=out["intra_mode8"],
+                        tu_log2_8=out["tu_log2_8"])
     maps.lv_y = out["lv_y"][:ch, :cw]
     maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]
     maps.lv_cr = out["lv_cr"][:ch // 2, :cw // 2]

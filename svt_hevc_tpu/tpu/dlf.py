@@ -149,7 +149,8 @@ def _filter_chroma_dir(plane, bs_luma, qp_c, bit_depth: int):
                     cols[None, :, None, :]].set(out)
 
 
-def derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w: int, h: int):
+def derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w: int, h: int,
+                   tu_log2_8=None):
     """Boundary-strength maps from the fast-path decision grids.
 
     cu_log2_8/inter8: (nby, nbx); mv8: (nby, nbx, 2) L0 quarter-pel MV
@@ -162,7 +163,8 @@ def derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w: int, h: int):
     """
     nby, nbx = cu_log2_8.shape
     h64, w64 = nby * 8, nbx * 8
-    tu8 = jnp.minimum(cu_log2_8, 5)              # TU log2 per 8-block
+    tu8 = (jnp.minimum(cu_log2_8, 5) if tu_log2_8 is None
+           else tu_log2_8)                       # TU log2 per 8-block
 
     def one_dir(transpose: bool):
         # vertical edges: columns 8c; work on (rows at 4-gran, cols at 8)

@@ -194,13 +194,48 @@ def _unblocks(b: jnp.ndarray, n: int, h: int, w: int) -> jnp.ndarray:
             .transpose(0, 2, 1, 3).reshape(h, w))
 
 
+def _tu_zero_rd(bb, lv, r, lam):
+    """Per-TU RD zero-out: kill a TU's coefficients when coding them buys
+    less SSE than lambda * (estimated coefficient bits). The encoder-side
+    analogue of the reference's CBF escape / PM masking quantizer
+    (EbTransforms.c PerformTwoStagePm :2219, CBF full-loop escape
+    EbEncDecProcess.c:2156): purely an encoder decision — the decoder
+    just sees cbf=0. bb/lv/r: (B, n, n) residual / levels / recon
+    residual; lam: traced float32 SSE-domain lambda. Returns masked
+    (lv, r).
+
+    The rate model counts the dominant scan overhead, not just the
+    values: per nonzero 4x4 coefficient group ~7 bits (group flag + the
+    16 significance bins), ~2 bits + 2*bit_length per nonzero level, and
+    ~12 bits of cbf/last-position fixed cost — calibrated against the
+    real CABAC output of typical P residual (scattered small levels in
+    large TUs cost far more in significance scanning than in values)."""
+    n = lv.shape[-1]
+    d0 = jnp.sum((bb * bb).astype(jnp.float32), (-2, -1))
+    dr = bb - r
+    d1 = jnp.sum((dr * dr).astype(jnp.float32), (-2, -1))
+    a = jnp.abs(lv)
+    blen = (a[..., None] >= (1 << jnp.arange(15))).sum(-1)   # bit_length
+    vbits = jnp.sum(jnp.where(a > 0, 2 + 2 * blen, 0),
+                    (-2, -1)).astype(jnp.float32)
+    if n >= 8:
+        g = a.reshape(*a.shape[:-2], n // 4, 4, n // 4, 4).sum((-3, -1))
+        ngroups = (g > 0).sum((-2, -1)).astype(jnp.float32)
+    else:
+        ngroups = (jnp.sum(a, (-2, -1)) > 0).astype(jnp.float32)
+    bits = vbits + 7.0 * ngroups + 12.0
+    keep = ((d0 - d1) >= lam * bits)[..., None, None]
+    return jnp.where(keep, lv, 0), jnp.where(keep, r, 0)
+
+
 def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
-                  is_intra: bool = False):
+                  is_intra: bool = False, lam=None):
     """Forward DCT + quant + dequant + inverse DCT for EVERY aligned
     (n, n) block of a residual plane. qp: traced int32 scalar. Returns
     (levels plane int32, reconstructed-residual plane int32). Bit-exact
     with core.transforms/core.quant (HM-style shifts, int32-safe for
-    8/10-bit)."""
+    8/10-bit). lam: optional SSE-domain lambda enabling the per-TU RD
+    zero-out (_tu_zero_rd)."""
     h, w = resid.shape
     t = jnp.asarray(DCT[n].astype(np.int32))
     log2n = n.bit_length() - 1
@@ -230,6 +265,8 @@ def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
     bd_shift = 20 - bit_depth
     r = jnp.clip((jnp.einsum("byk,kx->byx", e, t)
                   + (1 << (bd_shift - 1))) >> bd_shift, -32768, 32767)
+    if lam is not None:
+        lv, r = _tu_zero_rd(b, lv, r, lam)
     return (_unblocks(lv, n, h, w), _unblocks(r, n, h, w))
 
 
@@ -250,9 +287,72 @@ def _nz_map(lv: jnp.ndarray, n: int) -> jnp.ndarray:
     return (jnp.abs(lv).reshape(h // n, n, w // n, n).sum((1, 3)) > 0)
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def _pool_min(m, k: int):
+    h, w = m.shape
+    return m.reshape(h // k, k, w // k, k).min((1, 3))
+
+
+def _pool_max(m, k: int):
+    h, w = m.shape
+    return m.reshape(h // k, k, w // k, k).max((1, 3))
+
+
+def _plane_tu_bits(lv, n: int):
+    """Per-(n, n)-TU coefficient-rate proxy over a levels plane: value
+    bits + per-nonzero-4x4-group scan overhead + fixed cbf/last cost
+    (same model as _tu_zero_rd)."""
+    a = jnp.abs(lv)
+    blen = (a[..., None] >= (1 << jnp.arange(15))).sum(-1)
+    vb = jnp.where(a > 0, 3 + 2 * blen, 0)
+    vbits = _boxsum(vb, n).astype(jnp.float32)
+    g4 = (_boxsum(a, 4) > 0).astype(jnp.int32)
+    groups = _boxsum(g4, n // 4).astype(jnp.float32)
+    return vbits + 7.0 * groups + 12.0
+
+
+def _tu_tree_dp(res_y, rr_s, lv_s, cu_log2_8, inter8, tu_cap8, lam):
+    """Residual quadtree decision (the reference's RQT): per-8-block TU
+    size in [max(cu-2, 3) .. min(cu, 5)] minimizing D + lambda*bits over
+    the already-quantized per-size planes. Localized content stops
+    paying full-TU significance scans (7.3.8.8 split_transform_flag)."""
+    INF = jnp.float32(3e38)
+    resf = res_y.astype(jnp.float32)
+    lo8 = jnp.maximum(jnp.minimum(cu_log2_8, 5) - 2, 3)
+    cost = {}
+    for lg in (3, 4, 5):
+        n = 1 << lg
+        k = n // 8
+        d1 = _boxsum((resf - rr_s[lg].astype(jnp.float32)) ** 2, n)
+        rd = d1 + lam * (_plane_tu_bits(lv_s[lg], n) + 2.0)
+        valid = (_pool_min(tu_cap8, k) >= lg) & (_pool_max(lo8, k) <= lg)
+        cost[lg] = jnp.where(valid, rd, INF)
+
+    best = cost[3]
+    split = {}
+    for lg in (4, 5):
+        agg = _boxsum(best, 2) + lam * 1.0
+        split[lg] = agg < cost[lg]
+        best = jnp.where(split[lg], agg, cost[lg])
+
+    nby, nbx = tu_cap8.shape
+    tu8 = jnp.full((nby, nbx), 3, jnp.int32)
+    undecided = jnp.ones((nby, nbx), bool)
+
+    def rep(m, k):
+        return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+    for lg in (5, 4):
+        leaf = undecided & ~rep(split[lg], 1 << (lg - 3))
+        tu8 = jnp.where(leaf, lg, tu8)
+        undecided = undecided & ~leaf
+    # intra blocks keep TU == min(CU, 32) (the wavefront's structure)
+    return jnp.where(inter8, tu8, tu_cap8)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "tu_split"))
 def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
-                  mv8, inter8, tu_log2_8, qp, qp_c, bit_depth: int = 8):
+                  mv8, inter8, tu_log2_8, qp, qp_c, bit_depth: int = 8,
+                  lam=None, tu_split: bool = False, cu_log2_8=None):
     """The normative inter encode pass for one P picture, fully batched.
 
     src_*: coded-dims int32 source planes. raw_*: phase-plane stacks of
@@ -282,20 +382,26 @@ def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
 
     lv_y_s, rr_y_s = {}, {}
     for lg in (3, 4, 5):
-        lv, rr = dense_tq_size(res_y, 1 << lg, qp, bit_depth=bit_depth)
+        lv, rr = dense_tq_size(res_y, 1 << lg, qp, bit_depth=bit_depth,
+                               lam=lam)
         lv_y_s[lg], rr_y_s[lg] = lv, rr
+    if tu_split and lam is not None and cu_log2_8 is not None:
+        tu_log2_8 = _tu_tree_dp(res_y, rr_y_s, lv_y_s, cu_log2_8, inter8,
+                                tu_log2_8, lam)
     lv_y = _select_by_log2(lv_y_s, tu_log2_8, 8)
     rr_y = _select_by_log2(rr_y_s, tu_log2_8, 8)
 
-    # chroma TU log2 = luma CU log2 - 1, clamped to [2, 4] (4:2:0: CU8 ->
-    # one 4x4 chroma TB at the 8-node; CU64 -> four 32-luma nodes -> 16)
+    # chroma TU log2 = luma TU log2 - 1, clamped to [2, 4] (4:2:0: an
+    # 8-node -> one 4x4 chroma TB; CU64 -> four 32-luma nodes -> 16)
     ctu_log2_8 = jnp.clip(tu_log2_8 - 1, 2, 4)
     # chroma granularity: the luma 8x8 block maps to a 4x4 chroma block
     lv_cb_s, rr_cb_s, lv_cr_s, rr_cr_s = {}, {}, {}, {}
     for lg in (2, 3, 4):
-        lv, rr = dense_tq_size(res_cb, 1 << lg, qp_c, bit_depth=bit_depth)
+        lv, rr = dense_tq_size(res_cb, 1 << lg, qp_c, bit_depth=bit_depth,
+                               lam=lam)
         lv_cb_s[lg], rr_cb_s[lg] = lv, rr
-        lv, rr = dense_tq_size(res_cr, 1 << lg, qp_c, bit_depth=bit_depth)
+        lv, rr = dense_tq_size(res_cr, 1 << lg, qp_c, bit_depth=bit_depth,
+                               lam=lam)
         lv_cr_s[lg], rr_cr_s[lg] = lv, rr
     lv_cb = _select_by_log2(lv_cb_s, ctu_log2_8, 4)
     rr_cb = _select_by_log2(rr_cb_s, ctu_log2_8, 4)
@@ -316,6 +422,7 @@ def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
         "nz4_y": _nz_map(lv_y, 4).astype(jnp.uint8),
         "nz4_cb": _nz_map(lv_cb, 4).astype(jnp.uint8),
         "nz4_cr": _nz_map(lv_cr, 4).astype(jnp.uint8),
+        "tu8": tu_log2_8.astype(jnp.int32),
     }
 
 
@@ -798,7 +905,7 @@ def fast_p_fused_packed(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     # closed-loop intra for the CUs the decision sent to intra: inter
     # recon is final (MC never reads intra recon), so fixing up intra CUs
     # in wavefront order reproduces exact z-scan decoder state
-    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = intra_wavefront_pass(
+    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr, _ = intra_wavefront_pass(
         src_y, src_cb, src_cr,
         out["rec_y"], out["rec_cb"], out["rec_cr"],
         out["lv_y"], out["lv_cb"], out["lv_cr"],
@@ -966,7 +1073,7 @@ def _edge_pad_to(rec, w: int, h: int):
     return rec[iy][:, ix]
 
 
-def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8,
+def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8, tu8,
                   qp, qp_c, lam, ctb_log2: int, w: int, h: int,
                   bit_depth: int, dlf: bool, sao: bool):
     """Shared fused tail: cbf map -> DLF -> SAO decide + apply ->
@@ -982,9 +1089,9 @@ def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8,
     ny, nx = h64 // ctb, w64 // ctb
 
     if dlf:
-        tu8 = jnp.minimum(cu_log2_8, 5)
         cbf4 = _cbf4_map(lv_y, tu8)
-        bs_v, bs_ht = derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w, h)
+        bs_v, bs_ht = derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w, h,
+                                     tu_log2_8=tu8)
         rec_y, rec_cb, rec_cr = deblock_dev(rec_y, rec_cb, rec_cr,
                                             bs_v, bs_ht, qp, qp_c,
                                             bit_depth=bit_depth)
@@ -1031,7 +1138,8 @@ def dec_specs(h64: int, w64: int):
     return [("cu_log2_8", (nby, nbx), np.int32),
             ("inter8", (nby, nbx), bool),
             ("mv8", (nby, nbx, 2), np.int32),
-            ("intra_mode8", (nby, nbx), np.int32)]
+            ("intra_mode8", (nby, nbx), np.int32),
+            ("tu_log2_8", (nby, nbx), np.int32)]
 
 
 def finish_specs(h64: int, w64: int, ctb: int):
@@ -1057,6 +1165,13 @@ def fused_dev_specs(h64: int, w64: int, ctb: int):
 # gating at fast presets, EbPictureDecisionProcess.c:425-449); this also
 # quarters the intra-fixup wavefront's scan length
 P_MIN_INTRA_LOG2 = 4
+
+# extra lambda weight on the INTER residual zero-out: biases P pictures
+# toward skip/coasting like the reference's RD (whose CABAC-accurate
+# coefficient rate estimates make scattered residual far more expensive
+# than a simple proxy suggests); calibrated by BD-rate sweep vs the
+# reference encoder at M7
+INTER_ZERO_LAMBDA_SCALE = 1.0
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
@@ -1089,7 +1204,10 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                         mv8, inter8, tu_log2, qp, qp_c,
-                        bit_depth=bit_depth)
+                        bit_depth=bit_depth,
+                        lam=lam * INTER_ZERO_LAMBDA_SCALE,
+                        tu_split=True, cu_log2_8=cu_log2_8)
+    tu8 = out["tu8"]
     rec3 = (out["rec_y"].astype(jnp.int32), out["rec_cb"].astype(jnp.int32),
             out["rec_cr"].astype(jnp.int32))
     lv3 = (out["lv_y"].astype(jnp.int32), out["lv_cb"].astype(jnp.int32),
@@ -1101,22 +1219,23 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     any_intra = (~inter8 & inpic).any()
 
     def run_wavefront(args):
-        r3, l3 = args
-        out6 = intra_wavefront_pass(
-            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, mode8, ~inter8,
+        r3, l3, m8 = args
+        out7 = intra_wavefront_pass(
+            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
             qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
-            min_cu_log2=P_MIN_INTRA_LOG2)
-        return out6[:3], out6[3:]
+            min_cu_log2=P_MIN_INTRA_LOG2, lam=lam, refine_modes=True)
+        return out7[:3], out7[3:6], out7[6]
 
-    rec3, lv3 = jax.lax.cond(any_intra, run_wavefront, lambda a: a,
-                             (rec3, lv3))
+    rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
+                                    lambda a: a, (rec3, lv3, mode8))
 
     packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
         (src_y, src_cb, src_cr), rec3, lv3,
-        cu_log2_8, inter8, mv8, qp, qp_c, lam,
+        cu_log2_8, inter8, mv8, tu8, qp, qp_c, lam,
         ctb_log2, w, h, bit_depth, dlf, sao)
     packed = jnp.concatenate(
-        [_pack([cu_log2_8, inter8, mv8, mode8], jnp.int16), packed_fin])
+        [_pack([cu_log2_8, inter8, mv8, mode8, tu8], jnp.int16),
+         packed_fin])
     return packed, rec_y, rec_cb, rec_cr
 
 
@@ -1141,18 +1260,22 @@ def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
     zy = jnp.zeros((h64, w64), jnp.int32)
     zc = jnp.zeros((h64 // 2, w64 // 2), jnp.int32)
     nby, nbx = h64 // 8, w64 // 8
-    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr = intra_wavefront_pass(
-        src_y, src_cb, src_cr, zy, zc, zc, zy, zc, zc,
-        cu_log2_8, mode8, jnp.ones((nby, nbx), bool),
-        qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2)
+    rec_y, rec_cb, rec_cr, lv_y, lv_cb, lv_cr, mode8 = \
+        intra_wavefront_pass(
+            src_y, src_cb, src_cr, zy, zc, zc, zy, zc, zc,
+            cu_log2_8, mode8, jnp.ones((nby, nbx), bool),
+            qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
+            lam=lam, refine_modes=True)
     inter8 = jnp.zeros((nby, nbx), bool)
     mv8 = jnp.zeros((nby, nbx, 2), jnp.int32)
+    tu8 = jnp.minimum(cu_log2_8, 5)
     packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
         (src_y, src_cb, src_cr), (rec_y, rec_cb, rec_cr),
-        (lv_y, lv_cb, lv_cr), cu_log2_8, inter8, mv8, qp, qp_c, lam,
+        (lv_y, lv_cb, lv_cr), cu_log2_8, inter8, mv8, tu8, qp, qp_c, lam,
         ctb_log2, w, h, bit_depth, dlf, sao)
     packed = jnp.concatenate(
-        [_pack([cu_log2_8, inter8, mv8, mode8], jnp.int16), packed_fin])
+        [_pack([cu_log2_8, inter8, mv8, mode8, tu8], jnp.int16),
+         packed_fin])
     return packed, rec_y, rec_cb, rec_cr
 
 

@@ -274,10 +274,11 @@ def _predict_batch(refs_u, refs_f, mode, n: int, luma: bool,
     return pred
 
 
-def _tq_batch(resid, n: int, qp, bit_depth: int):
+def _tq_batch(resid, n: int, qp, bit_depth: int, lam=None):
     """Forward DCT + intra quant + dequant + inverse DCT of an (R, n, n)
     residual batch; bit-exact with core.transforms/core.quant (same
-    formulas as encode.dense_tq_size). Returns (levels, recon_residual)."""
+    formulas as encode.dense_tq_size). Returns (levels, recon_residual).
+    lam: optional SSE lambda enabling the per-TU RD zero-out."""
     t = jnp.asarray(DCT[n].astype(np.int32))
     log2n = n.bit_length() - 1
     s1 = log2n + bit_depth - 9
@@ -303,6 +304,9 @@ def _tq_batch(resid, n: int, qp, bit_depth: int):
     bd_shift = 20 - bit_depth
     r = jnp.clip((jnp.einsum("byk,kx->byx", e, t)
                   + (1 << (bd_shift - 1))) >> bd_shift, -32768, 32767)
+    if lam is not None:
+        from .encode import _tu_zero_rd
+        lv, r = _tu_zero_rd(resid.astype(jnp.int32), lv, r, lam)
     return lv, r
 
 
@@ -326,14 +330,15 @@ def _scatter(plane, vals, x0, y0, n: int, mask):
 
 @functools.partial(jax.jit,
                    static_argnames=("w", "h", "bit_depth", "ctb_log2",
-                                    "min_cu_log2"))
+                                    "min_cu_log2", "refine_modes"))
 def intra_wavefront_pass(src_y, src_cb, src_cr,
                          rec_y, rec_cb, rec_cr,
                          lv_y, lv_cb, lv_cr,
                          cu_log2_8, mode8, intra8,
                          qp, qp_c, w: int, h: int,
                          bit_depth: int = 8, ctb_log2: int = 6,
-                         min_cu_log2: int = 3):
+                         min_cu_log2: int = 3, lam=None,
+                         refine_modes: bool = False):
     """Closed-loop intra encode for all CUs flagged in intra8.
 
     src_*: int32 source planes at 64-aligned dims. rec_*/lv_*: int32
@@ -363,7 +368,7 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
     ncmax = nmax // 2
 
     def body(carry, t):
-        rec_y, rec_c, lv_y, lv_c = carry
+        rec_y, rec_c, lv_y, lv_c, mode_map = carry
         d = t // slots
         k = t % slots
         zx = sum((((k >> (2 * b)) & 1) << b) for b in range(nbits)) \
@@ -409,8 +414,48 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
             # ---- luma TB
             refs_u = _substitute(*glt, n, default)
             refs_f = _filter_refs(refs_u, n)
-            pred = _predict_batch(refs_u, refs_f, mode, n, True, bit_depth)
-            lv, rr = _tq_batch(src_max[:, :n, :n] - pred, n, qp, bit_depth)
+            if refine_modes:
+                # closed-loop mode refinement: re-rank a shortlist
+                # against the TRUE reconstruction references (the
+                # reference's enhanced-I behavior at M3-9: OIS shortlist
+                # + closed-loop refinement, SURVEY §2.4b). The open-loop
+                # OIS winner predicts from source neighbors and often
+                # misranks on structured content.
+                srcn = src_max[:, :n, :n]
+                best_sse = None
+                md_sel = mode
+                pred = None
+                for cand in (None, 0, 1, 26, 10):
+                    cm = mode if cand is None else \
+                        jnp.full_like(mode, cand)
+                    p = _predict_batch(refs_u, refs_f, cm, n, True,
+                                       bit_depth)
+                    sse = jnp.sum(((srcn - p)
+                                   * (srcn - p)).astype(jnp.float32),
+                                  (-2, -1))
+                    if best_sse is None:
+                        best_sse, pred = sse, p
+                    else:
+                        take = sse < best_sse
+                        md_sel = jnp.where(take, cm, md_sel)
+                        pred = jnp.where(take[:, None, None], p, pred)
+                        best_sse = jnp.minimum(sse, best_sse)
+                # write the chosen mode over the CU's 8-blocks
+                k = n // 8
+                off = jnp.arange(k * k)
+                yy = by[:, None] + off[None, :] // k
+                xx = bx[:, None] + off[None, :] % k
+                upd = jnp.broadcast_to(sel[:, None], (R, k * k))
+                yy = jnp.where(upd, yy, mode_map.shape[0])
+                mode_map = mode_map.at[yy, xx].set(
+                    jnp.broadcast_to(md_sel[:, None], (R, k * k)),
+                    mode="drop")
+            else:
+                pred = _predict_batch(refs_u, refs_f, mode, n, True,
+                                      bit_depth)
+                md_sel = mode
+            lv, rr = _tq_batch(src_max[:, :n, :n] - pred, n, qp, bit_depth,
+                               lam=lam)
             rec = jnp.clip(pred + rr, 0, maxval)
             rec_y = _scatter(rec_y, rec, x0c, y0c, n, sel)
             lv_y = _scatter(lv_y, lv, x0c, y0c, n, sel)
@@ -423,14 +468,15 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
                 ccv2.reshape(2 * R), jnp.concatenate([cc_av, cc_av]),
                 ctv2.reshape(2 * R, -1), jnp.concatenate([ct_av, ct_av]),
                 nc, default)
-            cpred = _predict_batch(crefs, None, mode2, nc, False,
-                                   bit_depth)
+            cpred = _predict_batch(crefs, None,
+                                   jnp.concatenate([md_sel, md_sel]),
+                                   nc, False, bit_depth)
             clv, crr = _tq_batch(csrc_max[:, :nc, :nc] - cpred, nc, qp_c,
-                                 bit_depth)
+                                 bit_depth, lam=lam)
             crec = jnp.clip(cpred + crr, 0, maxval)
             rec_c = _scatter(rec_c, crec, xc, yc, nc, sel)
             lv_c = _scatter(lv_c, clv, xc, yc, nc, sel)
-        return (rec_y, rec_c, lv_y, lv_c), None
+        return (rec_y, rec_c, lv_y, lv_c, mode_map), None
 
     src_c = jnp.stack([src_cb.astype(jnp.int32),
                        src_cr.astype(jnp.int32)])
@@ -439,7 +485,8 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
                         rec_cr.astype(jnp.int32)]),
              lv_y.astype(jnp.int32),
              jnp.stack([lv_cb.astype(jnp.int32),
-                        lv_cr.astype(jnp.int32)]))
-    (rec_y, rec_c, lv_y, lv_c), _ = jax.lax.scan(
+                        lv_cr.astype(jnp.int32)]),
+             mode8.astype(jnp.int32))
+    (rec_y, rec_c, lv_y, lv_c, mode_map), _ = jax.lax.scan(
         body, carry, jnp.arange(T, dtype=jnp.int32))
-    return (rec_y, rec_c[0], rec_c[1], lv_y, lv_c[0], lv_c[1])
+    return (rec_y, rec_c[0], rec_c[1], lv_y, lv_c[0], lv_c[1], mode_map)

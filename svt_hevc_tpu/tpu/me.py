@@ -23,12 +23,39 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Pallas hand-kernel dispatch: probed once per process (the axon/TPU
+# backend runs the Mosaic kernel; CPU and probe-failures fall back to
+# the XLA formulation below — the two are bit-equivalent, equivalence-
+# tested in tests/test_pallas.py)
+_PALLAS_STATE: dict = {"ok": None}
+
+
+def _pallas_usable() -> bool:
+    if _PALLAS_STATE["ok"] is None:
+        ok = False
+        try:
+            if jax.default_backend() != "cpu":
+                from .pallas_kernels import sad_field_pallas
+                import numpy as np
+                d = jnp.asarray(np.zeros((32, 128), np.float32))
+                out = sad_field_pallas(d, d, 16, 2)
+                out.block_until_ready()
+                ok = True
+        except Exception:
+            ok = False
+        _PALLAS_STATE["ok"] = ok
+    return _PALLAS_STATE["ok"]
+
 
 def _block_sad_all_disp(src: jnp.ndarray, ref: jnp.ndarray, n: int,
                         r: int) -> jnp.ndarray:
     """SAD of every aligned (n, n) block of src vs ref displaced by every
     (dy, dx) in [-r, r]^2. Returns (2r+1, 2r+1, H//n, W//n) float32."""
     h, w = src.shape
+    if _PALLAS_STATE["ok"] and h % n == 0 and w % n == 0:
+        from .pallas_kernels import sad_field_pallas
+        return sad_field_pallas(src.astype(jnp.float32),
+                                ref.astype(jnp.float32), n, r)
     pad = jnp.pad(ref, r, mode="edge")
 
     dys, dxs = jnp.meshgrid(jnp.arange(2 * r + 1), jnp.arange(2 * r + 1),
@@ -102,6 +129,7 @@ def hme_search(src: jnp.ndarray, ref: jnp.ndarray, n: int = 16,
     mv_q is (H//n, W//n, 2) int32 [mvx, mvy] in quarter-pel units, sad the
     full-res SAD map. Effective range ~ +/-(8r + 3r) full-pel.
     """
+    _pallas_usable()          # resolve the kernel choice before tracing
     src = src.astype(jnp.float32)
     ref = ref.astype(jnp.float32)
     s2, r2 = _decimate2(src), _decimate2(ref)

@@ -13,8 +13,10 @@ displacement is one lane-parallel absolute-difference reduction plus a
 blockwise segment sum.
 
 The jnp fallback in me.py computes the identical field via XLA; the two
-are equivalence-tested (interpret mode on CPU), and hme_search selects the
-hand kernel only on real TPU backends.
+are equivalence-tested (interpret mode on CPU). me._block_sad_all_disp
+dispatches to this kernel when the one-time probe (me._pallas_usable)
+compiled and ran it on the active non-CPU backend; otherwise the XLA
+path serves (bit-identical either way).
 """
 
 from __future__ import annotations

@@ -140,6 +140,8 @@ def test_wavefront_matches_host(w, h, seed, qp, ctb_log2):
         ctb_log2=ctb_log2)
     rec = [np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])]
     lvd = [np.asarray(out[3]), np.asarray(out[4]), np.asarray(out[5])]
+    np.testing.assert_array_equal(np.asarray(out[6]), mode8,
+                                  err_msg="mode passthrough")
 
     np.testing.assert_array_equal(rec[0][:h, :w], planes[0], err_msg="rec Y")
     np.testing.assert_array_equal(rec[1][:h // 2, :w // 2], planes[1],

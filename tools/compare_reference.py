@@ -23,6 +23,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+def make_clip_scene(w, h, n, path):
+    """Structured synthetic content: smooth sky gradient, textured ground,
+    high-contrast structures, and three moving objects at mixed (incl.
+    fractional-effective) velocities — closer to camera video than the
+    pure-noise pan of make_clip."""
+    rng = np.random.default_rng(9)
+    H, W = h + 96, w + 96
+    yy, xx = np.mgrid[0:H, 0:W]
+    sky = 60 + 90 * (yy / H)
+    tex = rng.integers(0, 256, (H, W)).astype(np.float32)
+    for _ in range(3):
+        tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)
+               + np.roll(tex, -1, 0) + np.roll(tex, -1, 1)) / 5
+    ground = 80 + 0.5 * (tex - tex.mean())
+    base = np.where(yy > 0.6 * H, ground, sky)
+    # static structures: bars and blocks
+    for k in range(6):
+        x0 = (97 * k) % (W - 80)
+        base[H // 3:H // 3 + 40 + 8 * k, x0:x0 + 24] = 30 + 30 * (k % 3)
+    frames = []
+    with open(path, "wb") as f:
+        for i in range(n):
+            ox, oy = (3 * i) % 64, (1 * i) % 48
+            y = base[oy:oy + h, ox:ox + w].astype(np.float32).copy()
+            # moving objects: slow smooth disc, fast small block, drifter
+            cx, cy = (40 + 5 * i) % (w - 80), int(h * 0.3)
+            ygrid, xgrid = np.mgrid[0:h, 0:w]
+            disc = ((xgrid - cx - 40) ** 2 + (ygrid - cy - 40) ** 2) < 35 ** 2
+            y[disc] = 200 - (i % 7)
+            bx, by = (11 * i) % (w - 32), (h // 2 + 3 * i) % (h - 32)
+            y[by:by + 24, bx:bx + 24] = 16
+            y = np.clip(y, 0, 255).astype(np.uint8)
+            cb = np.full((h // 2, w // 2), 118, np.uint8)
+            cb[by // 2:by // 2 + 12, bx // 2:bx // 2 + 12] = 90
+            cr = np.full((h // 2, w // 2), 130, np.uint8)
+            f.write(y.tobytes()); f.write(cb.tobytes()); f.write(cr.tobytes())
+            frames.append((y.astype(np.int64), cb, cr))
+    return frames
+
+
 def make_clip(w, h, n, path):
     rng = np.random.default_rng(5)
     base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.float32)
@@ -72,12 +112,13 @@ def bd_rate(r1, p1, r2, p2):
     return (10 ** (avg2 - avg1) - 1) * 100.0
 
 
-def run_ours(clip, w, h, n, qp, preset):
+def run_ours(clip, w, h, n, qp, preset, intra_period=-1):
     from svt_hevc_tpu.config import EncoderConfig
     from svt_hevc_tpu.io.yuv import read_yuv420
     from svt_hevc_tpu.pipeline.encoder import Encoder
     cfg = EncoderConfig(width=w, height=h, qp=qp, enc_mode=preset,
-                        intra_period=-1, scene_change_detection=False)
+                        intra_period=intra_period,
+                        scene_change_detection=False)
     enc = Encoder(cfg)
     frames = list(read_yuv420(clip, w, h, max_frames=n))
     t0 = time.perf_counter()
@@ -86,12 +127,13 @@ def run_ours(clip, w, h, n, qp, preset):
     return bytes(stream), dt
 
 
-def run_ref(app, clip, w, h, n, qp, preset):
+def run_ref(app, clip, w, h, n, qp, preset, intra_period=-1):
     out = tempfile.mktemp(suffix=".265")
     t0 = time.perf_counter()
     subprocess.run(
         [app, "-i", clip, "-w", str(w), "-h", str(h), "-q", str(qp),
-         "-encMode", str(preset), "-intra-period", "-1", "-rc", "0",
+         "-encMode", str(preset), "-intra-period", str(intra_period),
+         "-rc", "0",
          "-n", str(n), "-scd", "0", "-b", out],
         check=True, capture_output=True)
     dt = time.perf_counter() - t0
@@ -102,11 +144,17 @@ def run_ref(app, clip, w, h, n, qp, preset):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=352)
-    ap.add_argument("--height", type=int, default=288)
-    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--preset", type=int, default=7)
     ap.add_argument("--qps", type=int, nargs="+", default=[22, 27, 32, 37])
+    # realistic streaming refresh: with no refresh (-1) the comparison
+    # degenerates into a quality-drift contest on synthetic content (the
+    # reference coasts with falling per-frame PSNR)
+    ap.add_argument("--intra-period", type=int, default=31)
+    ap.add_argument("--content", choices=["scene", "noise"],
+                    default="scene")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -114,16 +162,17 @@ def main():
                          capture_output=True, text=True,
                          check=True).stdout.strip().splitlines()[-1]
     clip = tempfile.mktemp(suffix=".yuv")
-    frames = make_clip(args.width, args.height, args.frames, clip)
+    gen = make_clip_scene if args.content == "scene" else make_clip
+    frames = gen(args.width, args.height, args.frames, clip)
 
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
     print(f"{'qp':>4} {'ours kb':>9} {'ours dB':>8} {'ours fps':>9} "
           f"{'ref kb':>9} {'ref dB':>8} {'ref fps':>9}")
     for qp in args.qps:
         so, to = run_ours(clip, args.width, args.height, args.frames, qp,
-                          args.preset)
+                          args.preset, args.intra_period)
         sr, tr = run_ref(app, clip, args.width, args.height, args.frames,
-                         qp, args.preset)
+                         qp, args.preset, args.intra_period)
         po = psnr_stream(so, frames)
         pr = psnr_stream(sr, frames)
         ours_r.append(len(so))
@@ -136,7 +185,8 @@ def main():
     bd = bd_rate(np.array(ref_r, float), np.array(ref_p),
                  np.array(ours_r, float), np.array(ours_p))
     print(f"\nBD-rate vs reference M{args.preset} (luma, IPPP, "
-          f"{args.width}x{args.height}): {bd:+.1f}% "
+          f"{args.width}x{args.height}, {args.frames}f, "
+          f"ip={args.intra_period}, {args.content}): {bd:+.1f}% "
           f"({'worse' if bd > 0 else 'better'} = more bits at equal PSNR)")
     os.unlink(clip)
 
