@@ -237,13 +237,21 @@ def _motion_at(st, x: int, y: int) -> Mi | None:
               r1)
 
 
+def _div_trunc(n: int, d: int) -> int:
+    """Integer division truncating toward zero (spec 5.4 '/'), unlike
+    Python's floor division — the distinction matters for negative td in
+    the tx = (16384 + |td|/2) / td step of MV scaling."""
+    q = abs(n) // abs(d)
+    return -q if (n < 0) != (d < 0) else q
+
+
 def _scale_mv_td(mv, tb: int, td: int):
     """MV scaling with explicit POC distances (8.5.3.2.8 general form)."""
     tb = max(-128, min(127, tb))
     td = max(-128, min(127, td))
     if td == tb or td == 0:
         return (int(mv[0]), int(mv[1]))
-    tx = (16384 + (abs(td) >> 1)) // td
+    tx = _div_trunc(16384 + (abs(td) >> 1), td)
     dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
     out = []
     for c in mv:
@@ -379,7 +387,7 @@ def _scale_mv(mv, cur_poc: int, target_ref_poc: int, cand_ref_poc: int):
     td = max(-128, min(127, cur_poc - cand_ref_poc))
     if td == tb or td == 0:
         return (int(mv[0]), int(mv[1]))
-    tx = (16384 + (abs(td) >> 1)) // td
+    tx = _div_trunc(16384 + (abs(td) >> 1), td)
     dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
     out = []
     for c in mv:

@@ -17,14 +17,16 @@ _LIB = None
 _TRIED = False
 
 
-_SOURCES = ("cabac.c", "residual.c")
+_SOURCES = ("cabac.c", "residual.c", "emitter.c")
+_HEADERS = ("cabac_core.h",)
 
 
 def _build_lib() -> str | None:
     srcs = [os.path.join(_HERE, s) for s in _SOURCES]
+    deps = srcs + [os.path.join(_HERE, h) for h in _HEADERS]
     out = os.path.join(_HERE, "_libsvthevc_native.so")
     if os.path.exists(out) and all(
-            os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
+            os.path.getmtime(out) >= os.path.getmtime(s) for s in deps):
         return out
     for cc in ("cc", "gcc", "clang"):
         try:
@@ -119,3 +121,78 @@ def residual_ops_native(coeffs: np.ndarray, c_idx: int,
     if k < 0:
         raise RuntimeError(f"native residual_ops error {k}")
     return out[:k]
+
+
+# -------------------------------------------------- full-frame CU emitter
+
+class EmitCfg(ctypes.Structure):
+    """Mirrors emit_cfg_t in native/emitter.c."""
+    _fields_ = [
+        ("w", ctypes.c_int32), ("h", ctypes.c_int32),
+        ("ctb_log2", ctypes.c_int32), ("slice_type", ctypes.c_int32),
+        ("max_merge", ctypes.c_int32), ("cur_poc", ctypes.c_int32),
+        ("n_ref0", ctypes.c_int32), ("n_ref1", ctypes.c_int32),
+        ("ref_pocs0", ctypes.c_int32 * 8), ("ref_pocs1", ctypes.c_int32 * 8),
+        ("has_col", ctypes.c_int32), ("col_poc", ctypes.c_int32),
+        ("col_from_l0", ctypes.c_int32), ("no_backward", ctypes.c_int32),
+        ("col_w16", ctypes.c_int32), ("col_h16", ctypes.c_int32),
+        ("col_ref_pocs0", ctypes.c_int32 * 8),
+        ("col_ref_pocs1", ctypes.c_int32 * 8),
+        ("max_tt_depth_inter", ctypes.c_int32),
+        ("sao_enabled", ctypes.c_int32), ("bit_depth", ctypes.c_int32),
+        ("cu_qp_delta_enabled", ctypes.c_int32),
+        ("slice_qp", ctypes.c_int32),
+        ("nbx", ctypes.c_int32), ("nby", ctypes.c_int32),
+        ("stride_y", ctypes.c_int32), ("stride_c", ctypes.c_int32),
+        ("sao_nx", ctypes.c_int32), ("qpm_nx", ctypes.c_int32),
+        ("ctb_x0", ctypes.c_int32), ("ctb_y0", ctypes.c_int32),
+        ("ctb_x1", ctypes.c_int32), ("ctb_y1", ctypes.c_int32),
+        ("last_ctb_x", ctypes.c_int32), ("last_ctb_y", ctypes.c_int32),
+        ("end_of_subset", ctypes.c_int32),
+    ]
+
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+class EmitBufs(ctypes.Structure):
+    """Mirrors emit_bufs_t in native/emitter.c."""
+    _fields_ = [
+        ("cu8", _I32P), ("ref8", _I32P), ("mv8", _I32P), ("mode8", _I32P),
+        ("tu8", _I32P),
+        ("lv_y", _I32P), ("lv_cb", _I32P), ("lv_cr", _I32P),
+        ("sao_type", _I32P), ("sao_eo", _I32P), ("sao_bp", _I32P),
+        ("sao_offs", _I32P),
+        ("col_mv", _I32P), ("col_ref", _I32P),
+        ("qp_map", _I32P),
+        ("bases", _I32P), ("res_bases", _I32P),
+        ("ctx", _U8P),
+        ("mv_out", _I32P), ("ref_out", _I32P),
+        ("out", _U8P), ("out_cap", ctypes.c_int64),
+    ]
+
+
+_EMIT_READY = False
+
+
+def frame_emit_lib():
+    """Library handle with frame_emit configured, or None."""
+    global _EMIT_READY
+    lib = native_cabac_lib()
+    if lib is None:
+        return None
+    if not _EMIT_READY:
+        lib.frame_emit.restype = ctypes.c_int64
+        lib.frame_emit.argtypes = [ctypes.POINTER(EmitCfg),
+                                   ctypes.POINTER(EmitBufs)]
+        _EMIT_READY = True
+    return lib
+
+
+def i32p(a: np.ndarray):
+    return a.ctypes.data_as(_I32P)
+
+
+def u8p(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)

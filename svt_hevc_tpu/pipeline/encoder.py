@@ -241,11 +241,19 @@ class Encoder:
             self._inflight = None
 
     def _col_for(self, col_poc):
-        """Collocated motion dict for TMVP, or None."""
+        """Collocated motion dict for TMVP, or None. A missing entry for
+        a requested collocated POC is an encoder ordering bug (the slice
+        header will still signal slice_temporal_mvp_enabled_flag=1, so
+        silently dropping the temporal candidate would desync the
+        decoder's merge/AMVP lists) — fail loudly like decoder.py does."""
         if col_poc is None:
             return None
         ent = self._ref_motion.get(col_poc)
-        return dict(ent, from_l0=True) if ent is not None else None
+        if ent is None:
+            raise RuntimeError(
+                f"TMVP collocated motion for POC {col_poc} not registered "
+                "(motion-registration/flush ordering bug)")
+        return dict(ent, from_l0=True)
 
     def _frame_is_idr(self, idx: int) -> bool:
         ip = self.cfg.intra_period
@@ -910,6 +918,16 @@ class Encoder:
         list."""
         from .fast_path import FastCtuEncoder, sao_grid_from_arrays
         cfg = self.cfg
+        # native emitter: ONE C call derives merge/AMVP/MPM legality from
+        # the maps, emits every bin and runs the arithmetic coder —
+        # byte-identical to the Python walk below (test-enforced)
+        from .native_emit import emit_tile_native
+        data = emit_tile_native(
+            cfg, st, maps, sao_np if cfg.enable_sao else None, qp,
+            init_type, last_ctb=(last_xy[0] >> cfg.ctb_log2,
+                                 last_xy[1] >> cfg.ctb_log2))
+        if data is not None:
+            return [data]
         walker = FastCtuEncoder(st, None, src, maps, features=feat)
         ctu_ops = []
         st.begin_tile()

@@ -317,7 +317,10 @@ def _tu_tree_dp(res_y, rr_s, lv_s, cu_log2_8, inter8, tu_cap8, lam):
     paying full-TU significance scans (7.3.8.8 split_transform_flag)."""
     INF = jnp.float32(3e38)
     resf = res_y.astype(jnp.float32)
-    lo8 = jnp.maximum(jnp.minimum(cu_log2_8, 5) - 2, 3)
+    # depth budget: max_transform_hierarchy_depth_inter=2 counts the
+    # forced 64->32 split, so a 64 CU bottoms out at TU16 (7.3.8.8) —
+    # lo8 must be cu_log2-2 WITHOUT clamping cu_log2 to 5 first
+    lo8 = jnp.maximum(cu_log2_8 - 2, 3)
     cost = {}
     for lg in (3, 4, 5):
         n = 1 << lg
