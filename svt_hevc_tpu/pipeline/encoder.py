@@ -474,40 +474,58 @@ class Encoder:
                         and split_policy is None
                         and part_nxn_policy is None)
         w64, h64 = (cw + 63) // 64 * 64, (ch + 63) // 64 * 64
-        src_dev = ref_dev = None
+        src_dev = ref_dev = ref1_dev = None
         single_ref = (not is_idr and refs_l0 is not None
                       and len(refs_l0) == 1 and not refs_l1)
+        b_pair = (not is_idr and slice_type == 0
+                  and refs_l0 is not None and len(refs_l0) == 1
+                  and refs_l1 is not None and len(refs_l1) == 1)
         if fast_capable:
             from ..tpu import encode as tenc
+
+            def dev_ref(entry):
+                got = self._dev_dpb.get((entry[1], w64, h64))
+                if got is None:
+                    dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
+                    rp = entry[0]
+                    got = tenc.prep_planes(rp[0].astype(dt),
+                                           rp[1].astype(dt),
+                                           rp[2].astype(dt), w64, h64)
+                return got
+
             src_dev = tenc.prep_planes(np.ascontiguousarray(frame.y),
                                        np.ascontiguousarray(frame.cb),
                                        np.ascontiguousarray(frame.cr),
                                        w64, h64)
             if single_ref:
-                ref_dev = self._dev_dpb.get((refs_l0[0][1], w64, h64))
-                if ref_dev is None:
-                    dt = np.uint8 if cfg.bit_depth == 8 else np.uint16
-                    rp = refs_l0[0][0]
-                    ref_dev = tenc.prep_planes(rp[0].astype(dt),
-                                               rp[1].astype(dt),
-                                               rp[2].astype(dt), w64, h64)
+                ref_dev = dev_ref(refs_l0[0])
+            elif b_pair:
+                ref_dev = dev_ref(refs_l0[0])
+                ref1_dev = (ref_dev if refs_l1[0][1] == refs_l0[0][1]
+                            else dev_ref(refs_l1[0]))
 
         # ---- fast paths: ONE fused device graph (P: phases + dense MD +
         # OIS + quadtree decision + encode pass + intra wavefront;
-        # I: OIS + decision + intra wavefront) + single host walk
-        # (pipeline/fast_path.py) emitting syntax from the maps ----
+        # B: both lists + bi; I: OIS + decision + intra wavefront) +
+        # native syntax emission from the maps (pipeline/native_emit.py)
         use_fast = (fast_capable and slice_type == 1 and not rd
                     and single_ref and qp_map is None and feat.ois_intra
                     and not cfg.constrained_intra)
+        use_fast_b = (fast_capable and b_pair and not rd
+                      and qp_map is None and feat.ois_intra
+                      and not cfg.constrained_intra)
         use_fast_i = (fast_capable and slice_type == 2 and not rd
                       and qp_map is None and feat.ois_intra)
 
-        me_seed = mv_dev = None
+        me_seed = mv_dev = mv1_dev = None
         if not is_idr:
             if ref_dev is not None:
                 from ..tpu.me import hme_search
                 mv_dev = hme_search(src_dev[0], ref_dev[0])[0]
-                if not use_fast:
+                if ref1_dev is not None:
+                    mv1_dev = (mv_dev if ref1_dev is ref_dev
+                               else hme_search(src_dev[0], ref1_dev[0])[0])
+                if not (use_fast or use_fast_b):
                     me_seed = np.asarray(mv_dev)
             else:
                 me_seed = tpu_me_field(src[0], refs_l0[0][0][0])
@@ -516,20 +534,24 @@ class Encoder:
         # drive the MD shortlist at OIS presets (reference: OIS feeding MD
         # candidate pruning, EbModeDecisionConfigurationProcess.c:289).
         # Fast-path pictures run OIS inside the fused graph instead.
-        if feat.ois_intra and not (use_fast or use_fast_i):
+        if feat.ois_intra and not (use_fast or use_fast_i or use_fast_b):
             ois = self._ois_maps(src[0] if src_dev is None else src_dev[0])
         else:
             ois = None
 
         rec_dev = packed = None
-        if use_fast or use_fast_i:
+        if use_fast or use_fast_i or use_fast_b:
             # dispatch the fused device graph; the download + host walk
             # happen in _complete() so a pipelined caller can dispatch
             # the NEXT frame first (frames-in-flight)
-            from .fast_path import run_fast_i, run_fast_p
+            from .fast_path import run_fast_b, run_fast_i, run_fast_p
             st = new_state()
             if use_fast_i:
                 packed, rec_dev = run_fast_i(cfg, feat, st, qp, src_dev)
+            elif use_fast_b:
+                packed, rec_dev = run_fast_b(cfg, feat, st, qp,
+                                             mv_dev, mv1_dev, src_dev,
+                                             ref_dev, ref1_dev)
             else:
                 packed, rec_dev = run_fast_p(cfg, feat, st, qp,
                                              mv_dev, src_dev, ref_dev)
@@ -686,7 +708,8 @@ class Encoder:
                 # previous frame's walk has finished by completion order.
                 st.col = self._col_for(col_poc)
                 from .fast_path import complete_fast
-                maps, sao_np = complete_fast(cfg, st, packed)
+                maps, sao_np = complete_fast(cfg, st, packed,
+                                             b_form=use_fast_b)
                 substr = self._encode_fast(
                     st, src, maps, sao_np, qp, feat, tiles[0][0], last_xy,
                     init_type)

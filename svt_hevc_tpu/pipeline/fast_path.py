@@ -56,9 +56,12 @@ class DecisionMaps:
     """Per-8x8-block decision grids on the 64-aligned padded picture."""
     cu_log2_8: np.ndarray     # chosen CU log2 size (3..6)
     inter8: np.ndarray        # bool: inter vs intra
-    mv8: np.ndarray           # (nby, nbx, 2) quarter-pel decided MV
+    mv8: np.ndarray           # (nby, nbx, 2) quarter-pel decided MV (L0)
     intra_mode8: np.ndarray   # intra mode of the covering CU
     tu_log2_8: np.ndarray | None = None   # chosen TU log2 (3..5, RQT)
+    # B pictures: per-list ref idx (-1 = unused) + per-list MVs
+    ref8: np.ndarray | None = None        # (2, nby, nbx)
+    mv8_2l: np.ndarray | None = None      # (2, nby, nbx, 2)
     # filled after encode_pass_p:
     lv_y: np.ndarray | None = None
     lv_cb: np.ndarray | None = None
@@ -66,6 +69,22 @@ class DecisionMaps:
     nz4_y: np.ndarray | None = None
     nz4_cb: np.ndarray | None = None
     nz4_cr: np.ndarray | None = None
+
+    def list_motion(self, by: int, bx: int):
+        """(ref0, ref1, mv0, mv1) of the 8-block (by, bx) — the two-list
+        generalization used by the walk's plan derivation."""
+        if self.ref8 is not None:
+            r0 = int(self.ref8[0, by, bx])
+            r1 = int(self.ref8[1, by, bx])
+            mv0 = (int(self.mv8_2l[0, by, bx, 0]),
+                   int(self.mv8_2l[0, by, bx, 1])) if r0 >= 0 else (0, 0)
+            mv1 = (int(self.mv8_2l[1, by, bx, 0]),
+                   int(self.mv8_2l[1, by, bx, 1])) if r1 >= 0 else (0, 0)
+            return r0, r1, mv0, mv1
+        if self.inter8[by, bx]:
+            return 0, -1, (int(self.mv8[by, bx, 0]),
+                           int(self.mv8[by, bx, 1])), (0, 0)
+        return -1, -1, (0, 0), (0, 0)
 
 
 def decide_tree(md: dict, ois: dict, ctb_log2: int) -> DecisionMaps:
@@ -99,6 +118,11 @@ def decide_tree(md: dict, ois: dict, ctb_log2: int) -> DecisionMaps:
         if s <= 32:
             mode_map, cost_map = ois[s]
             intra_c = 2.0 * cost_map.astype(np.float64) + L * 6.0
+            # intra gating in inter pictures (mirror of decide_tree_dev):
+            # open-loop intra cost reads ~0 on predictable content, so
+            # only offer intra where inter prediction genuinely fails
+            fails = inter_c > (int(L) * s * s) // 2
+            intra_c = np.where(fails, intra_c, np.inf)
         else:
             intra_c = np.full_like(inter_c, np.inf)
             mode_map = np.zeros_like(inter_c, np.int32)
@@ -189,12 +213,12 @@ class FastCtuEncoder(CtuEncoder):
         st, m = self.st, self.m
         n = 1 << log2
         plan = _InterPlan()
-        if not m.inter8[y0 >> 3, x0 >> 3]:
+        r0, r1, mv0, mv1 = m.list_motion(y0 >> 3, x0 >> 3)
+        if r0 < 0 and r1 < 0:
             plan.use_inter = False
             return plan
         plan.use_inter = True
-        mv = (int(m.mv8[y0 >> 3, x0 >> 3, 0]), int(m.mv8[y0 >> 3, x0 >> 3, 1]))
-        target = Mi(mv, 0, (0, 0), -1)
+        target = Mi(mv0, r0, mv1, r1)
         any_nz = self._cu_any_nz(x0, y0, n)
         plan.root_cbf = int(any_nz)
         merge_list = merge_candidates(st, x0, y0, n, st.max_merge)
@@ -206,15 +230,20 @@ class FastCtuEncoder(CtuEncoder):
                 plan.mi = target
                 plan.skip = not any_nz
                 return plan
-        amvp = amvp_candidates(st, x0, y0, n, 0)
-        plan.amvp[0] = amvp
-        b0 = (_mvd_bits(mv[0] - amvp[0][0]) + _mvd_bits(mv[1] - amvp[0][1]))
-        b1 = (_mvd_bits(mv[0] - amvp[1][0]) + _mvd_bits(mv[1] - amvp[1][1]))
-        mvp_i = 1 if b1 < b0 else 0
         plan.mi = target
-        plan.idc = 0
-        plan.mvp_idx[0] = mvp_i
-        plan.mvd[0] = (mv[0] - amvp[mvp_i][0], mv[1] - amvp[mvp_i][1])
+        plan.idc = 2 if (r0 >= 0 and r1 >= 0) else (0 if r0 >= 0 else 1)
+        for lst, mv in ((0, mv0), (1, mv1)):
+            if target.ref(lst) < 0:
+                continue
+            amvp = amvp_candidates(st, x0, y0, n, lst)
+            plan.amvp[lst] = amvp
+            b0 = (_mvd_bits(mv[0] - amvp[0][0])
+                  + _mvd_bits(mv[1] - amvp[0][1]))
+            b1 = (_mvd_bits(mv[0] - amvp[1][0])
+                  + _mvd_bits(mv[1] - amvp[1][1]))
+            mvp_i = 1 if b1 < b0 else 0
+            plan.mvp_idx[lst] = mvp_i
+            plan.mvd[lst] = (mv[0] - amvp[mvp_i][0], mv[1] - amvp[mvp_i][1])
         return plan
 
     # ----------------------------------------------- transform tree (RQT)
@@ -339,17 +368,43 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev):
     return packed, (rec_y, rec_cb, rec_cr)
 
 
-def complete_fast(cfg, st, packed):
-    """Blocking half of run_fast_p / run_fast_i: fetch the packed device
-    buffer and build the host-side maps. Kept separate so the caller can
-    dispatch the NEXT frame's graph before this download+walk
-    (frames-in-flight; reference analogue: EbEncHandle.c:1645)."""
+def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
+               ref0_dev, ref1_dev):
+    """Device stages for one B picture: phase planes for both lists,
+    per-list dense MD + bi combination, quadtree decision, B encode
+    pass, DLF/SAO — one fused graph, one packed download (the B analogue
+    of run_fast_p; reference: the B-slice MD/encode path,
+    EbModeDecision.c :926)."""
+    import jax.numpy as jnp
+
+    from ..core.rdo import lambda_sse
+    from ..tpu import encode as tenc
+
+    cw, ch = st.w, st.h
+    d0 = st.ref_pocs[0][0] - st.poc
+    d1 = st.ref_pocs[1][0] - st.poc
+    packed, rec_y, rec_cb, rec_cr = tenc.fast_b_fused_dev(
+        *src_dev, *ref0_dev, *ref1_dev, mv0_dev, mv1_dev,
+        jnp.int32(d0), jnp.int32(d1),
+        jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
+        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
+        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr)
+
+
+def complete_fast(cfg, st, packed, b_form: bool = False):
+    """Blocking half of run_fast_p / run_fast_i / run_fast_b: fetch the
+    packed device buffer and build the host-side maps. Kept separate so
+    the caller can dispatch the NEXT frame's graph before this
+    download+walk (frames-in-flight; reference analogue:
+    EbEncHandle.c:1645)."""
     from ..tpu import encode as tenc
     cw, ch = st.w, st.h
     w64 = (cw + 63) // 64 * 64
     h64 = (ch + 63) // 64 * 64
-    out = tenc.unpack(np.asarray(packed),
-                      tenc.fused_dev_specs(h64, w64, cfg.ctb_size))
+    specs = (tenc.fused_b_dev_specs if b_form
+             else tenc.fused_dev_specs)(h64, w64, cfg.ctb_size)
+    out = tenc.unpack(np.asarray(packed), specs)
     return _build_maps(st, out)
 
 
@@ -357,9 +412,19 @@ def _build_maps(st, out: dict):
     """(DecisionMaps, sao param arrays) from unpacked download dicts.
     Reconstruction stays device-resident — nothing writes st.planes."""
     cw, ch = st.w, st.h
-    maps = DecisionMaps(cu_log2_8=out["cu_log2_8"], inter8=out["inter8"],
-                        mv8=out["mv8"], intra_mode8=out["intra_mode8"],
-                        tu_log2_8=out["tu_log2_8"])
+    if "ref8" in out:
+        ref8 = out["ref8"]
+        mv8_2l = out["mv8_2l"]
+        maps = DecisionMaps(cu_log2_8=out["cu_log2_8"],
+                            inter8=(ref8 >= 0).any(0),
+                            mv8=mv8_2l[0], intra_mode8=out["intra_mode8"],
+                            tu_log2_8=out["tu_log2_8"],
+                            ref8=ref8, mv8_2l=mv8_2l)
+    else:
+        maps = DecisionMaps(cu_log2_8=out["cu_log2_8"],
+                            inter8=out["inter8"],
+                            mv8=out["mv8"], intra_mode8=out["intra_mode8"],
+                            tu_log2_8=out["tu_log2_8"])
     maps.lv_y = out["lv_y"][:ch, :cw]
     maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]
     maps.lv_cr = out["lv_cr"][:ch // 2, :cw // 2]

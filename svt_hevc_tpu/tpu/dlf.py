@@ -149,36 +149,85 @@ def _filter_chroma_dir(plane, bs_luma, qp_c, bit_depth: int):
                     cols[None, :, None, :]].set(out)
 
 
+_POC_NONE = -(10 ** 6)          # plain int: traces as an inline literal
+
+
+def _bs_motion_rule_dev(rp, rq, mvp, mvq):
+    """Device mirror of core.deblock._bs_motion_rule: the bS=1 motion
+    conditions (8.7.2.4) for inter/inter edges, two reference lists.
+    rp/rq: (..., 2) ref POCs (sentinel = unused); mvp/mvq: (..., 2, 2)."""
+    # 2-element sort as min/max (avoids the variadic sort custom-call,
+    # which trips an XLA:CPU buffer-accounting bug on repeat dispatch)
+    diff_sets = ((jnp.minimum(rp[..., 0], rp[..., 1])
+                  != jnp.minimum(rq[..., 0], rq[..., 1]))
+                 | (jnp.maximum(rp[..., 0], rp[..., 1])
+                    != jnp.maximum(rq[..., 0], rq[..., 1])))
+
+    both_bi = (rp != _POC_NONE).all(-1) & (rq != _POC_NONE).all(-1)
+    up = jnp.where((rp[..., 0] != _POC_NONE)[..., None],
+                   mvp[..., 0, :], mvp[..., 1, :])
+    uq = jnp.where((rq[..., 0] != _POC_NONE)[..., None],
+                   mvq[..., 0, :], mvq[..., 1, :])
+    uni_diff = (jnp.abs(up - uq) >= 4).any(-1)
+
+    same_order = rp[..., 0] == rq[..., 0]
+    d_same = ((jnp.abs(mvp[..., 0, :] - mvq[..., 0, :]) >= 4).any(-1)
+              | (jnp.abs(mvp[..., 1, :] - mvq[..., 1, :]) >= 4).any(-1))
+    d_cross = ((jnp.abs(mvp[..., 0, :] - mvq[..., 1, :]) >= 4).any(-1)
+               | (jnp.abs(mvp[..., 1, :] - mvq[..., 0, :]) >= 4).any(-1))
+    bi_distinct_diff = jnp.where(same_order, d_same, d_cross)
+    same_pic_twice = both_bi & (rp[..., 0] == rp[..., 1])
+    bi_same_diff = d_same & d_cross
+
+    mv_rule = jnp.where(both_bi,
+                        jnp.where(same_pic_twice, bi_same_diff,
+                                  bi_distinct_diff),
+                        uni_diff)
+    return diff_sets | mv_rule
+
+
 def derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w: int, h: int,
-                   tu_log2_8=None):
+                   tu_log2_8=None, refpoc8=None, mv8_2l=None):
     """Boundary-strength maps from the fast-path decision grids.
 
     cu_log2_8/inter8: (nby, nbx); mv8: (nby, nbx, 2) L0 quarter-pel MV
-    (single reference, the fast path's shape); cbf4: (H//4, W//4) luma
+    (single reference, the P fast path's shape); cbf4: (H//4, W//4) luma
     cbf of the covering TU. Returns (bs_v (H//4, W//8), bs_h (H//8, W//4))
     with edges outside the coded area zeroed (8.7.2.4: intra side -> 2;
-    else cbf or >=1-pel MV difference -> 1). TU size is min(CU, 32) and
+    else cbf or the motion rule -> 1). TU size is min(CU, 32) and
     PU == CU, so a column/row is an edge iff it is a multiple of the
     right/lower block's TU size.
-    """
+
+    B form: refpoc8 (2, nby, nbx) per-list reference POC (sentinel
+    -10^6 = unused) + mv8_2l (2, nby, nbx, 2) activate the full
+    two-list motion rule (core.deblock._bs_motion_rule mirror)."""
     nby, nbx = cu_log2_8.shape
     h64, w64 = nby * 8, nbx * 8
     tu8 = (jnp.minimum(cu_log2_8, 5) if tu_log2_8 is None
            else tu_log2_8)                       # TU log2 per 8-block
+    two_list = refpoc8 is not None
 
     def one_dir(transpose: bool):
         # vertical edges: columns 8c; work on (rows at 4-gran, cols at 8)
         if transpose:
             cu = tu8.T
             it = inter8.T
-            mv = mv8.transpose(1, 0, 2)
             cb = cbf4.T
             hh, wwv = w64, h64
             wlim, hlim = h, w
+            if two_list:
+                rp8 = refpoc8.transpose(0, 2, 1)
+                mv2 = mv8_2l.transpose(0, 2, 1, 3)
+            else:
+                mv = mv8.transpose(1, 0, 2)
         else:
-            cu, it, mv, cb = tu8, inter8, mv8, cbf4
+            cu, it, cb = tu8, inter8, cbf4
             hh, wwv = h64, w64
             wlim, hlim = w, h
+            if two_list:
+                rp8, mv2 = refpoc8, mv8_2l
+            else:
+                mv = mv8
         ns, nc = hh // 4, wwv // 8
         rows4 = jnp.arange(ns)                    # 4-sample segments
         cols8 = jnp.arange(nc) * 8
@@ -195,9 +244,16 @@ def derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w: int, h: int,
         intra_q = ~it[br[:, None], bq[None, :]]
         cbf_p = cb[rows4[:, None], jnp.maximum(cols8 - 1, 0)[None, :] // 4]
         cbf_q = cb[rows4[:, None], cols8[None, :] // 4]
-        mvp = mv[br[:, None], bp[None, :]]
-        mvq = mv[br[:, None], bq[None, :]]
-        mv_diff = (jnp.abs(mvp - mvq) >= 4).any(-1)
+        if two_list:
+            rpp = rp8[:, br[:, None], bp[None, :]].transpose(1, 2, 0)
+            rpq = rp8[:, br[:, None], bq[None, :]].transpose(1, 2, 0)
+            mvp = mv2[:, br[:, None], bp[None, :]].transpose(1, 2, 0, 3)
+            mvq = mv2[:, br[:, None], bq[None, :]].transpose(1, 2, 0, 3)
+            mv_diff = _bs_motion_rule_dev(rpp, rpq, mvp, mvq)
+        else:
+            mvp = mv[br[:, None], bp[None, :]]
+            mvq = mv[br[:, None], bq[None, :]]
+            mv_diff = (jnp.abs(mvp - mvq) >= 4).any(-1)
         bs1 = (cbf_p | cbf_q) > 0
         bs = jnp.where(intra_p | intra_q, 2,
                        jnp.where(bs1 | mv_diff, 1, 0))

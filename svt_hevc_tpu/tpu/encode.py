@@ -352,6 +352,66 @@ def _tu_tree_dp(res_y, rr_s, lv_s, cu_log2_8, inter8, tu_cap8, lam):
     return jnp.where(inter8, tu8, tu_cap8)
 
 
+def _mc_gather_raw_luma(raw: jnp.ndarray, mv8: jnp.ndarray) -> jnp.ndarray:
+    """Luma MC gather in the 14-bit intermediate domain (no rounding) —
+    the bi-prediction input form (8.5.4.2.3.2 averages the intermediates,
+    core.inter.interp_luma_raw)."""
+    hp, wp = raw.shape[2], raw.shape[3]
+    h, w = hp - 2 * PAD, wp - 2 * PAD
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    ph = (mvy & 3) * 4 + (mvx & 3)
+    by = jnp.arange(h // 8) * 8
+    bx = jnp.arange(w // 8) * 8
+    sy = by[:, None] + (mvy >> 2) + PAD
+    sx = bx[None, :] + (mvx >> 2) + PAD
+    return _gather_blocks(raw.reshape(16, hp, wp), ph, sy, sx, 8, h, w)
+
+
+def _mc_gather_raw_chroma(raw: jnp.ndarray, mv8: jnp.ndarray) -> jnp.ndarray:
+    hp, wp = raw.shape[2], raw.shape[3]
+    padc = PAD // 2
+    h, w = hp - 2 * padc, wp - 2 * padc
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    ph = (mvy & 7) * 8 + (mvx & 7)
+    by = jnp.arange(h // 4) * 4
+    bx = jnp.arange(w // 4) * 4
+    sy = by[:, None] + (mvy >> 3) + padc
+    sx = bx[None, :] + (mvx >> 3) + padc
+    return _gather_blocks(raw.reshape(64, hp, wp), ph, sy, sx, 4, h, w)
+
+
+def _bi_select(a, b, use0, use1, k: int, bit_depth: int):
+    """Per-block uni/bi combine of two 14-bit MC gathers: uni rounds one
+    intermediate (8.5.4.2.3.1), bi averages both (8.5.4.2.3.2). use0/use1:
+    (nby, nbx) bool at 8x8-luma granularity; k: pixels per map cell in
+    this plane (8 luma, 4 chroma 4:2:0)."""
+    maxval = (1 << bit_depth) - 1
+    s_u = 14 - bit_depth
+    s_b = 15 - bit_depth
+    uni0 = (a + (1 << (s_u - 1))) >> s_u
+    uni1 = (b + (1 << (s_u - 1))) >> s_u
+    bi = (a + b + (1 << (s_b - 1))) >> s_b
+    m0 = jnp.repeat(jnp.repeat(use0, k, 0), k, 1)
+    m1 = jnp.repeat(jnp.repeat(use1, k, 0), k, 1)
+    out = jnp.where(m0 & m1, bi, jnp.where(m1, uni1, uni0))
+    return jnp.clip(out, 0, maxval)
+
+
+def mc_pred_b(raws0, raws1, mv8_2l, use0, use1, bit_depth: int = 8):
+    """B-picture MC prediction of all three planes: per-8x8-block
+    uni-L0 / uni-L1 / bi selection. raws0/raws1: (raw_y, raw_cb, raw_cr)
+    phase stacks of each list's reference; mv8_2l: (2, nby, nbx, 2)."""
+    a_y = _mc_gather_raw_luma(raws0[0], mv8_2l[0])
+    b_y = _mc_gather_raw_luma(raws1[0], mv8_2l[1])
+    a_cb = _mc_gather_raw_chroma(raws0[1], mv8_2l[0])
+    b_cb = _mc_gather_raw_chroma(raws1[1], mv8_2l[1])
+    a_cr = _mc_gather_raw_chroma(raws0[2], mv8_2l[0])
+    b_cr = _mc_gather_raw_chroma(raws1[2], mv8_2l[1])
+    return (_bi_select(a_y, b_y, use0, use1, 8, bit_depth),
+            _bi_select(a_cb, b_cb, use0, use1, 4, bit_depth),
+            _bi_select(a_cr, b_cr, use0, use1, 4, bit_depth))
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth", "tu_split"))
 def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                   mv8, inter8, tu_log2_8, qp, qp_c, bit_depth: int = 8,
@@ -368,14 +428,20 @@ def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
     levels, decided TU size), rec_y/rec_cb/rec_cr (reconstruction),
     nz8_y / nz4_cb / nz4_cr (per-TU-granule nonzero flags).
     """
-    h, w = src_y.shape
-    hc, wc = src_cb.shape
-    maxval = (1 << bit_depth) - 1
-
     pred_y = mc_pred_luma(raw_y, mv8, bit_depth)
     pred_cb = mc_pred_chroma(raw_cb, mv8, bit_depth)
     pred_cr = mc_pred_chroma(raw_cr, mv8, bit_depth)
+    return _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb,
+                             pred_cr, inter8, tu_log2_8, qp, qp_c,
+                             bit_depth, lam, tu_split, cu_log2_8)
 
+
+def _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr,
+                      inter8, tu_log2_8, qp, qp_c, bit_depth: int,
+                      lam, tu_split: bool, cu_log2_8):
+    """Residual -> dense T/Q/IQ/IT at every TU size -> RQT DP ->
+    reconstruction, shared by the P and B encode passes."""
+    maxval = (1 << bit_depth) - 1
     m8 = inter8.astype(jnp.int32)
     mask_y = jnp.repeat(jnp.repeat(m8, 8, 0), 8, 1)
     mask_c = jnp.repeat(jnp.repeat(m8, 4, 0), 4, 1)
@@ -427,6 +493,25 @@ def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
         "nz4_cr": _nz_map(lv_cr, 4).astype(jnp.uint8),
         "tu8": tu_log2_8.astype(jnp.int32),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "tu_split"))
+def encode_pass_b(src_y, src_cb, src_cr, raws0, raws1, mv8_2l,
+                  ref8_2l, tu_log2_8, qp, qp_c, bit_depth: int = 8,
+                  lam=None, tu_split: bool = False, cu_log2_8=None):
+    """The inter encode pass for one B picture: per-8x8-block uni-L0 /
+    uni-L1 / bi prediction (8.5.4.2.3), then the shared residual core.
+    ref8_2l: (2, nby, nbx) int32 per-list ref idx (-1 = unused);
+    intra blocks have both lists -1. Reference analogue: the encode
+    pass's bi-pred MC (EbMcp.c BiPredAverageKernel family)."""
+    use0 = ref8_2l[0] >= 0
+    use1 = ref8_2l[1] >= 0
+    inter8 = use0 | use1
+    pred_y, pred_cb, pred_cr = mc_pred_b(raws0, raws1, mv8_2l, use0, use1,
+                                         bit_depth)
+    return _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb,
+                             pred_cr, inter8, tu_log2_8, qp, qp_c,
+                             bit_depth, lam, tu_split, cu_log2_8)
 
 
 # ---------------------------------------------------------------- dense MD
@@ -782,10 +867,30 @@ def _mvd_bits_dev(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a == 0, 1, out).astype(jnp.int32)
 
 
+_H2_NP = np.array([[1, 1], [1, -1]], np.int32)
+_H4_NP = np.block([[_H2_NP, _H2_NP], [_H2_NP, -_H2_NP]])
+_H8_NP = np.block([[_H4_NP, _H4_NP], [_H4_NP, -_H4_NP]])
+
+
+def _satd8_map(diff: jnp.ndarray) -> jnp.ndarray:
+    """Per-8x8-block integer Hadamard SATD of a residual plane (~2x SAD
+    scale, core.ctu._satd_host form). SATD is the MD metric that does
+    NOT reward the noise-smoothing of subpel interpolation the way SAD
+    does — the reason the reference's fractional search and MD fast loop
+    rank with HAD costs (EbComputeSAD / Compute8x8Satd)."""
+    h, w = diff.shape
+    b = _blocks(diff.astype(jnp.int32), 8)
+    h8 = jnp.asarray(_H8_NP)
+    t = jnp.einsum("ij,bjk,lk->bil", h8, b, h8)
+    s = jnp.abs(t).sum((-2, -1)) // 4
+    return s.reshape(h // 8, w // 8)
+
+
 def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                     min_intra_log2: int = 3,
                     w: int | None = None, h: int | None = None,
-                    qp=None):
+                    qp=None, src=None, ref=None, raw16=None,
+                    bit_depth: int = 8):
     """Device mirror of pipeline.fast_path.decide_tree: bottom-up
     quadtree DP over the dense cost maps. All costs are integer-valued
     (integer SAD-domain lambda, split charge 2 -> int32), so decisions
@@ -800,18 +905,35 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
     (cu_log2_8, inter8, mv8, mode8)."""
     INF = jnp.int32(1 << 30)
     lam = jnp.int32(3) if qp is None else jnp.asarray(LAMBDA_SAD)[qp]
-
-    zs = {8: md["zsad8"].astype(jnp.int32)}
+    satd_mode = src is not None
+    if satd_mode:
+        # SATD metric (see _satd8_map): SAD rewards the noise-smoothing
+        # of subpel interpolation, decorating static content with fake
+        # sub-pel MVs that break the merge/skip chain; SATD does not.
+        lam = 2 * lam                   # SATD ~ 2x SAD scale
+        srcf = src.astype(jnp.int32)
+        h_, w_ = srcf.shape
+        satd_z8 = _satd8_map(srcf - ref.astype(jnp.int32))
+        zs = {8: satd_z8}
+    else:
+        zs = {8: md["zsad8"].astype(jnp.int32)}
     for s in (16, 32, 64):
         zs[s] = _boxsum(zs[s // 2], 2)
 
     leaf_cost, leaf_inter, leaf_mv, leaf_mode = {}, {}, {}, {}
     sizes = [s for s in (8, 16, 32, 64) if (1 << ctb_log2) >= s]
     for s in sizes:
-        sad = md[f"sad{s}"].astype(jnp.int32)
         mv = md[f"mv{s}"].astype(jnp.int32)
         bits = _mvd_bits_dev(mv[..., 0]) + _mvd_bits_dev(mv[..., 1])
-        ic = sad + lam * (bits + 4)
+        if satd_mode:
+            rep = s // 8
+            mvx = jnp.repeat(jnp.repeat(mv[..., 0], rep, 0), rep, 1)
+            mvy = jnp.repeat(jnp.repeat(mv[..., 1], rep, 0), rep, 1)
+            pred = _subpel_pred8(raw16, mvx, mvy, h_, w_, bit_depth)
+            dist = _boxsum(_satd8_map(srcf - pred), rep)
+        else:
+            dist = md[f"sad{s}"].astype(jnp.int32)
+        ic = dist + lam * (bits + 4)
         zc = zs[s] + lam * 3
         use_zero = zc < ic
         inter_c = jnp.where(use_zero, zc, ic)
@@ -819,6 +941,17 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
         if s <= 32 and s >= (1 << min_intra_log2):
             mode_map, cost_map = ois[s]
             intra_c = 2 * cost_map + lam * 6
+            # intra gating in P/B: the open-loop cost predicts from CLEAN
+            # source neighbors and reads ~0 on predictable content, which
+            # would misclassify most of a static picture as intra (each
+            # intra CU then pays mode + cbf + residual syntax that skip
+            # never pays). Allow intra only where inter prediction
+            # genuinely fails — per-pixel inter residual above a
+            # lambda-scaled threshold (the reference's fast presets gate
+            # intra in inter pictures the same way,
+            # EbModeDecision.c intra candidate injection conditions)
+            fails = inter_c > (lam * s * s) >> 1
+            intra_c = jnp.where(fails, intra_c, INF)
         else:
             intra_c = jnp.full_like(inter_c, INF)
             mode_map = jnp.zeros_like(inter_c)
@@ -867,6 +1000,152 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
         mode8 = jnp.where(leaf_here, rep(leaf_mode[s], k), mode8)
         undecided = undecided & ~leaf_here
     return cu_log2, inter8, mv8, mode8
+
+
+def _subpel_raw8(raw16, mvqx, mvqy, h: int, w: int):
+    """14-bit MC gather where every 8x8 block uses its own quarter-pel
+    MV (the bi-prediction intermediate form of _subpel_pred8)."""
+    ph = (mvqy & 3) * 4 + (mvqx & 3)
+    by = jnp.arange(h // 8) * 8
+    bx = jnp.arange(w // 8) * 8
+    sy = by[:, None] + (mvqy >> 2) + PAD
+    sx = bx[None, :] + (mvqx >> 2) + PAD
+    return _gather_blocks(raw16, ph, sy, sx, 8, h, w)
+
+
+def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
+                      src, ref0, ref1, raw0_y, raw1_y,
+                      min_intra_log2: int = 4,
+                      w: int | None = None, h: int | None = None,
+                      qp=None, bit_depth: int = 8):
+    """B-picture quadtree DP: per CU size the candidates are uni-L0
+    (ME or zero-MV), uni-L1 (ME or zero-MV), bi (L0+L1 ME winners,
+    sizes >= 16), and gated intra, all ranked by SATD (see
+    decide_tree_dev). Returns (cu_log2_8, ref8_2l (2, nby, nbx),
+    mv8_2l (2, nby, nbx, 2), mode8). Reference analogue: the MD
+    candidate set of B pictures — uni per list + the bi combination
+    (EbModeDecision.c :926) over the ME winners
+    (EbMotionEstimation.c EbHevcBiPredictionSearch :2870)."""
+    INF = jnp.int32(1 << 30)
+    lam = jnp.int32(3) if qp is None else jnp.asarray(LAMBDA_SAD)[qp]
+    lam = 2 * lam                       # SATD ~ 2x SAD scale
+    srcf = src.astype(jnp.int32)
+    h_, w_ = srcf.shape
+    raw0_16 = raw0_y.reshape(16, raw0_y.shape[2], raw0_y.shape[3])
+    raw1_16 = raw1_y.reshape(16, raw1_y.shape[2], raw1_y.shape[3])
+
+    zs0 = {8: _satd8_map(srcf - ref0.astype(jnp.int32))}
+    zs1 = {8: _satd8_map(srcf - ref1.astype(jnp.int32))}
+    for s in (16, 32, 64):
+        zs0[s] = _boxsum(zs0[s // 2], 2)
+        zs1[s] = _boxsum(zs1[s // 2], 2)
+
+    s_b = 15 - bit_depth
+    maxval = (1 << bit_depth) - 1
+
+    leaf_cost, leaf_mode = {}, {}
+    leaf_mv0, leaf_mv1, leaf_u0, leaf_u1 = {}, {}, {}, {}
+    sizes = [s for s in (8, 16, 32, 64) if (1 << ctb_log2) >= s]
+    for s in sizes:
+        rep = s // 8
+        mv0 = md0[f"mv{s}"].astype(jnp.int32)
+        mv1 = md1[f"mv{s}"].astype(jnp.int32)
+        b0 = _mvd_bits_dev(mv0[..., 0]) + _mvd_bits_dev(mv0[..., 1])
+        b1 = _mvd_bits_dev(mv1[..., 0]) + _mvd_bits_dev(mv1[..., 1])
+
+        def up(m):
+            return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
+
+        raw_a = _subpel_raw8(raw0_16, up(mv0[..., 0]), up(mv0[..., 1]),
+                             h_, w_)
+        raw_b = _subpel_raw8(raw1_16, up(mv1[..., 0]), up(mv1[..., 1]),
+                             h_, w_)
+        s_u = 14 - bit_depth
+        pred0 = jnp.clip((raw_a + (1 << (s_u - 1))) >> s_u, 0, maxval)
+        pred1 = jnp.clip((raw_b + (1 << (s_u - 1))) >> s_u, 0, maxval)
+        d0 = _boxsum(_satd8_map(srcf - pred0), rep)
+        d1 = _boxsum(_satd8_map(srcf - pred1), rep)
+
+        c0me = d0 + lam * (b0 + 4)
+        c0z = zs0[s] + lam * 3
+        use_z0 = c0z < c0me
+        c0 = jnp.where(use_z0, c0z, c0me)
+        mv0_sel = jnp.where(use_z0[..., None], 0, mv0)
+
+        c1me = d1 + lam * (b1 + 5)
+        c1z = zs1[s] + lam * 4
+        use_z1 = c1z < c1me
+        c1 = jnp.where(use_z1, c1z, c1me)
+        mv1_sel = jnp.where(use_z1[..., None], 0, mv1)
+
+        if s >= 16:
+            pred_bi = jnp.clip((raw_a + raw_b + (1 << (s_b - 1))) >> s_b,
+                               0, maxval)
+            d_bi = _boxsum(_satd8_map(srcf - pred_bi), rep)
+            cbi = d_bi + lam * (b0 + b1 + 6)
+        else:
+            cbi = jnp.full_like(c0, INF)
+
+        if s <= 32 and s >= (1 << min_intra_log2):
+            mode_map, cost_map = ois[s]
+            intra_c = 2 * cost_map + lam * 6
+            fails = jnp.minimum(c0, c1) > (lam * s * s) >> 1
+            intra_c = jnp.where(fails, intra_c, INF)
+        else:
+            intra_c = jnp.full_like(c0, INF)
+            mode_map = jnp.zeros_like(c0)
+
+        best = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(cbi, intra_c))
+        is_bi = best == cbi
+        is_1 = (best == c1) & ~is_bi
+        is_0 = (best == c0) & ~is_bi & ~is_1
+        is_intra = ~(is_bi | is_1 | is_0)
+        leaf_cost[s] = best
+        leaf_u0[s] = is_0 | is_bi
+        leaf_u1[s] = is_1 | is_bi
+        leaf_mv0[s] = jnp.where((is_bi | is_0)[..., None], mv0_sel, 0)
+        leaf_mv1[s] = jnp.where((is_bi | is_1)[..., None], mv1_sel, 0)
+        leaf_mode[s] = jnp.where(is_intra, mode_map.astype(jnp.int32), 0)
+        del is_intra
+
+    best = {sizes[0]: leaf_cost[sizes[0]]}
+    split = {}
+    for s in sizes[1:]:
+        agg = _boxsum(best[s // 2], 2) + lam * 2
+        split[s] = agg < leaf_cost[s]
+        if w is not None:
+            gy, gx = leaf_cost[s].shape
+            cross = (((jnp.arange(gx) * s + s) > w)[None, :]
+                     | ((jnp.arange(gy) * s + s) > h)[:, None])
+            split[s] = split[s] | cross
+        best[s] = jnp.where(split[s], agg, leaf_cost[s])
+
+    nby, nbx = leaf_cost[8].shape
+    cu_log2 = jnp.zeros((nby, nbx), jnp.int32)
+    u0 = jnp.zeros((nby, nbx), bool)
+    u1 = jnp.zeros((nby, nbx), bool)
+    mv8_2 = jnp.zeros((2, nby, nbx, 2), jnp.int32)
+    mode8 = jnp.zeros((nby, nbx), jnp.int32)
+
+    def rep(m, k):
+        return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+    undecided = jnp.ones((nby, nbx), bool)
+    for s in reversed(sizes):
+        k = s // 8
+        leaf_here = undecided if s == 8 else undecided & ~rep(split[s], k)
+        cu_log2 = jnp.where(leaf_here, s.bit_length() - 1, cu_log2)
+        u0 = jnp.where(leaf_here, rep(leaf_u0[s], k), u0)
+        u1 = jnp.where(leaf_here, rep(leaf_u1[s], k), u1)
+        lh = leaf_here[..., None]
+        mv8_2 = mv8_2.at[0].set(jnp.where(lh, rep(leaf_mv0[s], k),
+                                          mv8_2[0]))
+        mv8_2 = mv8_2.at[1].set(jnp.where(lh, rep(leaf_mv1[s], k),
+                                          mv8_2[1]))
+        mode8 = jnp.where(leaf_here, rep(leaf_mode[s], k), mode8)
+        undecided = undecided & ~leaf_here
+    ref8_2 = jnp.stack([jnp.where(u0, 0, -1), jnp.where(u1, 0, -1)])
+    return cu_log2, ref8_2, mv8_2, mode8
 
 
 FUSED_EXTRA = ("cu_log2_8", "inter8", "mv8", "intra_mode8")
@@ -1078,9 +1357,11 @@ def _edge_pad_to(rec, w: int, h: int):
 
 def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8, tu8,
                   qp, qp_c, lam, ctb_log2: int, w: int, h: int,
-                  bit_depth: int, dlf: bool, sao: bool):
+                  bit_depth: int, dlf: bool, sao: bool,
+                  refpoc8=None, mv8_2l=None):
     """Shared fused tail: cbf map -> DLF -> SAO decide + apply ->
-    edge-pad, then pack everything the host needs (no recon planes)."""
+    edge-pad, then pack everything the host needs (no recon planes).
+    refpoc8/mv8_2l: two-list motion for the B-picture bS rule."""
     from .dlf import deblock_dev, derive_bs_maps
     from .sao import sao_apply_dev, sao_decide_dev
 
@@ -1094,7 +1375,8 @@ def _finish_fused(src3, rec3, lv3, cu_log2_8, inter8, mv8, tu8,
     if dlf:
         cbf4 = _cbf4_map(lv_y, tu8)
         bs_v, bs_ht = derive_bs_maps(cu_log2_8, inter8, mv8, cbf4, w, h,
-                                     tu_log2_8=tu8)
+                                     tu_log2_8=tu8, refpoc8=refpoc8,
+                                     mv8_2l=mv8_2l)
         rec_y, rec_cb, rec_cr = deblock_dev(rec_y, rec_cb, rec_cr,
                                             bs_v, bs_ht, qp, qp_c,
                                             bit_depth=bit_depth)
@@ -1203,7 +1485,9 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
     cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
         md, ois, ctb_log2, min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h,
-        qp=qp)
+        qp=qp, src=src_y, ref=ref_y,
+        raw16=raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3]),
+        bit_depth=bit_depth)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                         mv8, inter8, tu_log2, qp, qp_c,
@@ -1240,6 +1524,133 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
         [_pack([cu_log2_8, inter8, mv8, mode8, tu8], jnp.int16),
          packed_fin])
     return packed, rec_y, rec_cb, rec_cr
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h"))
+def _fast_b_front(src_y, src_cb, src_cr,
+                  ref0_y, ref0_cb, ref0_cr,
+                  ref1_y, ref1_cb, ref1_cr,
+                  hme_mv0, hme_mv1, qp, qp_c, lam, ctb_log2: int,
+                  w: int, h: int, bit_depth: int = 8):
+    """B-picture front half: phase planes for both lists, dense MD per
+    list + bi combination, quadtree decision, B encode pass, intra-fixup
+    wavefront behind a runtime cond."""
+    from .analysis import intra_search_size
+    from .intra_pass import intra_wavefront_pass
+
+    raws0 = (luma_phase_planes(ref0_y, bit_depth=bit_depth),
+             chroma_phase_planes(ref0_cb, bit_depth=bit_depth),
+             chroma_phase_planes(ref0_cr, bit_depth=bit_depth))
+    raws1 = (luma_phase_planes(ref1_y, bit_depth=bit_depth),
+             chroma_phase_planes(ref1_cb, bit_depth=bit_depth),
+             chroma_phase_planes(ref1_cr, bit_depth=bit_depth))
+    md0 = dense_md_p(src_y, ref0_y, raws0[0], hme_mv0, bit_depth=bit_depth)
+    md1 = dense_md_p(src_y, ref1_y, raws1[0], hme_mv1, bit_depth=bit_depth)
+    yf = src_y.astype(jnp.float32)
+    ois = {}
+    for n in (16, 32):
+        mode, cost = intra_search_size(yf, n)
+        ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
+    cu_log2_8, ref8_2l, mv8_2l, mode8 = decide_tree_b_dev(
+        md0, md1, ois, ctb_log2, src_y, ref0_y, ref1_y,
+        raws0[0], raws1[0],
+        min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h, qp=qp,
+        bit_depth=bit_depth)
+    inter8 = (ref8_2l >= 0).any(0)
+    tu_log2 = jnp.minimum(cu_log2_8, 5)
+    out = encode_pass_b(src_y, src_cb, src_cr, raws0, raws1,
+                        mv8_2l, ref8_2l, tu_log2, qp, qp_c,
+                        bit_depth=bit_depth,
+                        lam=lam * INTER_ZERO_LAMBDA_SCALE,
+                        tu_split=True, cu_log2_8=cu_log2_8)
+    tu8 = out["tu8"]
+    rec3 = (out["rec_y"].astype(jnp.int32), out["rec_cb"].astype(jnp.int32),
+            out["rec_cr"].astype(jnp.int32))
+    lv3 = (out["lv_y"].astype(jnp.int32), out["lv_cb"].astype(jnp.int32),
+           out["lv_cr"].astype(jnp.int32))
+
+    nby, nbx = cu_log2_8.shape
+    inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
+             & (jnp.arange(nby) * 8 < h)[:, None])
+    any_intra = (~inter8 & inpic).any()
+
+    def run_wavefront(args):
+        r3, l3, m8 = args
+        out7 = intra_wavefront_pass(
+            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
+            qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
+            min_cu_log2=P_MIN_INTRA_LOG2, lam=lam, refine_modes=True)
+        return out7[:3], out7[3:6], out7[6]
+
+    rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
+                                    lambda a: a, (rec3, lv3, mode8))
+    return cu_log2_8, ref8_2l, mv8_2l, mode8, tu8, rec3, lv3
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h", "dlf", "sao"))
+def _fast_b_finish(src_y, src_cb, src_cr, cu_log2_8, ref8_2l, mv8_2l,
+                   mode8, tu8, rec3, lv3, poc_delta0, poc_delta1,
+                   qp, qp_c, lam, ctb_log2: int, w: int, h: int,
+                   bit_depth: int = 8, dlf: bool = True, sao: bool = True):
+    """B-picture finish half: DLF (two-list bS rule) + SAO + pack."""
+    inter8 = (ref8_2l >= 0).any(0)
+    # per-list reference POCs for the bS rule (sentinel where unused);
+    # the absolute scale cancels — only equality/min/max matter, so
+    # cur POC = 0 and deltas suffice
+    sent = jnp.int32(-(10 ** 6))
+    refpoc8 = jnp.stack([
+        jnp.where(ref8_2l[0] >= 0, poc_delta0, sent),
+        jnp.where(ref8_2l[1] >= 0, poc_delta1, sent)])
+    packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
+        (src_y, src_cb, src_cr), rec3, lv3,
+        cu_log2_8, inter8, mv8_2l[0], tu8, qp, qp_c, lam,
+        ctb_log2, w, h, bit_depth, dlf, sao,
+        refpoc8=refpoc8, mv8_2l=mv8_2l)
+    packed = jnp.concatenate(
+        [_pack([cu_log2_8, ref8_2l, mv8_2l, mode8, tu8], jnp.int16),
+         packed_fin])
+    return packed, rec_y, rec_cb, rec_cr
+
+
+def fast_b_fused_dev(src_y, src_cb, src_cr,
+                     ref0_y, ref0_cb, ref0_cr,
+                     ref1_y, ref1_cb, ref1_cr,
+                     hme_mv0, hme_mv1, poc_delta0, poc_delta1,
+                     qp, qp_c, lam, ctb_log2: int,
+                     w: int, h: int, bit_depth: int = 8,
+                     dlf: bool = True, sao: bool = True):
+    """Device-resident B-picture pipeline: two jitted halves chained on
+    device (front: phases/MD/decision/encode/wavefront; finish: DLF with
+    the two-list bS rule + SAO + pack). Split into two executables
+    because XLA:CPU mis-dispatches repeat invocations of the single
+    fused form (constant-hoisting buffer mismatch); the split also lets
+    the halves' compilations cache independently. Reference analogue:
+    the B-slice MD/encode path (EbModeDecision.c :926,
+    EbMotionEstimation.c EbHevcBiPredictionSearch :2870)."""
+    cu_log2_8, ref8_2l, mv8_2l, mode8, tu8, rec3, lv3 = _fast_b_front(
+        src_y, src_cb, src_cr, ref0_y, ref0_cb, ref0_cr,
+        ref1_y, ref1_cb, ref1_cr, hme_mv0, hme_mv1, qp, qp_c, lam,
+        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth)
+    return _fast_b_finish(
+        src_y, src_cb, src_cr, cu_log2_8, ref8_2l, mv8_2l, mode8, tu8,
+        rec3, lv3, poc_delta0, poc_delta1, qp, qp_c, lam,
+        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth, dlf=dlf,
+        sao=sao)
+
+
+def b_dec_specs(h64: int, w64: int):
+    nby, nbx = h64 // 8, w64 // 8
+    return [("cu_log2_8", (nby, nbx), np.int32),
+            ("ref8", (2, nby, nbx), np.int32),
+            ("mv8_2l", (2, nby, nbx, 2), np.int32),
+            ("intra_mode8", (nby, nbx), np.int32),
+            ("tu_log2_8", (nby, nbx), np.int32)]
+
+
+def fused_b_dev_specs(h64: int, w64: int, ctb: int):
+    return b_dec_specs(h64, w64) + finish_specs(h64, w64, ctb)
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",

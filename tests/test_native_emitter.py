@@ -103,6 +103,52 @@ def test_odd_dims_byte_identical():
 
 
 @needs_native
+@pytest.mark.parametrize("kw", [
+    dict(qp=30, intra_period=-1, enc_mode=7, pred_structure=2,
+         hierarchical_levels=2),               # RA hierarchical-B
+    dict(qp=34, intra_period=-1, enc_mode=7, pred_structure=1,
+         hierarchical_levels=0),               # low-delay B
+])
+def test_b_pictures_byte_identical(kw):
+    """B pictures through the fused device path (fast_b_fused_dev):
+    native emitter == Python walk, and both decode bit-exact."""
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    frames = _frames(9, 128, 96, seed=13)
+    s_nat, recons, m_nat = _encode(frames, native=True, **kw)
+    s_py, _, m_py = _encode(frames, native=False, **kw)
+    assert s_nat == s_py
+    for k in m_nat:
+        assert np.array_equal(m_nat[k][0], m_py[k][0]), f"mv poc {k}"
+        assert np.array_equal(m_nat[k][1], m_py[k][1]), f"ref poc {k}"
+    dec = decode_stream(s_nat)
+    rec = [r for r in recons if r is not None]
+    assert len(dec) == len(rec)
+    for d, r in zip(dec, rec):
+        assert np.array_equal(np.asarray(d.y), np.asarray(r.y))
+        assert np.array_equal(np.asarray(d.cb), np.asarray(r.cb))
+        assert np.array_equal(np.asarray(d.cr), np.asarray(r.cr))
+
+
+@needs_native
+def test_b_pictures_de265_oracle():
+    """RA-B fast-path stream accepted bit-exact by the independent
+    libde265 decoder (the reference's HM-decoder conformance check)."""
+    from svt_hevc_tpu.io import de265_decoder as d265
+    if not d265.available():
+        pytest.skip("libde265 unavailable")
+    frames = _frames(9, 128, 96, seed=29)
+    s_nat, recons, _ = _encode(frames, native=True, qp=28, intra_period=-1,
+                               enc_mode=7, pred_structure=2,
+                               hierarchical_levels=2)
+    pics = d265.decode_annexb(s_nat)
+    assert len(pics) == len(recons)
+    for (dy, dcb, dcr), r in zip(pics, recons):
+        assert np.array_equal(dy, np.asarray(r.y))
+        assert np.array_equal(dcb, np.asarray(r.cb))
+        assert np.array_equal(dcr, np.asarray(r.cr))
+
+
+@needs_native
 def test_decodes_bit_exact():
     from svt_hevc_tpu.decoder.decoder import decode_stream
     frames = _frames(5, 128, 96, seed=21)

@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+# BD-rate is platform-independent (TPU and CPU backends are bit-exact,
+# bench.py --tpu-cpu-check); pin CPU so the tool runs anywhere and never
+# contends with a bench on the real chip. Speed numbers come from
+# bench.py, not this tool.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+def _pin_cpu():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def make_clip_scene(w, h, n, path):
     """Structured synthetic content: smooth sky gradient, textured ground,
@@ -112,13 +122,21 @@ def bd_rate(r1, p1, r2, p2):
     return (10 ** (avg2 - avg1) - 1) * 100.0
 
 
-def run_ours(clip, w, h, n, qp, preset, intra_period=-1):
+def run_ours(clip, w, h, n, qp, preset, intra_period=-1,
+             pred_struct=0, hierarchical_levels=None):
+    _pin_cpu()
     from svt_hevc_tpu.config import EncoderConfig
     from svt_hevc_tpu.io.yuv import read_yuv420
     from svt_hevc_tpu.pipeline.encoder import Encoder
+    kw = {}
+    if pred_struct == 2:
+        kw = dict(pred_structure=2,
+                  hierarchical_levels=(hierarchical_levels
+                                       if hierarchical_levels is not None
+                                       else 3))
     cfg = EncoderConfig(width=w, height=h, qp=qp, enc_mode=preset,
                         intra_period=intra_period,
-                        scene_change_detection=False)
+                        scene_change_detection=False, **kw)
     enc = Encoder(cfg)
     frames = list(read_yuv420(clip, w, h, max_frames=n))
     t0 = time.perf_counter()
@@ -127,15 +145,23 @@ def run_ours(clip, w, h, n, qp, preset, intra_period=-1):
     return bytes(stream), dt
 
 
-def run_ref(app, clip, w, h, n, qp, preset, intra_period=-1):
+def run_ref(app, clip, w, h, n, qp, preset, intra_period=-1,
+            pred_struct=0, hierarchical_levels=None):
+    """pred_struct: 0 = low-delay P (matches our IPPP), 1 = low-delay B,
+    2 = random access. Matching structures is what makes the BD number
+    meaningful (round-3 verdict: the tool previously compared our IPPP
+    against the reference's default hierarchical-B RA)."""
     out = tempfile.mktemp(suffix=".265")
+    cmd = [app, "-i", clip, "-w", str(w), "-h", str(h), "-q", str(qp),
+           "-encMode", str(preset), "-intra-period", str(intra_period),
+           "-rc", "0", "-pred-struct", str(pred_struct),
+           "-n", str(n), "-scd", "0", "-b", out]
+    if hierarchical_levels is not None:
+        cmd += ["-hierarchical-levels", str(hierarchical_levels)]
+    if pred_struct == 2:
+        cmd += ["-irefresh-type", "2"]   # closed GOP (IDR), matching ours
     t0 = time.perf_counter()
-    subprocess.run(
-        [app, "-i", clip, "-w", str(w), "-h", str(h), "-q", str(qp),
-         "-encMode", str(preset), "-intra-period", str(intra_period),
-         "-rc", "0",
-         "-n", str(n), "-scd", "0", "-b", out],
-        check=True, capture_output=True)
+    subprocess.run(cmd, check=True, capture_output=True)
     dt = time.perf_counter() - t0
     data = open(out, "rb").read()
     os.unlink(out)
@@ -155,6 +181,12 @@ def main():
     ap.add_argument("--intra-period", type=int, default=31)
     ap.add_argument("--content", choices=["scene", "noise"],
                     default="scene")
+    ap.add_argument("--json", default=None,
+                    help="write the per-QP table + BD-rate to this file")
+    ap.add_argument("--pred-struct", type=int, default=0, choices=[0, 2],
+                    help="0 = IPPP (low-delay P), 2 = random access "
+                         "hierarchical-B; applied to BOTH encoders")
+    ap.add_argument("--hierarchical-levels", type=int, default=2)
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -166,28 +198,51 @@ def main():
     frames = gen(args.width, args.height, args.frames, clip)
 
     ours_r, ours_p, ref_r, ref_p = [], [], [], []
+    rows = []
     print(f"{'qp':>4} {'ours kb':>9} {'ours dB':>8} {'ours fps':>9} "
           f"{'ref kb':>9} {'ref dB':>8} {'ref fps':>9}")
+    hl = args.hierarchical_levels if args.pred_struct == 2 else None
     for qp in args.qps:
         so, to = run_ours(clip, args.width, args.height, args.frames, qp,
-                          args.preset, args.intra_period)
+                          args.preset, args.intra_period,
+                          pred_struct=args.pred_struct,
+                          hierarchical_levels=hl)
         sr, tr = run_ref(app, clip, args.width, args.height, args.frames,
-                         qp, args.preset, args.intra_period)
+                         qp, args.preset, args.intra_period,
+                         pred_struct=args.pred_struct,
+                         hierarchical_levels=hl)
         po = psnr_stream(so, frames)
         pr = psnr_stream(sr, frames)
         ours_r.append(len(so))
         ours_p.append(po)
         ref_r.append(len(sr))
         ref_p.append(pr)
+        rows.append({"qp": qp, "ours_bytes": len(so),
+                     "ours_psnr": round(po, 3),
+                     "ours_fps": round(args.frames / to, 3),
+                     "ref_bytes": len(sr), "ref_psnr": round(pr, 3),
+                     "ref_fps": round(args.frames / tr, 3)})
         print(f"{qp:>4} {len(so)/1000:>9.1f} {po:>8.2f} "
               f"{args.frames/to:>9.2f} {len(sr)/1000:>9.1f} {pr:>8.2f} "
               f"{args.frames/tr:>9.2f}")
     bd = bd_rate(np.array(ref_r, float), np.array(ref_p),
                  np.array(ours_r, float), np.array(ours_p))
-    print(f"\nBD-rate vs reference M{args.preset} (luma, IPPP, "
+    sname = "IPPP" if args.pred_struct == 0 else f"RA-hierB(hl={hl})"
+    print(f"\nBD-rate vs reference M{args.preset} (luma, matched {sname}, "
           f"{args.width}x{args.height}, {args.frames}f, "
           f"ip={args.intra_period}, {args.content}): {bd:+.1f}% "
           f"({'worse' if bd > 0 else 'better'} = more bits at equal PSNR)")
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"preset": args.preset,
+                       "dims": [args.width, args.height],
+                       "frames": args.frames,
+                       "intra_period": args.intra_period,
+                       "pred_struct": sname + "-matched",
+                       "content": args.content,
+                       "rows": rows,
+                       "bd_rate_pct": round(bd, 2)}, f, indent=1)
     os.unlink(clip)
 
 
