@@ -410,6 +410,11 @@ class SliceHeader:
     data_bit_offset: int = 0     # bit offset of slice data in the RBSP
     first_slice: bool = True
     slice_address: int = 0       # first CTB raster address (7.4.7.1)
+    deblock_disabled: bool = True       # effective (PPS or slice override)
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    cb_qp_offset: int = 0               # slice-level chroma QP offsets
+    cr_qp_offset: int = 0
 
 
 def _parse_profile_tier_level(r: BitReader, max_sub_layers_minus1: int = 0) -> None:
@@ -569,8 +574,18 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps, pps: Pps) -> SliceH
             # collocated_ref_idx absent: one active reference per list
         h.max_num_merge_cand = 5 - r.ue()
     h.slice_qp = pps.init_qp + r.se()
+    if pps.slice_chroma_qp_offsets_present:
+        h.cb_qp_offset = r.se()      # slice_cb_qp_offset
+        h.cr_qp_offset = r.se()      # slice_cr_qp_offset
+    h.deblock_disabled = pps.deblocking_disabled
+    h.beta_offset_div2 = pps.beta_offset_div2
+    h.tc_offset_div2 = pps.tc_offset_div2
     if pps.deblocking_control_present and pps.deblocking_override_enabled:
-        raise NotImplementedError("deblocking override")
+        if r.flag():             # deblocking_filter_override_flag
+            h.deblock_disabled = bool(r.flag())
+            if not h.deblock_disabled:
+                h.beta_offset_div2 = r.se()
+                h.tc_offset_div2 = r.se()
     if pps.loop_filter_across_slices and (
             h.sao_luma or h.sao_chroma or not pps.deblocking_disabled):
         r.flag()                 # slice_loop_filter_across_slices_enabled_flag

@@ -242,7 +242,9 @@ def predict_block(st: PictureState, c_idx: int, x0: int, y0: int, n: int,
         plane, st.intra_avail(c_idx), x0, y0, n,
         c_idx=c_idx, bit_depth=st.bit_depth)
     left, corner, top = intra.filter_ref_samples(
-        left, corner, top, n, mode, c_idx, st.bit_depth, chroma444=c444)
+        left, corner, top, n, mode, c_idx, st.bit_depth,
+        strong_smoothing=getattr(st, "strong_intra_smoothing", False),
+        chroma444=c444)
     return intra.predict_intra(left, corner, top, n, mode, c_idx,
                                st.bit_depth, chroma444=c444)
 
@@ -502,11 +504,19 @@ class CtuCoderBase:
                        parent_cbf_cb: tuple, parent_cbf_cr: tuple) -> None:
         cf = self.st.chroma_format
         split = (log2 > 5) or (cu.part_nxn and depth == 0)
-        # split_transform_flag (7.3.8.8): signalled for inter CUs within
-        # the SPS depth budget, BEFORE the chroma cbfs
-        if (not split and cu.is_inter and log2 > 2
-                and depth < self.st.max_tt_depth_inter):
-            split = self.sx_split_transform(cu, x0, y0, log2, depth)
+        # split_transform_flag (7.3.8.8): signalled within the SPS depth
+        # budget (MaxTrafoDepth: intra budget + IntraSplitFlag for NxN),
+        # BEFORE the chroma cbfs. Our encoder writes
+        # max_transform_hierarchy_depth_intra = 0 so its intra CUs never
+        # carry the flag, but the decoder must honor other encoders'
+        # budgets (e.g. the reference writes 2 — its streams desync a
+        # decoder that reads the flag only for inter CUs).
+        if not split and 2 < log2 <= 5:
+            maxd = (self.st.max_tt_depth_inter if cu.is_inter
+                    else (getattr(self.st, "max_tt_depth_intra", 0)
+                          + (1 if cu.part_nxn else 0)))
+            if depth < maxd:
+                split = self.sx_split_transform(cu, x0, y0, log2, depth)
         cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
         if log2 > 2 or cf == 3:
             # 4:2:2 signals two flags per component — one per stacked

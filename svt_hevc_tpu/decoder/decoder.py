@@ -95,6 +95,8 @@ class _PictureCtx:
                           sps.bit_depth, chroma_format=sps.chroma_format_idc)
         st.constrained_intra = pps.constrained_intra
         st.max_tt_depth_inter = sps.max_transform_hierarchy_depth_inter
+        st.max_tt_depth_intra = sps.max_transform_hierarchy_depth_intra
+        st.strong_intra_smoothing = sps.strong_intra_smoothing
         if pps.cu_qp_delta_enabled:
             if pps.diff_cu_qp_delta_depth != 0:
                 raise NotImplementedError("QG smaller than CTB")
@@ -209,9 +211,9 @@ class _PictureCtx:
 
     def finish(self):
         st, sps, pps, hdr = self.st, self.sps, self.pps, self.hdr0
-        if not pps.deblocking_disabled:
-            deblock_picture(st, beta_offset=pps.beta_offset_div2,
-                            tc_offset=pps.tc_offset_div2)
+        if not hdr.deblock_disabled:
+            deblock_picture(st, beta_offset=hdr.beta_offset_div2,
+                            tc_offset=hdr.tc_offset_div2)
         if self.sao_on:
             apply_sao(st, self.sao_grid, hdr.sao_luma, hdr.sao_chroma)
 

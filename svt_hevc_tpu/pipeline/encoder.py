@@ -217,6 +217,11 @@ class Encoder:
         # poc -> motion field of coded reference pictures (TMVP
         # collocated data; reference: the TMVP map, EbCodingLoop.c:4500)
         self._ref_motion: dict = {}
+        # (poc, w64, h64) -> (col16_mv, col16_valid, ref_poc_l0) DEVICE
+        # arrays: each fast picture's decided motion, 16x16-compressed,
+        # chained into the next picture's dense MD as the TMVP merge
+        # candidate without any host round trip
+        self._dev_motion: dict = {}
         # the not-yet-finalized pipelined picture (PendingPicture):
         # synchronous (host-path) encodes force-finish it first so the
         # collocated motion field exists
@@ -547,14 +552,36 @@ class Encoder:
             from .fast_path import run_fast_b, run_fast_i, run_fast_p
             st = new_state()
             if use_fast_i:
-                packed, rec_dev = run_fast_i(cfg, feat, st, qp, src_dev)
+                packed, rec_dev, mot_dev = run_fast_i(cfg, feat, st, qp,
+                                                      src_dev)
             elif use_fast_b:
-                packed, rec_dev = run_fast_b(cfg, feat, st, qp,
-                                             mv_dev, mv1_dev, src_dev,
-                                             ref_dev, ref1_dev)
+                packed, rec_dev, mot_dev = run_fast_b(
+                    cfg, feat, st, qp, mv_dev, mv1_dev, src_dev,
+                    ref_dev, ref1_dev)
             else:
-                packed, rec_dev = run_fast_p(cfg, feat, st, qp,
-                                             mv_dev, src_dev, ref_dev)
+                # device-resident TMVP collocated motion of the L0
+                # reference + its POC distances (8.5.3.2.8 tb/td)
+                col_ent = (self._dev_motion.get((col_poc, w64, h64))
+                           if col_poc is not None else None)
+                col_dev = None
+                tb = td = 1
+                if col_ent is not None:
+                    col_dev = (col_ent[0], col_ent[1])
+                    tb = poc - refs_l0[0][1]
+                    td = (col_poc - col_ent[2]
+                          if col_ent[2] is not None else tb)
+                packed, rec_dev, mot_dev = run_fast_p(
+                    cfg, feat, st, qp, mv_dev, src_dev, ref_dev,
+                    col_dev, tb, td)
+            if not non_ref:
+                if is_idr:
+                    self._dev_motion.clear()
+                self._dev_motion[(poc, w64, h64)] = (
+                    mot_dev[0], mot_dev[1],
+                    refs_l0[0][1] if (refs_l0 and not is_idr
+                                      and slice_type != 2) else None)
+                while len(self._dev_motion) > 6:
+                    del self._dev_motion[next(iter(self._dev_motion))]
             substreams = None
         else:
             substreams = None

@@ -336,7 +336,8 @@ class FastCtuEncoder(CtuEncoder):
 
 # ------------------------------------------------------------- orchestration
 
-def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev):
+def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev, col_dev,
+               tb, td):
     """Device stages + host walk preparation for one P picture.
 
     src_dev / ref_dev: (y, cb, cr) device int32 planes, 64-aligned
@@ -360,12 +361,19 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev):
 
     from ..core.rdo import lambda_sse
 
-    packed, rec_y, rec_cb, rec_cr = tenc.fast_p_fused_dev(
-        src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
-        jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
-        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=bd,
-        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
-    return packed, (rec_y, rec_cb, rec_cr)
+    if col_dev is None:
+        col_mv = jnp.zeros((h64 // 16, w64 // 16, 2), jnp.int32)
+        col_valid = jnp.zeros((h64 // 16, w64 // 16), bool)
+    else:
+        col_mv, col_valid = col_dev
+    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
+        tenc.fast_p_fused_dev(
+            src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
+            jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
+            col_mv, col_valid, jnp.int32(tb), jnp.int32(td),
+            ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=bd,
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
 
 
 def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
@@ -383,13 +391,14 @@ def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
     cw, ch = st.w, st.h
     d0 = st.ref_pocs[0][0] - st.poc
     d1 = st.ref_pocs[1][0] - st.poc
-    packed, rec_y, rec_cb, rec_cr = tenc.fast_b_fused_dev(
-        *src_dev, *ref0_dev, *ref1_dev, mv0_dev, mv1_dev,
-        jnp.int32(d0), jnp.int32(d1),
-        jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
-        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
-        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
-    return packed, (rec_y, rec_cb, rec_cr)
+    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
+        tenc.fast_b_fused_dev(
+            *src_dev, *ref0_dev, *ref1_dev, mv0_dev, mv1_dev,
+            jnp.int32(d0), jnp.int32(d1),
+            jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
+            ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
 
 
 def complete_fast(cfg, st, packed, b_form: bool = False):
@@ -463,9 +472,10 @@ def run_fast_i(cfg, feat, st, qp, src_dev):
     w64 = (cw + 63) // 64 * 64
     h64 = (ch + 63) // 64 * 64
     src_y, src_cb, src_cr = src_dev
-    packed, rec_y, rec_cb, rec_cr = tenc.fast_i_fused_dev(
-        src_y, src_cb, src_cr, jnp.int32(qp), jnp.int32(st.qp_c),
-        jnp.float32(lambda_sse(qp)),
-        ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
-        dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
-    return packed, (rec_y, rec_cb, rec_cr)
+    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
+        tenc.fast_i_fused_dev(
+            src_y, src_cb, src_cr, jnp.int32(qp), jnp.int32(st.qp_c),
+            jnp.float32(lambda_sse(qp)),
+            ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)

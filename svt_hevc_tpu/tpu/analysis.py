@@ -109,6 +109,33 @@ def intra_search_size(y: jnp.ndarray, n: int) -> tuple[jnp.ndarray, jnp.ndarray]
             jnp.min(cost, axis=1).reshape(gh, gw))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def intra_search_size_pred(y: jnp.ndarray, n: int, bit_depth: int = 8):
+    """intra_search_size + the winning mode's open-loop prediction PLANE
+    (rounded int32, same shape as y) — the input the true-RD intra size
+    decision needs (decide_tree_i_dev): transform compaction is invisible
+    to a SATD cost, so size choices must see post-quant D and real
+    coefficient bits."""
+    h, w = y.shape
+    gh, gw = h // n, w // n
+    refs = extract_block_refs(y, n)
+    wmat = jnp.asarray(mode_weight_matrix(n))
+    preds = jnp.einsum("br,mpr->bmp", refs, wmat,
+                       preferred_element_type=jnp.float32)
+    src = (y.reshape(gh, n, gw, n).transpose(0, 2, 1, 3)
+           .reshape(gh * gw, 1, n, n))
+    diff = preds.reshape(-1, 35, n, n) - src
+    cost = _satd(diff, n)
+    best = jnp.argmin(cost, axis=1)
+    bp = jnp.take_along_axis(preds, best[:, None, None], 1)[:, 0]
+    plane = (bp.reshape(gh, gw, n, n).transpose(0, 2, 1, 3)
+             .reshape(h, w))
+    plane = jnp.clip(jnp.round(plane), 0,
+                     (1 << bit_depth) - 1).astype(jnp.int32)
+    return (best.reshape(gh, gw).astype(jnp.int32),
+            jnp.min(cost, axis=1).reshape(gh, gw), plane)
+
+
 def block_variance(y: jnp.ndarray, n: int) -> jnp.ndarray:
     """(H//N, W//N) map of per-NxN-block pixel variance."""
     h, w = y.shape

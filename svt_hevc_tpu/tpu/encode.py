@@ -228,6 +228,38 @@ def _tu_zero_rd(bb, lv, r, lam):
     return jnp.where(keep, lv, 0), jnp.where(keep, r, 0)
 
 
+def _tu_bits_est(lv):
+    """Per-TU coefficient-bit estimate of a (B, n, n) levels batch (the
+    _tu_zero_rd rate model)."""
+    n = lv.shape[-1]
+    a = jnp.abs(lv)
+    blen = (a[..., None] >= (1 << jnp.arange(15))).sum(-1)
+    vbits = jnp.sum(jnp.where(a > 0, 2 + 2 * blen, 0),
+                    (-2, -1)).astype(jnp.float32)
+    if n >= 8:
+        g = a.reshape(*a.shape[:-2], n // 4, 4, n // 4, 4).sum((-3, -1))
+        ngroups = (g > 0).sum((-2, -1)).astype(jnp.float32)
+    else:
+        ngroups = (jnp.sum(a, (-2, -1)) > 0).astype(jnp.float32)
+    # ~12 bits per nonzero 4x4 group: the 16 significance bins plus the
+    # group flag cost more than the _tu_zero_rd proxy's 7 when the group
+    # exists only to carry isolated +-1 levels (the case this trial
+    # targets); calibrated vs real CABAC output
+    return vbits + 12.0 * ngroups
+
+
+def _tu_rd_better(bb, lv, r, lv2, r2, lam):
+    """True for TUs where the (lv2, r2) alternative wins D + lambda*R
+    against (lv, r). Shapes (B, n, n); returns (B, 1, 1) bool."""
+    d = bb - r
+    d2 = bb - r2
+    j = (jnp.sum((d * d).astype(jnp.float32), (-2, -1))
+         + lam * _tu_bits_est(lv))
+    j2 = (jnp.sum((d2 * d2).astype(jnp.float32), (-2, -1))
+          + lam * _tu_bits_est(lv2))
+    return (j2 < j)[..., None, None]
+
+
 def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
                   is_intra: bool = False, lam=None):
     """Forward DCT + quant + dequant + inverse DCT for EVERY aligned
@@ -257,15 +289,30 @@ def dense_tq_size(resid: jnp.ndarray, n: int, qp, *, bit_depth: int = 8,
     # dequant (core.quant.dequantize)
     dq_shift = log2n + bit_depth - 9      # 6 - transform_shift
     scale = jnp.asarray(INV_QUANT_SCALES.astype(np.int32))[qp % 6] << (qp // 6)
-    d = (lv * scale + (1 << (dq_shift - 1))) >> dq_shift
-    d = jnp.clip(d, -32768, 32767)
 
-    # inverse (core.transforms.inverse_transform)
-    e = jnp.clip((jnp.einsum("ky,bkx->byx", t, d) + 64) >> 7, -32768, 32767)
-    bd_shift = 20 - bit_depth
-    r = jnp.clip((jnp.einsum("byk,kx->byx", e, t)
-                  + (1 << (bd_shift - 1))) >> bd_shift, -32768, 32767)
+    def inv(levels):
+        d = (levels * scale + (1 << (dq_shift - 1))) >> dq_shift
+        d = jnp.clip(d, -32768, 32767)
+        e = jnp.clip((jnp.einsum("ky,bkx->byx", t, d) + 64) >> 7,
+                     -32768, 32767)
+        bd_shift = 20 - bit_depth
+        return jnp.clip((jnp.einsum("byk,kx->byx", e, t)
+                         + (1 << (bd_shift - 1))) >> bd_shift,
+                        -32768, 32767)
+
+    r = inv(lv)
     if lam is not None:
+        if not is_intra:
+            # RDOQ-lite (reference analogue: the PM/RDOQ quantizer,
+            # EbTransforms.c PerformTwoStagePm :2219): scattered +-1
+            # levels dominate inter residual CABAC cost (each drags a
+            # 4x4 group's significance scan); trial-decode the TU with
+            # all ones killed and keep it when D + lambda*R improves.
+            lv1 = jnp.where(jnp.abs(lv) <= 1, 0, lv)
+            r1 = inv(lv1)
+            keep1 = _tu_rd_better(b, lv, r, lv1, r1, lam)
+            lv = jnp.where(keep1, lv1, lv)
+            r = jnp.where(keep1, r1, r)
         lv, r = _tu_zero_rd(b, lv, r, lam)
     return (_unblocks(lv, n, h, w), _unblocks(r, n, h, w))
 
@@ -599,7 +646,7 @@ def _refine_subpel(src, raw16, mvqx, mvqy, best, k: int, bit_depth: int):
 
 
 def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
-                         bit_depth: int):
+                         bit_depth: int, lam_me=None, cqx=None, cqy=None):
     """Exhaustive +/-3 quarter-pel refinement around the per-k-block best
     INTEGER MV, without per-candidate gathers: recenter the reference once
     at the integer MVs (one gather), interpolate the 16 subpel phases of
@@ -636,6 +683,13 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
             pred = jnp.clip((plane + (1 << (shift - 1))) >> shift,
                             0, maxval)
             sad = _boxsum(jnp.abs(src - pred), k)
+            if lam_me is not None:
+                # mv rate vs the search-center predictor proxy (same
+                # model as best_of): a quarter-pel "improvement" must
+                # beat its own MVD bits or it fragments the field
+                sad = sad + lam_me * (
+                    _mvd_bits_dev(int_mvx * 4 + fx - cqx)
+                    + _mvd_bits_dev(int_mvy * 4 + fy - cqy))
             take = sad < best
             mvqx = jnp.where(take, int_mvx * 4 + fx, mvqx)
             mvqy = jnp.where(take, int_mvy * 4 + fy, mvqy)
@@ -645,7 +699,8 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
-               hme_mv: jnp.ndarray, bit_depth: int = 8) -> dict:
+               hme_mv: jnp.ndarray, bit_depth: int = 8,
+               qp=None) -> dict:
     """Dense inter search for every CU size of a P picture.
 
     src/ref: (H, W) int32 coded planes (64-aligned). raw_y: luma phase
@@ -662,6 +717,13 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     ref_ext = _edge_pad(ref.astype(jnp.int32), PAD)
     raw16 = raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3])
     lim = (PAD - 9) * 4
+    # MV rate in the search loop (the reference's ME cost is
+    # SAD + lambda * mv_bits vs the predictor, EbMotionEstimation.c
+    # MV_COST): candidates pay their distance from the HME center, so
+    # the search stops chasing noise matches that cost real MVD bits
+    # and fragment the motion field (every fragment is a lost merge)
+    lam_me = (jnp.int32(0) if qp is None
+              else ME_LAMBDA_SCALE * jnp.asarray(LAMBDA_SAD)[qp])
 
     # per-16 full-pel centers from HME, clamped into the padded range
     c16x = jnp.clip(hme_mv[..., 0] >> 2, -(PAD - 12), PAD - 12)
@@ -678,7 +740,11 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
         5, 5, nb8y // 2, nb8x // 2)
 
     def best_of(stack, cyk, cxk, r):
-        s = stack.reshape((2 * r + 1) ** 2, *stack.shape[2:])
+        d = jnp.arange(-r, r + 1)
+        rate = (_mvd_bits_dev(4 * d)[:, None]
+                + _mvd_bits_dev(4 * d)[None, :]).reshape(-1, 1, 1)
+        s = (stack.reshape((2 * r + 1) ** 2, *stack.shape[2:])
+             + lam_me * rate)
         k = jnp.argmin(s, axis=0)
         sad = jnp.min(s, axis=0)
         mvy = (k // (2 * r + 1) - r + cyk) * 4
@@ -713,12 +779,16 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     # ---- dense subpel refinement per size (16/32/64; 8 stays integer,
     # like the reference's block-size-gated subpel at fast presets):
     # recentre-and-filter, so candidates are static slices, not gathers
+    lam_sub = None if qp is None else lam_me
     mv16x, mv16y, sad16 = _refine_subpel_dense(
-        srcf, ref_ext, mv16x >> 2, mv16y >> 2, sad16, 16, bit_depth)
+        srcf, ref_ext, mv16x >> 2, mv16y >> 2, sad16, 16, bit_depth,
+        lam_me=lam_sub, cqx=c16x * 4, cqy=c16y * 4)
     mv32x, mv32y, sad32 = _refine_subpel_dense(
-        srcf, ref_ext, mv32x >> 2, mv32y >> 2, sad32, 32, bit_depth)
+        srcf, ref_ext, mv32x >> 2, mv32y >> 2, sad32, 32, bit_depth,
+        lam_me=lam_sub, cqx=up4(c64x) * 4, cqy=up4(c64y) * 4)
     mv64x, mv64y, sad64 = _refine_subpel_dense(
-        srcf, ref_ext, mv64x >> 2, mv64y >> 2, sad64, 64, bit_depth)
+        srcf, ref_ext, mv64x >> 2, mv64y >> 2, sad64, 64, bit_depth,
+        lam_me=lam_sub, cqx=c64x * 4, cqy=c64y * 4)
 
     # ---- zero-MV SAD per size (merge/skip candidate evaluation)
     zdiff = jnp.abs(srcf - ref_ext[PAD:PAD + h, PAD:PAD + w])
@@ -886,11 +956,97 @@ def _satd8_map(diff: jnp.ndarray) -> jnp.ndarray:
     return s.reshape(h // 8, w // 8)
 
 
+def _plane_tu_bits_rd(lv, n: int):
+    """Per-TU coefficient-rate estimate like _plane_tu_bits, but an
+    all-zero TU costs 1 bit (its cbf flag) instead of the fixed last-pos
+    charge — the skip/cbf=0 escape the MD full loop must see."""
+    a = jnp.abs(lv)
+    blen = (a[..., None] >= (1 << jnp.arange(15))).sum(-1)
+    vb = jnp.where(a > 0, 3 + 2 * blen, 0)
+    vbits = _boxsum(vb, n).astype(jnp.float32)
+    g4 = (_boxsum(a, 4) > 0).astype(jnp.int32)
+    groups = _boxsum(g4, n // 4).astype(jnp.float32)
+    return jnp.where(vbits > 0, vbits + 7.0 * groups + 12.0, 1.0)
+
+
+def _rd_leaf_cost(srcf, pred, s: int, qp, lam_sse, sig_bits,
+                  bit_depth: int):
+    """True-RD cost of coding every (s, s) CU with prediction plane
+    `pred`: transform/quant/dequant at TU min(s, 32), reconstruction
+    SSE + lambda * (residual bits + signalling bits). The densified form
+    of the reference's MD full loop (EbProductCodingLoop.c
+    PerformFullLoop :907 — where merge/skip candidates beat ME residual
+    coding on real rate, which SATD-stage costs cannot see)."""
+    tun = min(s, 32)
+    resid = srcf - pred
+    lv, rr = dense_tq_size(resid, tun, qp, bit_depth=bit_depth,
+                           is_intra=False, lam=lam_sse)
+    d = _boxsum(((resid - rr) * (resid - rr)).astype(jnp.float32), s)
+    rbits = _boxsum(_plane_tu_bits_rd(lv, tun), s // tun)
+    return d + lam_sse * (rbits + sig_bits.astype(jnp.float32))
+
+
+def _rd_leaf_cost_intra(srcf, pred, s: int, qp, lam_sse, bit_depth: int):
+    """True-RD intra leaf cost at CU size s: T/Q at TU min(s, 32) of the
+    open-loop residual, post-quant SSE + lambda * (coefficient bits +
+    mode signalling)."""
+    tun = min(s, 32)
+    resid = srcf - pred
+    lv, rr = dense_tq_size(resid, tun, qp, bit_depth=bit_depth,
+                           is_intra=True, lam=lam_sse)
+    d = _boxsum(((resid - rr) * (resid - rr)).astype(jnp.float32), s)
+    rbits = _boxsum(_plane_tu_bits_rd(lv, tun), s // tun)
+    return d + lam_sse * (rbits + 4.0)
+
+
+def _scale_mv_dev(mv, tb, td):
+    """Device mirror of core.inter._scale_mv_td (8.5.3.2.8): truncation
+    toward zero, identical clamps — candidate MVs must match the host
+    TMVP derivation bit-for-bit or the emit walk cannot merge them."""
+    tb = jnp.clip(tb, -128, 127)
+    td = jnp.clip(td, -128, 127)
+    same = (td == tb) | (td == 0)
+    td_s = jnp.where(same, 1, td)
+    n = 16384 + (jnp.abs(td_s) >> 1)
+    tx = jnp.sign(td_s) * (n // jnp.abs(td_s))      # trunc toward zero
+    dsf = jnp.clip((tb * tx + 32) >> 6, -4096, 4095)
+    v = dsf * mv
+    mag = (jnp.abs(v) + 127) >> 8
+    out = jnp.clip(jnp.where(v >= 0, mag, -mag), -32768, 32767)
+    return jnp.where(same, mv, out)
+
+
+def _tmvp_candidate(col16_mv, col16_valid, s: int, gshape,
+                    ctb_log2: int, w: int, h: int):
+    """Per-s-block TMVP merge candidate from the collocated picture's
+    16x16-compressed motion (8.5.3.2.7 sampling: bottom-right block if
+    inside the picture and the same CTB row, else the center block).
+    Returns (mv (gy, gx, 2), valid (gy, gx))."""
+    gy, gx = gshape
+    y0 = jnp.arange(gy) * s
+    x0 = jnp.arange(gx) * s
+    mh, mw = col16_valid.shape
+    br_row_ok = ((y0 + s < h) & ((y0 + s) >> ctb_log2 == y0 >> ctb_log2))
+    br_ok = br_row_ok[:, None] & (x0 + s < w)[None, :]
+    ybr = jnp.clip((y0 + s) >> 4, 0, mh - 1)
+    xbr = jnp.clip((x0 + s) >> 4, 0, mw - 1)
+    yc = jnp.clip((y0 + s // 2) >> 4, 0, mh - 1)
+    xc = jnp.clip((x0 + s // 2) >> 4, 0, mw - 1)
+    v_br = col16_valid[ybr[:, None], xbr[None, :]] & br_ok
+    mv_br = col16_mv[ybr[:, None], xbr[None, :]]
+    v_c = col16_valid[yc[:, None], xc[None, :]]
+    mv_c = col16_mv[yc[:, None], xc[None, :]]
+    take_br = v_br
+    mv = jnp.where(take_br[..., None], mv_br, mv_c)
+    return mv, take_br | v_c
+
+
 def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                     min_intra_log2: int = 3,
                     w: int | None = None, h: int | None = None,
                     qp=None, src=None, ref=None, raw16=None,
-                    bit_depth: int = 8):
+                    bit_depth: int = 8,
+                    col_mv8=None, col_valid8=None, tb=None, td=None):
     """Device mirror of pipeline.fast_path.decide_tree: bottom-up
     quadtree DP over the dense cost maps. All costs are integer-valued
     (integer SAD-domain lambda, split charge 2 -> int32), so decisions
@@ -911,10 +1067,29 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
         # of subpel interpolation, decorating static content with fake
         # sub-pel MVs that break the merge/skip chain; SATD does not.
         lam = 2 * lam                   # SATD ~ 2x SAD scale
+        # SSE-domain lambda for the stage-2 full loop (core.rdo
+        # lambda_sse form, device-traced in qp). P/B slices weight the
+        # mode-decision lambda above the I-slice base (HM/reference
+        # inter-slice lambda weights, EbLambdaRateTables.h): inter
+        # residual is droppable — the decoder coasts on prediction —
+        # so rate is charged harder than in an intra slice.
+        lam_sse = P_LAMBDA_SCALE * jnp.float32(0.57) * jnp.exp2(
+            (qp.astype(jnp.float32) - 12.0) / 3.0)
+        # SATD-cost -> J-domain conversion for leaves that only have a
+        # SATD estimate (intra): J ~ (lam_sse / lam_satd) * C_satd
+        j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
         srcf = src.astype(jnp.int32)
         h_, w_ = srcf.shape
         satd_z8 = _satd8_map(srcf - ref.astype(jnp.int32))
         zs = {8: satd_z8}
+        col16_mv = col16_v = None
+        if col_mv8 is not None:
+            # col_mv8/col_valid8 arrive 16x16-compressed (spec motion
+            # compression, the producing graph subsamples its decided
+            # 8-grid at stride 2); POC-scale once — single active
+            # reference => one tb/td per picture
+            col16_v = col_valid8
+            col16_mv = _scale_mv_dev(col_mv8.astype(jnp.int32), tb, td)
     else:
         zs = {8: md["zsad8"].astype(jnp.int32)}
     for s in (16, 32, 64):
@@ -924,20 +1099,112 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
     sizes = [s for s in (8, 16, 32, 64) if (1 << ctb_log2) >= s]
     for s in sizes:
         mv = md[f"mv{s}"].astype(jnp.int32)
-        bits = _mvd_bits_dev(mv[..., 0]) + _mvd_bits_dev(mv[..., 1])
         if satd_mode:
+            # ---- merge-aware candidate set (the whole point of a P
+            # picture: the reference codes most CUs as merge/skip with a
+            # neighbor's MV, EbModeDecision.c:1608 merge candidates + NFL).
+            # Candidates: the ME winner (AMVP-signalled, MVD bits charged
+            # RELATIVE TO the left-neighbor predictor, not to zero — the
+            # emit path signals mvd = mv - AMVP cand, core/inter.py
+            # amvp_candidates), the left / top neighbors' ME winners at
+            # ~merge_idx cost (if chosen, the emit walk's merge scan
+            # _compute_plan finds them in the real merge list and codes
+            # 2-3 bins), and zero MV (merge-priced only when a neighbor
+            # is also zero, else AMVP-priced).
             rep = s // 8
-            mvx = jnp.repeat(jnp.repeat(mv[..., 0], rep, 0), rep, 1)
-            mvy = jnp.repeat(jnp.repeat(mv[..., 1], rep, 0), rep, 1)
-            pred = _subpel_pred8(raw16, mvx, mvy, h_, w_, bit_depth)
-            dist = _boxsum(_satd8_map(srcf - pred), rep)
+            mvL = jnp.concatenate([mv[:, :1], mv[:, :-1]], 1)
+            mvT = jnp.concatenate([mv[:1], mv[:-1]], 0)
+
+            def up(m):
+                return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
+
+            def pred_of(mv_c):
+                return _subpel_pred8(raw16, up(mv_c[..., 0]),
+                                     up(mv_c[..., 1]), h_, w_, bit_depth)
+
+            pred_me = pred_of(mv)
+            pred_l = pred_of(mvL)
+            pred_t = pred_of(mvT)
+            pred_z = ref.astype(jnp.int32)
+
+            def satd_of(pred):
+                return _boxsum(_satd8_map(srcf - pred), rep)
+
+            d_me = satd_of(pred_me)
+            d_l = satd_of(pred_l)
+            d_t = satd_of(pred_t)
+            bits_me = (_mvd_bits_dev(mv[..., 0] - mvL[..., 0])
+                       + _mvd_bits_dev(mv[..., 1] - mvL[..., 1]) + 4)
+            zerL = (mvL == 0).all(-1)
+            zerT = (mvT == 0).all(-1)
+            bits_z = jnp.where(zerL | zerT, 3, 10)
+            zero_mv = jnp.zeros_like(mv)
+            cands_d = [d_me, d_l, d_t, zs[s]]
+            cands_bits = [bits_me,
+                          jnp.full_like(bits_me, 2),
+                          jnp.full_like(bits_me, 3),
+                          bits_z]
+            cands_mv = [mv, mvL, mvT, zero_mv]
+            cands_pred = [pred_me, pred_l, pred_t, pred_z]
+            if col16_mv is not None:
+                # the collocated (TMVP) merge candidate — what lets the
+                # emit walk chain temporal merges like the reference does
+                # (its P pictures code almost everything as merge/skip,
+                # with the TMVP carrying the global motion; measured:
+                # its CIF IPPP streams contain ~2 MVD CUs per frame)
+                mv_t, v_t = _tmvp_candidate(col16_mv, col16_v, s,
+                                            mv.shape[:2], ctb_log2, w, h)
+                pred_tm = pred_of(mv_t)
+                d_tm = jnp.where(v_t, satd_of(pred_tm), jnp.int32(1 << 29))
+                cands_d.append(d_tm)
+                cands_bits.append(jnp.full_like(bits_me, 5))
+                cands_mv.append(mv_t)
+                cands_pred.append(pred_tm)
+            bits_stack = jnp.stack(cands_bits)
+            c_stack = jnp.stack(cands_d) + lam * bits_stack
+            mv_stack = jnp.stack(cands_mv)
+            k = jnp.argmin(c_stack, 0)
+            inter_c = jnp.min(c_stack, 0)
+            # cheapest-signalling (merge-class) runner-up: best of
+            # left/top/zero/tmvp by SATD stage cost
+            kc = jnp.argmin(c_stack[1:], 0) + 1
+
+            def take(stack, idx):
+                return jnp.take_along_axis(stack, idx[None], axis=0)[0]
+
+            def take_mv(idx):
+                return jnp.take_along_axis(mv_stack, idx[None, ..., None],
+                                           axis=0)[0]
+
+            def sel_pred(idx):
+                m = jnp.repeat(jnp.repeat(idx, s, 0), s, 1)
+                out = cands_pred[-1]
+                for ci in range(len(cands_pred) - 2, -1, -1):
+                    out = jnp.where(m == ci, cands_pred[ci], out)
+                return out
+
+            mv_sel = take_mv(k)
+            # ---- stage 2: true-RD full loop between the SATD winner
+            # and the merge-class runner-up (post-quantization SSE +
+            # real residual bits; flips marginal ME wins back to
+            # merge/skip exactly like the reference's full loop)
+            j_sel = _rd_leaf_cost(srcf, sel_pred(k), s, qp, lam_sse,
+                                  take(bits_stack, k), bit_depth)
+            j_cheap = _rd_leaf_cost(srcf, sel_pred(kc), s, qp, lam_sse,
+                                    take(bits_stack, kc), bit_depth)
+            use_cheap = (j_cheap < j_sel + lam_sse * MERGE_BIAS_BITS) \
+                & (k != kc)
+            inter_j = jnp.where(use_cheap, jnp.minimum(j_cheap, j_sel),
+                                j_sel)
+            mv_sel = jnp.where(use_cheap[..., None], take_mv(kc), mv_sel)
         else:
+            bits = _mvd_bits_dev(mv[..., 0]) + _mvd_bits_dev(mv[..., 1])
             dist = md[f"sad{s}"].astype(jnp.int32)
-        ic = dist + lam * (bits + 4)
-        zc = zs[s] + lam * 3
-        use_zero = zc < ic
-        inter_c = jnp.where(use_zero, zc, ic)
-        mv_sel = jnp.where(use_zero[..., None], 0, mv)
+            ic = dist + lam * (bits + 4)
+            zc = zs[s] + lam * 3
+            use_zero = zc < ic
+            inter_c = jnp.where(use_zero, zc, ic)
+            mv_sel = jnp.where(use_zero[..., None], 0, mv)
         if s <= 32 and s >= (1 << min_intra_log2):
             mode_map, cost_map = ois[s]
             intra_c = 2 * cost_map + lam * 6
@@ -956,15 +1223,24 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
             intra_c = jnp.full_like(inter_c, INF)
             mode_map = jnp.zeros_like(inter_c)
         use_intra = intra_c < inter_c
-        leaf_cost[s] = jnp.where(use_intra, intra_c, inter_c)
+        if satd_mode:
+            # leaf costs live in the J (SSE + lam_sse*bits) domain; the
+            # intra leaf only has a SATD-stage estimate -> convert
+            leaf_cost[s] = jnp.where(
+                use_intra,
+                jnp.minimum(j_ratio * intra_c.astype(jnp.float32), 3e37),
+                inter_j)
+        else:
+            leaf_cost[s] = jnp.where(use_intra, intra_c, inter_c)
         leaf_inter[s] = ~use_intra
         leaf_mv[s] = mv_sel
         leaf_mode[s] = mode_map.astype(jnp.int32)
 
+    split_charge = lam_sse * 3.0 if satd_mode else lam * 2
     best = {8: leaf_cost[8]}
     split = {}
     for s in sizes[1:]:
-        agg = _boxsum(best[s // 2], 2) + lam * 2
+        agg = _boxsum(best[s // 2], 2) + split_charge
         split[s] = agg < leaf_cost[s]
         if w is not None:
             # CUs crossing the coded boundary are never leaves (the
@@ -1029,6 +1305,9 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
     INF = jnp.int32(1 << 30)
     lam = jnp.int32(3) if qp is None else jnp.asarray(LAMBDA_SAD)[qp]
     lam = 2 * lam                       # SATD ~ 2x SAD scale
+    lam_sse = P_LAMBDA_SCALE * jnp.float32(0.57) * jnp.exp2(
+        (qp.astype(jnp.float32) - 12.0) / 3.0)
+    j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
     srcf = src.astype(jnp.int32)
     h_, w_ = srcf.shape
     raw0_16 = raw0_y.reshape(16, raw0_y.shape[2], raw0_y.shape[3])
@@ -1050,8 +1329,6 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         rep = s // 8
         mv0 = md0[f"mv{s}"].astype(jnp.int32)
         mv1 = md1[f"mv{s}"].astype(jnp.int32)
-        b0 = _mvd_bits_dev(mv0[..., 0]) + _mvd_bits_dev(mv0[..., 1])
-        b1 = _mvd_bits_dev(mv1[..., 0]) + _mvd_bits_dev(mv1[..., 1])
 
         def up(m):
             return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
@@ -1066,17 +1343,64 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         d0 = _boxsum(_satd8_map(srcf - pred0), rep)
         d1 = _boxsum(_satd8_map(srcf - pred1), rep)
 
-        c0me = d0 + lam * (b0 + 4)
-        c0z = zs0[s] + lam * 3
-        use_z0 = c0z < c0me
-        c0 = jnp.where(use_z0, c0z, c0me)
-        mv0_sel = jnp.where(use_z0[..., None], 0, mv0)
+        # merge-aware per-list candidates (see decide_tree_dev): left /
+        # top neighbor ME winners at merge cost, ME winner at
+        # predictor-relative MVD cost, zero-MV merge-priced only when a
+        # neighbor is also zero. Each list also reports its cheapest
+        # merge-class candidate for the stage-2 true-RD full loop.
+        def uni_best(mv_s, d_me, pred_me, zsat, refp, raw16_l, extra):
+            mvL = jnp.concatenate([mv_s[:, :1], mv_s[:, :-1]], 1)
+            mvT = jnp.concatenate([mv_s[:1], mv_s[:-1]], 0)
 
-        c1me = d1 + lam * (b1 + 5)
-        c1z = zs1[s] + lam * 4
-        use_z1 = c1z < c1me
-        c1 = jnp.where(use_z1, c1z, c1me)
-        mv1_sel = jnp.where(use_z1[..., None], 0, mv1)
+            def pred_of(mv_c):
+                return _subpel_pred8(raw16_l, up(mv_c[..., 0]),
+                                     up(mv_c[..., 1]), h_, w_, bit_depth)
+
+            pred_l = pred_of(mvL)
+            pred_t = pred_of(mvT)
+            pred_z = refp.astype(jnp.int32)
+
+            def satd_of(p):
+                return _boxsum(_satd8_map(srcf - p), rep)
+
+            b_me = (_mvd_bits_dev(mv_s[..., 0] - mvL[..., 0])
+                    + _mvd_bits_dev(mv_s[..., 1] - mvL[..., 1]))
+            zerN = (mvL == 0).all(-1) | (mvT == 0).all(-1)
+            bits_stack = jnp.stack([b_me + 4 + extra,
+                                    jnp.full_like(b_me, 2),
+                                    jnp.full_like(b_me, 3),
+                                    jnp.where(zerN, 3, 10)])
+            c_stack = jnp.stack([d_me, satd_of(pred_l), satd_of(pred_t),
+                                 zsat]) + lam * bits_stack
+            mv_stack = jnp.stack([mv_s, mvL, mvT, jnp.zeros_like(mv_s)])
+            k = jnp.argmin(c_stack, 0)
+            kc = jnp.argmin(c_stack[1:], 0) + 1
+
+            def take(stack, idx):
+                return jnp.take_along_axis(stack, idx[None], axis=0)[0]
+
+            def take_mv(idx):
+                return jnp.take_along_axis(mv_stack, idx[None, ..., None],
+                                           axis=0)[0]
+
+            def sel_pred(idx):
+                m = jnp.repeat(jnp.repeat(idx, s, 0), s, 1)
+                return jnp.where(m == 0, pred_me,
+                                 jnp.where(m == 1, pred_l,
+                                           jnp.where(m == 2, pred_t,
+                                                     pred_z)))
+
+            return (jnp.min(c_stack, 0), take_mv(k), b_me,
+                    sel_pred(k), take(bits_stack, k),
+                    take(c_stack, kc), take_mv(kc),
+                    sel_pred(kc), take(bits_stack, kc))
+
+        (c0, mv0_sel, b0, p0_sel, bits0_sel,
+         c0_ch, mv0_ch, p0_ch, bits0_ch) = uni_best(
+            mv0, d0, pred0, zs0[s], ref0, raw0_16, 0)
+        (c1, mv1_sel, b1, p1_sel, bits1_sel,
+         c1_ch, mv1_ch, p1_ch, bits1_ch) = uni_best(
+            mv1, d1, pred1, zs1[s], ref1, raw1_16, 1)
 
         if s >= 16:
             pred_bi = jnp.clip((raw_a + raw_b + (1 << (s_b - 1))) >> s_b,
@@ -1100,18 +1424,59 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         is_1 = (best == c1) & ~is_bi
         is_0 = (best == c0) & ~is_bi & ~is_1
         is_intra = ~(is_bi | is_1 | is_0)
-        leaf_cost[s] = best
-        leaf_u0[s] = is_0 | is_bi
-        leaf_u1[s] = is_1 | is_bi
-        leaf_mv0[s] = jnp.where((is_bi | is_0)[..., None], mv0_sel, 0)
-        leaf_mv1[s] = jnp.where((is_bi | is_1)[..., None], mv1_sel, 0)
+
+        # ---- stage 2: true-RD full loop between the SATD winner and
+        # the cheapest merge-class candidate across both lists (see
+        # decide_tree_dev / reference EbProductCodingLoop.c:907)
+        def upx(m):
+            return jnp.repeat(jnp.repeat(m, s, 0), s, 1)
+
+        if s >= 16:
+            pred_bi_r = jnp.clip((raw_a + raw_b + (1 << (s_b - 1))) >> s_b,
+                                 0, maxval)
+        else:
+            pred_bi_r = pred0
+        pred_win = jnp.where(upx(is_bi), pred_bi_r,
+                             jnp.where(upx(is_1), p1_sel, p0_sel))
+        bits_win = jnp.where(is_bi, b0 + b1 + 6,
+                             jnp.where(is_1, bits1_sel, bits0_sel))
+        ch_is_1 = c1_ch < c0_ch
+        pred_ch = jnp.where(upx(ch_is_1), p1_ch, p0_ch)
+        bits_ch = jnp.where(ch_is_1, bits1_ch, bits0_ch)
+        j_sel = _rd_leaf_cost(srcf, pred_win, s, qp, lam_sse, bits_win,
+                              bit_depth)
+        j_ch = _rd_leaf_cost(srcf, pred_ch, s, qp, lam_sse, bits_ch,
+                             bit_depth)
+        use_ch = (j_ch < j_sel) & ~is_intra
+        inter_j = jnp.where(use_ch, j_ch, j_sel)
+        mv0_fin = jnp.where(use_ch[..., None],
+                            jnp.where(ch_is_1[..., None], 0, mv0_ch),
+                            jnp.where(is_bi[..., None], mv0,
+                                      jnp.where(is_0[..., None],
+                                                mv0_sel, 0)))
+        mv1_fin = jnp.where(use_ch[..., None],
+                            jnp.where(ch_is_1[..., None], mv1_ch, 0),
+                            jnp.where(is_bi[..., None], mv1,
+                                      jnp.where(is_1[..., None],
+                                                mv1_sel, 0)))
+        u0_fin = jnp.where(use_ch, ~ch_is_1, is_0 | is_bi)
+        u1_fin = jnp.where(use_ch, ch_is_1, is_1 | is_bi)
+
+        leaf_cost[s] = jnp.where(
+            is_intra,
+            jnp.minimum(j_ratio * intra_c.astype(jnp.float32), 3e37),
+            inter_j)
+        leaf_u0[s] = u0_fin
+        leaf_u1[s] = u1_fin
+        leaf_mv0[s] = mv0_fin
+        leaf_mv1[s] = mv1_fin
         leaf_mode[s] = jnp.where(is_intra, mode_map.astype(jnp.int32), 0)
         del is_intra
 
     best = {sizes[0]: leaf_cost[sizes[0]]}
     split = {}
     for s in sizes[1:]:
-        agg = _boxsum(best[s // 2], 2) + lam * 2
+        agg = _boxsum(best[s // 2], 2) + lam_sse * 3.0
         split[s] = agg < leaf_cost[s]
         if w is not None:
             gy, gx = leaf_cost[s].shape
@@ -1227,13 +1592,26 @@ LAMBDA_SAD = np.maximum(
     1).astype(np.int32)
 
 
-def decide_tree_i_dev(ois: dict, qp, ctb_log2: int, w: int, h: int):
-    """Intra-only quadtree DP over the OIS cost maps (sizes 8/16/32; a
-    64 node always splits — coded intra TBs are <= 32). Picture-boundary
-    CUs are forced to split by an INF leaf cost, matching the syntax's
-    forced split outside the coded area. Returns (cu_log2_8, mode8)."""
-    INF = jnp.int32(1 << 28)
+def decide_tree_i_dev(ois: dict, qp, ctb_log2: int, w: int, h: int,
+                      src=None, preds: dict | None = None,
+                      bit_depth: int = 8):
+    """Intra-only quadtree DP (sizes 8/16/32; a 64 node always splits —
+    coded intra TBs are <= 32). Picture-boundary CUs are forced to split
+    by an INF leaf cost, matching the syntax's forced split outside the
+    coded area. Returns (cu_log2_8, mode8).
+
+    With src + preds (per-size open-loop pred planes from
+    intra_search_size_pred) the leaves are costed by TRUE RD —
+    transform/quant at the leaf size, post-quant SSE + real coefficient
+    bits — instead of SATD. SATD sees no transform compaction, so it
+    splits textured areas to 8x8 and throws away the large-TB energy
+    compaction that dominates intra texture coding (the reference's
+    intra MD full loop makes exactly this tradeoff visible,
+    EbProductCodingLoop.c :907)."""
+    INF = jnp.float32(3e37) if src is not None else jnp.int32(1 << 28)
     lam = jnp.asarray(LAMBDA_SAD)[qp]
+    lam_sse = jnp.float32(0.57) * jnp.exp2(
+        (qp.astype(jnp.float32) - 12.0) / 3.0)
     sizes = [s for s in (8, 16, 32) if (1 << ctb_log2) >= s]
 
     leaf_cost, leaf_mode = {}, {}
@@ -1242,14 +1620,20 @@ def decide_tree_i_dev(ois: dict, qp, ctb_log2: int, w: int, h: int):
         gy, gx = cost_map.shape
         ok = (((jnp.arange(gx) * s + s) <= w)[None, :]
               & ((jnp.arange(gy) * s + s) <= h)[:, None])
-        # SATD is ~2x SAD scale; ~3 bits mode signalling charge
-        leaf_cost[s] = jnp.where(ok, 2 * cost_map + lam * 3, INF)
+        if src is not None:
+            j = _rd_leaf_cost_intra(src, preds[s], s, qp, lam_sse,
+                                    bit_depth)
+            leaf_cost[s] = jnp.where(ok, j, INF)
+        else:
+            # SATD is ~2x SAD scale; ~3 bits mode signalling charge
+            leaf_cost[s] = jnp.where(ok, 2 * cost_map + lam * 3, INF)
         leaf_mode[s] = mode_map.astype(jnp.int32)
 
+    charge = lam_sse * 3.0 if src is not None else lam * 2
     best = {sizes[0]: leaf_cost[sizes[0]]}
     split = {}
     for s in sizes[1:]:
-        agg = _boxsum(best[s // 2], 2) + lam * 2
+        agg = _boxsum(best[s // 2], 2) + charge
         # boundary-crossing CUs must split even when the children are
         # also INF (out-of-picture): never emit a crossing leaf
         split[s] = (agg < leaf_cost[s]) | (leaf_cost[s] >= INF)
@@ -1286,15 +1670,18 @@ def fast_i_fused_packed(src_y, src_cb, src_cr, qp, qp_c, ctb_log2: int,
     Replaces the per-CTU host Python walk of the non-fast path
     (reference hot loop: EbCodingLoop.c EncodePass :2989 under the
     EncDec wavefront, EbEncDecProcess.c :1540)."""
-    from .analysis import intra_search_size
+    from .analysis import intra_search_size_pred
     from .intra_pass import intra_wavefront_pass
 
     yf = src_y.astype(jnp.float32)
-    ois = {}
+    ois, preds = {}, {}
     for n in (8, 16, 32):
-        mode, cost = intra_search_size(yf, n)
+        mode, cost, pred = intra_search_size_pred(yf, n, bit_depth)
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
-    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h)
+        preds[n] = pred
+    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h,
+                                         src=src_y.astype(jnp.int32),
+                                         preds=preds, bit_depth=bit_depth)
 
     h64, w64 = src_y.shape
     zy = jnp.zeros((h64, w64), jnp.int32)
@@ -1458,11 +1845,26 @@ P_MIN_INTRA_LOG2 = 4
 # reference encoder at M7
 INTER_ZERO_LAMBDA_SCALE = 1.0
 
+# inter-slice MD lambda weight over the I-slice SSE base (see
+# decide_tree_dev; calibrated by BD-rate sweep vs the reference at M7)
+P_LAMBDA_SCALE = 1.0
+
+# stage-2 bias (in bits, lambda-scaled) toward the merge-class candidate
+# when the true-RD costs are close: the reference's MD candidate ordering
+# + NFL pruning effectively applies the same preference (measured: its
+# CIF IPPP streams carry ~2 MVD CUs per frame)
+MERGE_BIAS_BITS = 8.0
+
+# MV-rate weight inside the dense search (integer units of the SAD
+# lambda; calibrated by BD sweep)
+ME_LAMBDA_SCALE = 1
+
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
                                              "w", "h", "dlf", "sao"))
 def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
-                     hme_mv, qp, qp_c, lam, ctb_log2: int,
+                     hme_mv, qp, qp_c, lam, col16_mv, col16_valid, tb, td,
+                     ctb_log2: int,
                      w: int, h: int, bit_depth: int = 8,
                      dlf: bool = True, sao: bool = True):
     """Device-resident P-picture pipeline in ONE graph: dense MD + OIS +
@@ -1470,14 +1872,21 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     runtime lax.cond (zero cost on the common all-inter frame — the
     device itself checks whether any CU went intra), then DLF + SAO
     decide/apply. One packed download (decisions + levels + SAO params);
-    recon stays device-resident."""
+    recon stays device-resident.
+
+    col16_mv/col16_valid: the collocated (L0 reference) picture's
+    16x16-compressed decided motion — device-resident, chained from the
+    previous call's outputs — feeding the TMVP merge candidate of the
+    dense decision; tb/td: POC distances for its scaling. Returns
+    (packed, rec_y, rec_cb, rec_cr, col16_mv_out, col16_valid_out)."""
     from .analysis import intra_search_size
     from .intra_pass import intra_wavefront_pass
 
     raw_y = luma_phase_planes(ref_y, bit_depth=bit_depth)
     raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
     raw_cr = chroma_phase_planes(ref_cr, bit_depth=bit_depth)
-    md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth)
+    md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth,
+                    qp=qp)
     yf = src_y.astype(jnp.float32)
     ois = {}
     for n in (16, 32):
@@ -1487,7 +1896,8 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
         md, ois, ctb_log2, min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h,
         qp=qp, src=src_y, ref=ref_y,
         raw16=raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3]),
-        bit_depth=bit_depth)
+        bit_depth=bit_depth,
+        col_mv8=col16_mv, col_valid8=col16_valid, tb=tb, td=td)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                         mv8, inter8, tu_log2, qp, qp_c,
@@ -1523,7 +1933,10 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     packed = jnp.concatenate(
         [_pack([cu_log2_8, inter8, mv8, mode8, tu8], jnp.int16),
          packed_fin])
-    return packed, rec_y, rec_cb, rec_cr
+    # this picture's decided motion, 16x16-compressed, stays on device
+    # as the next picture's TMVP collocated source
+    return (packed, rec_y, rec_cb, rec_cr,
+            mv8[::2, ::2], inter8[::2, ::2])
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
@@ -1545,8 +1958,10 @@ def _fast_b_front(src_y, src_cb, src_cr,
     raws1 = (luma_phase_planes(ref1_y, bit_depth=bit_depth),
              chroma_phase_planes(ref1_cb, bit_depth=bit_depth),
              chroma_phase_planes(ref1_cr, bit_depth=bit_depth))
-    md0 = dense_md_p(src_y, ref0_y, raws0[0], hme_mv0, bit_depth=bit_depth)
-    md1 = dense_md_p(src_y, ref1_y, raws1[0], hme_mv1, bit_depth=bit_depth)
+    md0 = dense_md_p(src_y, ref0_y, raws0[0], hme_mv0, bit_depth=bit_depth,
+                     qp=qp)
+    md1 = dense_md_p(src_y, ref1_y, raws1[0], hme_mv1, bit_depth=bit_depth,
+                     qp=qp)
     yf = src_y.astype(jnp.float32)
     ois = {}
     for n in (16, 32):
@@ -1633,11 +2048,17 @@ def fast_b_fused_dev(src_y, src_cb, src_cr,
         src_y, src_cb, src_cr, ref0_y, ref0_cb, ref0_cr,
         ref1_y, ref1_cb, ref1_cr, hme_mv0, hme_mv1, qp, qp_c, lam,
         ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth)
-    return _fast_b_finish(
+    fin = _fast_b_finish(
         src_y, src_cb, src_cr, cu_log2_8, ref8_2l, mv8_2l, mode8, tu8,
         rec3, lv3, poc_delta0, poc_delta1, qp, qp_c, lam,
         ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth, dlf=dlf,
         sao=sao)
+    # 16x16-compressed decided motion (L0-preferred, like the TMVP list
+    # choice for forward prediction) for future collocated use
+    use0 = ref8_2l[0] >= 0
+    col_mv = jnp.where(use0[..., None], mv8_2l[0], mv8_2l[1])
+    col_valid = use0 | (ref8_2l[1] >= 0)
+    return fin + (col_mv[::2, ::2], col_valid[::2, ::2])
 
 
 def b_dec_specs(h64: int, w64: int):
@@ -1661,15 +2082,18 @@ def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
     """Device-resident I-picture pipeline: OIS -> decision -> wavefront
     closed-loop encode -> DLF -> SAO, one graph, one small download
     (decision maps + levels + SAO params)."""
-    from .analysis import intra_search_size
+    from .analysis import intra_search_size_pred
     from .intra_pass import intra_wavefront_pass
 
     yf = src_y.astype(jnp.float32)
-    ois = {}
+    ois, preds = {}, {}
     for n in (8, 16, 32):
-        mode, cost = intra_search_size(yf, n)
+        mode, cost, pred = intra_search_size_pred(yf, n, bit_depth)
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
-    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h)
+        preds[n] = pred
+    cu_log2_8, mode8 = decide_tree_i_dev(ois, qp, ctb_log2, w, h,
+                                         src=src_y.astype(jnp.int32),
+                                         preds=preds, bit_depth=bit_depth)
     h64, w64 = src_y.shape
     zy = jnp.zeros((h64, w64), jnp.int32)
     zc = jnp.zeros((h64 // 2, w64 // 2), jnp.int32)
@@ -1690,7 +2114,9 @@ def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
     packed = jnp.concatenate(
         [_pack([cu_log2_8, inter8, mv8, mode8, tu8], jnp.int16),
          packed_fin])
-    return packed, rec_y, rec_cb, rec_cr
+    # an intra picture contributes no collocated motion
+    return (packed, rec_y, rec_cb, rec_cr,
+            mv8[::2, ::2], inter8[::2, ::2])
 
 
 # ----------------------------------------------------------------- SAO stats

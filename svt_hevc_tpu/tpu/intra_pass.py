@@ -420,26 +420,27 @@ def intra_wavefront_pass(src_y, src_cb, src_cr,
                 # reference's enhanced-I behavior at M3-9: OIS shortlist
                 # + closed-loop refinement, SURVEY §2.4b). The open-loop
                 # OIS winner predicts from source neighbors and often
-                # misranks on structured content.
+                # misranks on structured content. All candidates fold
+                # into the LANE axis of one _predict_batch call — one
+                # einsum instance instead of five, which cuts the XLA
+                # graph (and its compile time) without changing FLOPs.
                 srcn = src_max[:, :n, :n]
-                best_sse = None
-                md_sel = mode
-                pred = None
-                for cand in (None, 0, 1, 26, 10):
-                    cm = mode if cand is None else \
-                        jnp.full_like(mode, cand)
-                    p = _predict_batch(refs_u, refs_f, cm, n, True,
-                                       bit_depth)
-                    sse = jnp.sum(((srcn - p)
-                                   * (srcn - p)).astype(jnp.float32),
-                                  (-2, -1))
-                    if best_sse is None:
-                        best_sse, pred = sse, p
-                    else:
-                        take = sse < best_sse
-                        md_sel = jnp.where(take, cm, md_sel)
-                        pred = jnp.where(take[:, None, None], p, pred)
-                        best_sse = jnp.minimum(sse, best_sse)
+                cands = (0, 1, 26, 10)
+                nc_ = 1 + len(cands)
+                cm_all = jnp.concatenate(
+                    [mode] + [jnp.full_like(mode, c) for c in cands])
+                p_all = _predict_batch(jnp.tile(refs_u, (nc_, 1)),
+                                       jnp.tile(refs_f, (nc_, 1)),
+                                       cm_all, n, True, bit_depth)
+                p_all = p_all.reshape(nc_, R, n, n)
+                sse = jnp.sum(((srcn[None] - p_all)
+                               * (srcn[None] - p_all)).astype(jnp.float32),
+                              (-2, -1))
+                kbest = jnp.argmin(sse, 0)
+                md_sel = jnp.take_along_axis(
+                    cm_all.reshape(nc_, R), kbest[None], 0)[0]
+                pred = jnp.take_along_axis(
+                    p_all, kbest[None, :, None, None], 0)[0]
                 # write the chosen mode over the CU's 8-blocks
                 k = n // 8
                 off = jnp.arange(k * k)

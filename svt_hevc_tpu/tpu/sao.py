@@ -56,8 +56,9 @@ def _bo_offsets_gains(bo_cnt, bo_sum, lam, mx: int):
                    > 0,
                    jnp.take_along_axis(ob, (bp + i)[..., None], -1)[..., 0],
                    0.0) for i in range(4)], -1)
+    from ..core.sao import SAO_RATE_SCALE
     g = (jnp.take_along_axis(win, bp[..., None], -1)[..., 0]
-         - lam * (9.0 + (jnp.abs(offs) + 1.0).sum(-1)))
+         - lam * SAO_RATE_SCALE * (9.0 + (jnp.abs(offs) + 1.0).sum(-1)))
     return bp.astype(jnp.int32), offs.astype(jnp.int32), g
 
 
@@ -75,7 +76,9 @@ def sao_decide_dev(stats, lam, bit_depth: int = 8):
     for comp in range(3):
         st = stats[comp]
         eo_offs, eo_gain = _eo_offsets_gains(st["eo_cnt"], st["eo_sum"], mx)
-        eo_rate = 4.0 + (jnp.abs(eo_offs) + 1.0).sum(-1).astype(jnp.float32)
+        from ..core.sao import SAO_RATE_SCALE
+        eo_rate = SAO_RATE_SCALE * (
+            4.0 + (jnp.abs(eo_offs) + 1.0).sum(-1).astype(jnp.float32))
         eo_score = eo_gain - lam * eo_rate
         bo_bp, bo_offs, bo_score = _bo_offsets_gains(st["bo_cnt"],
                                                      st["bo_sum"], lam, mx)

@@ -119,3 +119,124 @@ def test_dlf_device_matches_host(w, h, seed, qp, all_intra):
                                   st.planes[1], err_msg="Cb")
     np.testing.assert_array_equal(np.asarray(cr)[:h // 2, :w // 2],
                                   st.planes[2], err_msg="Cr")
+
+
+@pytest.mark.parametrize("w,h,seed,qp", [
+    (128, 64, 4, 32),
+    (192, 136, 5, 37),
+])
+def test_dlf_device_matches_host_rqt(w, h, seed, qp):
+    """The RQT branch of the device bS derivation (ADVICE r3): a random
+    legal per-CU TU map (respecting the transform depth budget), edge
+    flags and cbf at TU granularity, compared against the host filter."""
+    rng = np.random.default_rng(seed)
+    w64, h64 = (w + 63) // 64 * 64, (h + 63) // 64 * 64
+    nby, nbx = h64 // 8, w64 // 8
+
+    cu_log2 = random_quadtree(nby, nbx, w, h, rng)
+    inter8 = rng.random((nby, nbx)) < 0.85
+    mv8 = rng.integers(-32, 33, (nby, nbx, 2)).astype(np.int32)
+    tu8 = np.zeros((nby, nbx), np.int32)
+    done = np.zeros((nby, nbx), bool)
+    for by in range(nby):
+        for bx in range(nbx):
+            if done[by, bx]:
+                continue
+            lg = int(cu_log2[by, bx])
+            k = (1 << lg) // 8
+            done[by:by + k, bx:bx + k] = True
+            inter8[by:by + k, bx:bx + k] = inter8[by, bx]
+            mv8[by:by + k, bx:bx + k] = mv8[by, bx]
+            # legal TU log2 range at this CU: [max(lg-2, 3), min(lg, 5)]
+            lo, hi = max(lg - 2, 3), min(lg, 5)
+            if not inter8[by, bx]:
+                lo = hi = min(lg, 5)     # intra TU == min(CU, 32)
+            # quadtree-consistent random TU sizes inside the CU
+            for ty in range(by, by + k):
+                for tx in range(bx, bx + k):
+                    tu8[ty, tx] = rng.integers(lo, hi + 1)
+            # legalize: a TU of size t must be t-aligned and uniform
+            for lg_t in (5, 4):
+                kt = (1 << lg_t) // 8
+                if kt > k:
+                    continue         # TU cannot exceed the CU
+                for ty in range(by, by + k, kt):
+                    for tx in range(bx, bx + k, kt):
+                        blk = tu8[ty:ty + kt, tx:tx + kt]
+                        if (blk >= lg_t).any():
+                            blk[:] = lg_t if rng.random() < 0.5 else \
+                                np.minimum(blk, lg_t - 1)
+    tu8 = np.maximum(tu8, 3)
+
+    st = PictureState(w, h, qp, 6)
+    st.slice_type = 1
+    st.ref_pocs = [[0], []]
+    cbf4 = np.zeros((nby * 2, nbx * 2), np.int32)
+    done[:] = False
+    for by in range(nby):
+        for bx in range(nbx):
+            if done[by, bx] or bx * 8 >= w or by * 8 >= h:
+                continue
+            lg = int(cu_log2[by, bx])
+            n = 1 << lg
+            k = n // 8
+            done[by:by + k, bx:bx + k] = True
+            x0, y0 = bx * 8, by * 8
+            seen = np.zeros((k, k), bool)
+            for sy in range(k):
+                for sx in range(k):
+                    if seen[sy, sx]:
+                        continue
+                    tlg = int(tu8[by + sy, bx + sx])
+                    tn = 1 << tlg
+                    kt = tn // 8
+                    seen[sy:sy + kt, sx:sx + kt] = True
+                    ty, tx = y0 + sy * 8, x0 + sx * 8
+                    st.edge_v[ty >> 2:(ty + tn) >> 2, tx >> 3] = True
+                    st.edge_h[ty >> 3, tx >> 2:(tx + tn) >> 2] = True
+                    cbf = int(rng.random() < 0.5)
+                    cbf4[ty >> 2:(ty + tn) >> 2, tx >> 2:(tx + tn) >> 2] = cbf
+            ys = slice(y0 >> 2, (y0 + n) >> 2)
+            xs = slice(x0 >> 2, (x0 + n) >> 2)
+            if inter8[by, bx]:
+                st.mv[ys, xs, 0, 0] = mv8[by, bx, 0]
+                st.mv[ys, xs, 0, 1] = mv8[by, bx, 1]
+                st.ref_idx[ys, xs, 0] = 0
+            else:
+                st.ref_idx[ys, xs, :] = -1
+    st.cbf4[:, :] = cbf4[:h // 4, :w // 4]
+
+    planes = [rng.integers(0, 256, (h, w)).astype(np.int32),
+              rng.integers(0, 256, (h // 2, w // 2)).astype(np.int32),
+              rng.integers(0, 256, (h // 2, w // 2)).astype(np.int32)]
+    for c in range(3):
+        st.planes[c][:] = planes[c]
+
+    bs_v_host = derive_bs_vertical(st)
+    bs_h_host = derive_bs_horizontal(st)
+    deblock_picture(st)
+
+    bs_v, bs_ht = derive_bs_maps(jnp.asarray(cu_log2), jnp.asarray(inter8),
+                                 jnp.asarray(mv8),
+                                 jnp.asarray(cbf4.astype(np.int32)), w, h,
+                                 tu_log2_8=jnp.asarray(tu8))
+    np.testing.assert_array_equal(np.asarray(bs_v)[:h // 4, :w // 8],
+                                  bs_v_host, err_msg="bs_v")
+    np.testing.assert_array_equal(np.asarray(bs_ht).T[:h // 8, :w // 4],
+                                  bs_h_host, err_msg="bs_h")
+
+    pads = [np.zeros((h64, w64), np.int32),
+            np.zeros((h64 // 2, w64 // 2), np.int32),
+            np.zeros((h64 // 2, w64 // 2), np.int32)]
+    for c, p in enumerate(planes):
+        ph, pw = p.shape
+        pads[c][:ph, :pw] = p
+    y, cb, cr = deblock_dev(jnp.asarray(pads[0]), jnp.asarray(pads[1]),
+                            jnp.asarray(pads[2]), bs_v, bs_ht,
+                            jnp.int32(qp), jnp.int32(chroma_qp(qp)))
+    np.testing.assert_array_equal(np.asarray(y)[:h, :w], st.planes[0],
+                                  err_msg="Y")
+    np.testing.assert_array_equal(np.asarray(cb)[:h // 2, :w // 2],
+                                  st.planes[1], err_msg="Cb")
+    np.testing.assert_array_equal(np.asarray(cr)[:h // 2, :w // 2],
+                                  st.planes[2], err_msg="Cr")

@@ -134,6 +134,12 @@ def run_ours(clip, w, h, n, qp, preset, intra_period=-1,
                   hierarchical_levels=(hierarchical_levels
                                        if hierarchical_levels is not None
                                        else 3))
+    elif hierarchical_levels:
+        # hierarchical low-delay: temporal layers + per-layer QP offsets
+        # (the reference's -pred-struct 0 ALSO defaults to hierarchical
+        # levels with layered QP — a flat-QP IPPP on our side would
+        # compare different structures again)
+        kw = dict(pred_structure=0, hierarchical_levels=hierarchical_levels)
     cfg = EncoderConfig(width=w, height=h, qp=qp, enc_mode=preset,
                         intra_period=intra_period,
                         scene_change_detection=False, **kw)
@@ -156,8 +162,10 @@ def run_ref(app, clip, w, h, n, qp, preset, intra_period=-1,
            "-encMode", str(preset), "-intra-period", str(intra_period),
            "-rc", "0", "-pred-struct", str(pred_struct),
            "-n", str(n), "-scd", "0", "-b", out]
-    if hierarchical_levels is not None:
-        cmd += ["-hierarchical-levels", str(hierarchical_levels)]
+    # ALWAYS pin the reference's hierarchy: its -pred-struct 0 default is
+    # hierarchical-levels 3 (layered QP), which silently mismatches a
+    # flat IPPP on our side (round-3 verdict's complaint, round-4 redux)
+    cmd += ["-hierarchical-levels", str(hierarchical_levels or 0)]
     if pred_struct == 2:
         cmd += ["-irefresh-type", "2"]   # closed GOP (IDR), matching ours
     t0 = time.perf_counter()
@@ -186,8 +194,12 @@ def main():
     ap.add_argument("--pred-struct", type=int, default=0, choices=[0, 2],
                     help="0 = IPPP (low-delay P), 2 = random access "
                          "hierarchical-B; applied to BOTH encoders")
-    ap.add_argument("--hierarchical-levels", type=int, default=2)
+    ap.add_argument("--hierarchical-levels", type=int, default=None,
+                    help="temporal layers on BOTH sides; default: flat "
+                         "(0) for IPPP, 2 for random access")
     args = ap.parse_args()
+    if args.hierarchical_levels is None:
+        args.hierarchical_levels = 2 if args.pred_struct == 2 else 0
 
     here = os.path.dirname(os.path.abspath(__file__))
     app = subprocess.run(["sh", os.path.join(here, "build_reference.sh")],
@@ -201,7 +213,7 @@ def main():
     rows = []
     print(f"{'qp':>4} {'ours kb':>9} {'ours dB':>8} {'ours fps':>9} "
           f"{'ref kb':>9} {'ref dB':>8} {'ref fps':>9}")
-    hl = args.hierarchical_levels if args.pred_struct == 2 else None
+    hl = args.hierarchical_levels
     for qp in args.qps:
         so, to = run_ours(clip, args.width, args.height, args.frames, qp,
                           args.preset, args.intra_period,
