@@ -437,8 +437,10 @@ def _bo_offsets_gains(bo_cnt, bo_sum, lam, mx):
     iy, ix = np.indices(bp.shape)
     offs = np.stack([np.where(gains[iy, ix, bp + i] > 0,
                               ob[iy, ix, bp + i], 0) for i in range(4)], -1)
-    g = (np.take_along_axis(win, bp[..., None], -1)[..., 0].astype(np.float64)
-         - lam * (9 + (np.abs(offs) + 1).sum(-1)))
+    g = (np.take_along_axis(win, bp[..., None], -1)[..., 0]
+         .astype(np.float32)
+         - np.float32(lam) * np.float32(SAO_RATE_SCALE)
+         * (9 + (np.abs(offs) + 1).sum(-1)).astype(np.float32))
     return bp, offs, g
 
 
@@ -464,7 +466,8 @@ def derive_sao_params_from_stats(st, stats, lam: float):
 
         eo_offs, eo_gain = _eo_offsets_gains(eo_cnt, eo_sum, mx)
         eo_rate = SAO_RATE_SCALE * (4 + (np.abs(eo_offs) + 1).sum(-1))
-        eo_score = eo_gain - lam * eo_rate
+        eo_score = (eo_gain.astype(np.float32)
+                    - np.float32(lam) * eo_rate.astype(np.float32))
         bo_bp, bo_offs, bo_score = _bo_offsets_gains(bo_cnt, bo_sum, lam, mx)
         bo_valid = (bo_score > 0) & bo_offs.any(-1)
 
