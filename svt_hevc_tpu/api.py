@@ -58,6 +58,8 @@ class EncoderHandle:
         self._in: queue.Queue = queue.Queue(maxsize=input_depth)
         self._out: queue.Queue = queue.Queue()
         self._err: BaseException | None = None
+        self._err_code = None
+        self._on_error = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self._eos_sent = False
@@ -69,7 +71,16 @@ class EncoderHandle:
 
     def send_picture(self, frame: Frame) -> None:
         """Enqueue one picture (EbH265EncSendPicture). Blocks only when
-        the input queue is full (reference: blocking EbGetEmptyObject)."""
+        the input queue is full (reference: blocking EbGetEmptyObject).
+        Oversized planes are rejected with an INPUT_FORMAT error code
+        (the reference validates buffer dims the same way)."""
+        from .errors import EncoderError, ErrorCode
+        if frame.y is None or frame.y.shape[0] > self.cfg.height + 63 \
+                or frame.y.shape[1] > self.cfg.width + 63:
+            raise EncoderError(ErrorCode.INPUT_FORMAT,
+                               "frame planes do not match configured "
+                               f"dimensions {self.cfg.width}x"
+                               f"{self.cfg.height}", "api")
         if self._eos_sent:
             raise RuntimeError("send_picture after EOS")
         self._raise_pending()
@@ -114,9 +125,30 @@ class EncoderHandle:
                     recon=au.recon if self._recon else None))
             self._out.put(None)
         except BaseException as e:              # surface in the caller
+            from .errors import classify
             self._err = e
+            self._err_code = classify(e)
+            if self._on_error is not None:
+                # app-level error callback (reference analogue: the
+                # error-type reporting path, EbErrorHandling.h:15)
+                try:
+                    self._on_error(self._err_code, e)
+                except Exception:
+                    pass
             self._out.put(e)
 
     def _raise_pending(self) -> None:
         if self._err is not None:
             raise self._err
+
+    @property
+    def error_code(self):
+        """ErrorCode of a failed encode (errors.ErrorCode.OK if none) —
+        the reference's EB_ERRORTYPE query surface."""
+        from .errors import ErrorCode
+        return self._err_code if self._err is not None else ErrorCode.OK
+
+    def set_error_callback(self, fn) -> None:
+        """Register fn(code: ErrorCode, exc) called from the worker when
+        the pipeline fails."""
+        self._on_error = fn

@@ -56,9 +56,11 @@ def test_streaming_error_surfaces():
     cfg = EncoderConfig(width=64, height=64, qp=33)
     h = EncoderHandle(cfg)
     bad = make_frame(128, 128, "gradient", seed=1)  # larger than configured
-    h.send_picture(bad)
-    h.send_eos()
     try:
+        # oversized input is now rejected synchronously with the
+        # INPUT_FORMAT taxonomy code (svt_hevc_tpu.errors)
+        h.send_picture(bad)
+        h.send_eos()
         list(h.packets())
         raised = False
     except Exception:
