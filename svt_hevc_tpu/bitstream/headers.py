@@ -261,7 +261,8 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
                        neg_deltas: list[int] | None = None,
                        pos_deltas: list[int] | None = None,
                        first_slice: bool = True,
-                       slice_address: int = 0) -> BitWriter:
+                       slice_address: int = 0,
+                       irap: bool | None = None) -> BitWriter:
     """Write the slice segment header; returns the open BitWriter so slice
     data (CABAC payload) can be appended after byte alignment.
 
@@ -272,8 +273,10 @@ def write_slice_header(cfg: EncoderConfig, *, slice_qp: int, is_idr: bool = True
     (7.4.8 sliding-window semantics: anything absent from the RPS is
     evicted). Non-first slices carry slice_segment_address (7.4.7.1)."""
     w = BitWriter()
+    if irap is None:
+        irap = is_idr        # CRA slices: irap=True with is_idr=False
     w.flag(1 if first_slice else 0)  # first_slice_segment_in_pic_flag
-    if is_idr:
+    if irap:
         w.flag(0)        # no_output_of_prior_pics_flag
     w.ue(0)              # slice_pic_parameter_set_id
     if not first_slice:

@@ -15,6 +15,7 @@ from .bitwriter import rbsp_to_ebsp
 class NalUnitType(enum.IntEnum):
     TRAIL_N = 0
     TRAIL_R = 1
+    RASL_N = 8
     RASL_R = 9
     BLA_W_LP = 16
     IDR_W_RADL = 19

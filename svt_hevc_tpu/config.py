@@ -207,11 +207,6 @@ class EncoderConfig:
         if self.intra_refresh_type not in (1, 2):
             raise ValueError("intra_refresh_type must be 1 (CRA open GOP) "
                              "or 2 (IDR closed GOP)")
-        if (self.pred_structure == 2 and self.intra_period > 0
-                and self.intra_refresh_type == 1):
-            raise NotImplementedError(
-                "CRA open-GOP refresh (intra_refresh_type=1) needs RASL "
-                "leading-picture handling; use intra_refresh_type=2 (IDR)")
         if not (1 <= self.tile_columns <= 20 and 1 <= self.tile_rows <= 22):
             raise ValueError("tile grid out of range (level 6.x caps: 20x22)")
         # level/tier feasibility (reference: VerifySettings level checks +

@@ -36,6 +36,7 @@ def decode_stream(stream: bytes) -> list[Frame]:
     out: list[tuple[int, int, Frame]] = []    # (cvs, poc, frame)
     cvs = 0
     cur: _PictureCtx | None = None
+    prev_poc_lsb = prev_poc_msb = 0     # PicOrderCnt derivation (8.3.1)
     for nal_type, ebsp in split_annexb(stream):
         rbsp = ebsp_to_rbsp(ebsp)
         if nal_type == NalUnitType.SPS_NUT:
@@ -44,10 +45,29 @@ def decode_stream(stream: bytes) -> list[Frame]:
             pps = parse_pps(rbsp)
         elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
                           NalUnitType.CRA_NUT, NalUnitType.TRAIL_R,
-                          NalUnitType.TRAIL_N):
+                          NalUnitType.TRAIL_N, NalUnitType.RASL_R,
+                          NalUnitType.RASL_N):
             if sps is None or pps is None:
                 raise ValueError("slice before SPS/PPS")
             hdr = parse_slice_header(rbsp, int(nal_type), sps, pps)
+            if not hdr.is_idr:
+                # PicOrderCntMsb (8.3.1): the header carries only the LSB
+                max_lsb = 1 << sps.log2_max_poc_lsb
+                lsb = hdr.poc
+                if (lsb < prev_poc_lsb
+                        and prev_poc_lsb - lsb >= max_lsb // 2):
+                    msb = prev_poc_msb + max_lsb
+                elif (lsb > prev_poc_lsb
+                        and lsb - prev_poc_lsb > max_lsb // 2):
+                    msb = prev_poc_msb - max_lsb
+                else:
+                    msb = prev_poc_msb
+                hdr.poc = msb + lsb
+                if nal_type not in (NalUnitType.RASL_R,
+                                    NalUnitType.RASL_N):
+                    prev_poc_lsb, prev_poc_msb = lsb, msb
+            else:
+                prev_poc_lsb = prev_poc_msb = 0
             if hdr.first_slice:
                 if cur is not None:
                     raise ValueError("new picture before previous finished")

@@ -365,7 +365,8 @@ class Encoder:
                      qp_map: np.ndarray | None = None,
                      non_ref: bool = False,
                      retain_pocs=None,
-                     pipelined: bool = False) -> EncodedPicture:
+                     pipelined: bool = False,
+                     nal_type_override=None) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB). qp_map:
         explicit per-CTB QP grid (overrides the derived QPM map).
@@ -386,7 +387,7 @@ class Encoder:
             qp = cfg.qp
         if slice_type is None:
             slice_type = 2 if is_idr else 1
-        if not is_idr and refs_l0 is None:
+        if not is_idr and refs_l0 is None and slice_type != 2:
             refs_l0 = [(self._ref_planes, self._ref_poc)]
         if slice_type == 0 and not refs_l1:
             refs_l1 = list(refs_l0)          # low-delay B: L1 = L0
@@ -394,7 +395,8 @@ class Encoder:
         # TMVP collocated picture: list-0 ref 0 (collocated_from_l0
         # signalled 1 for B slices)
         col_poc = (refs_l0[0][1]
-                   if cfg.tmvp and not is_idr and refs_l0 else None)
+                   if cfg.tmvp and not is_idr and refs_l0
+                   and slice_type != 2 else None)
         cw, ch = cfg.coded_width, cfg.coded_height
         cw_c, ch_c = cw // cfg.sub_width_c, ch // cfg.sub_height_c
         src = [
@@ -461,7 +463,7 @@ class Encoder:
                 s.tile_edges_y = tile_edges_y
             if qp_map is not None:
                 s.enable_cu_qp_delta(qp_map)
-            if not is_idr:
+            if not is_idr and refs_l0:      # CRA: intra, no ref lists
                 s.slice_type = slice_type
                 s.ref_planes = [[r[0] for r in refs_l0],
                                 [r[0] for r in (refs_l1 or [])]]
@@ -523,7 +525,7 @@ class Encoder:
                       and qp_map is None and feat.ois_intra)
 
         me_seed = mv_dev = mv1_dev = None
-        if not is_idr:
+        if not is_idr and slice_type != 2:   # CRA: intra, no ME
             if ref_dev is not None:
                 from ..tpu.me import hme_search
                 mv_dev = hme_search(src_dev[0], ref_dev[0])[0]
@@ -681,9 +683,11 @@ class Encoder:
                                  reverse=True)]
         poss = [(rp - poc, int(rp in all_ref_pocs))
                 for rp in sorted(p for p in keep if p > poc)]
-        nal_type = (NalUnitType.IDR_W_RADL if is_idr
+        nal_type = (nal_type_override if nal_type_override is not None
+                    else NalUnitType.IDR_W_RADL if is_idr
                     else NalUnitType.TRAIL_N if non_ref
                     else NalUnitType.TRAIL_R)
+        irap = is_idr or nal_type == NalUnitType.CRA_NUT
 
         # ---- DPB updates happen at dispatch time: the device recon
         # handle (fast) / host planes (slow) already exist, so the next
@@ -769,7 +773,7 @@ class Encoder:
                                            entry_points=[], neg_deltas=negs,
                                            pos_deltas=poss,
                                            first_slice=t_idx == 0,
-                                           slice_address=addr)
+                                           slice_address=addr, irap=irap)
                     w.write_bytes(substr[t_idx])
                     nals.append(wrap_nal(nal_type, w.get_bytes()))
                 nal = b"".join(nals)
@@ -779,7 +783,8 @@ class Encoder:
                 w = write_slice_header(cfg, slice_qp=qp, is_idr=is_idr,
                                        poc=poc, slice_type=slice_type,
                                        entry_points=entry_points,
-                                       neg_deltas=negs, pos_deltas=poss)
+                                       neg_deltas=negs, pos_deltas=poss,
+                                       irap=irap)
                 w.write_bytes(payload)
                 nal = wrap_nal(nal_type, w.get_bytes())
 
@@ -1125,9 +1130,15 @@ class Encoder:
         """Random access with periodic IDR refresh (reference analogue:
         intraRefreshType=2 closed GOP, EbApi.h): the stream is cut into
         independent segments of intra_period+1 pictures, each encoded as a
-        closed hierarchical-B GOP with its own IDR and POC base."""
+        closed hierarchical-B GOP with its own IDR and POC base. With
+        intra_refresh_type=1 the stream is instead one continuous open
+        GOP with CRA refresh points and RASL leading pictures
+        (_ra_pictures_open)."""
         cfg = self.cfg
         frames = list(frames)
+        if cfg.intra_refresh_type == 1 and cfg.intra_period > 0:
+            yield from self._ra_pictures_open(frames, rd=rd)
+            return
         seg_len = (cfg.intra_period + 1 if cfg.intra_period > 0
                    else len(frames))
         dec_base = 0
@@ -1200,5 +1211,86 @@ class Encoder:
                             slice_type=stype, is_idr=stype == 2,
                             display_idx=idx, decode_idx=dec_idx)
             # prune pictures older than the current mini-GOP window
+            for k in [k for k in dpb if k < idx - 2 * gop]:
+                del dpb[k]
+
+    def _ra_pictures_open(self, frames, *, rd=None):
+        """CRA open-GOP random access (reference analogue:
+        intraRefreshType=1, EbPictureDecisionProcess.c:554+): one
+        continuous coded video sequence — intra refresh points are
+        CRA_NUT pictures (POC continues, DPB survives), and the
+        hierarchical-B pictures BETWEEN the previous anchor and a CRA
+        reference across it; they decode after the CRA but display
+        before it, so they go out as RASL_R / RASL_N leading pictures.
+        A decoder tuning in at the CRA drops them (that is the point of
+        an open GOP: the refresh costs no prediction break for
+        continuous decoders)."""
+        cfg = self.cfg
+        gop = 1 << max(cfg.hierarchical_levels, 1)
+        n = len(frames)
+        ip1 = cfg.intra_period + 1
+        intra_pos = set(range(0, n, ip1))
+
+        # (idx, slice_type, l0, l1, layer, rasl)
+        schedule = [(0, 2, None, None, 0, False)]
+        pos = 0
+        while pos + 1 < n:
+            nxt_i = min((p for p in intra_pos if p > pos), default=n - 1)
+            end = min(pos + gop, nxt_i, n - 1)
+            is_intra = end in intra_pos
+            schedule.append((end, 2 if is_intra else 1,
+                             None if is_intra else pos, None, 0, False))
+
+            def rec(a, b, layer, rasl):
+                if b - a < 2:
+                    return
+                m = (a + b) // 2
+                schedule.append((m, 0, a, b, layer, rasl))
+                rec(a, m, layer + 1, rasl)
+                rec(m, b, layer + 1, rasl)
+
+            # interior pictures of a CRA-terminated mini-GOP are leading
+            # pictures of that CRA (display < CRA <= decode) -> RASL
+            rec(pos, end, 1, is_intra)
+            pos = end
+
+        dpb: dict[int, list] = {}
+        raw = [i - d for d, (i, *_r) in enumerate(schedule)]
+        base_delay = -min(raw) if raw else 0
+        future_refs: list[set] = [set() for _ in schedule]
+        acc: set = set()
+        for i in range(len(schedule) - 1, -1, -1):
+            future_refs[i] = acc.copy()
+            _, _, l0i, l1i, _, _ = schedule[i]
+            acc |= {r for r in (l0i, l1i) if r is not None}
+        for dec_idx, (idx, stype, l0, l1, layer, rasl) in \
+                enumerate(schedule):
+            qp = min(cfg.qp + (layer + 1 if stype == 0 else 0), 51)
+            refs_l0 = [(dpb[l0], l0)] if l0 is not None else None
+            refs_l1 = [(dpb[l1], l1)] if l1 is not None else None
+            retain = {r for r in future_refs[dec_idx]
+                      if r != idx and r in dpb}
+            is_idr = stype == 2 and idx == 0
+            non_ref = stype == 0 and layer >= cfg.hierarchical_levels \
+                and not future_refs[dec_idx] & {idx}
+            nal = None
+            if stype == 2 and not is_idr:
+                nal = NalUnitType.CRA_NUT
+            elif rasl:
+                nal = (NalUnitType.RASL_N if non_ref
+                       else NalUnitType.RASL_R)
+            pic = self.encode_frame(frames[idx], rd=rd, qp=qp, poc=idx,
+                                    is_idr=is_idr, slice_type=stype,
+                                    refs_l0=refs_l0, refs_l1=refs_l1,
+                                    retain_pocs=retain,
+                                    nal_type_override=nal)
+            dpb[idx] = pic.ref_planes
+            data = pic.nal_bytes
+            if cfg.enable_hrd:
+                data = self._hrd_sei(is_idr,
+                                     idx - dec_idx + base_delay) + data
+            yield EncodedAu(data=data, recon=pic.recon, poc=idx,
+                            slice_type=stype, is_idr=is_idr,
+                            display_idx=idx, decode_idx=dec_idx)
             for k in [k for k in dpb if k < idx - 2 * gop]:
                 del dpb[k]

@@ -1843,11 +1843,11 @@ P_MIN_INTRA_LOG2 = 4
 # coefficient rate estimates make scattered residual far more expensive
 # than a simple proxy suggests); calibrated by BD-rate sweep vs the
 # reference encoder at M7
-INTER_ZERO_LAMBDA_SCALE = 1.0
+INTER_ZERO_LAMBDA_SCALE = 1.5
 
 # inter-slice MD lambda weight over the I-slice SSE base (see
 # decide_tree_dev; calibrated by BD-rate sweep vs the reference at M7)
-P_LAMBDA_SCALE = 1.0
+P_LAMBDA_SCALE = 1.5
 
 # stage-2 bias (in bits, lambda-scaled) toward the merge-class candidate
 # when the true-RD costs are close: the reference's MD candidate ordering
