@@ -372,7 +372,9 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev, col_dev,
             jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
             col_mv, col_valid, jnp.int32(tb), jnp.int32(td),
             ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=bd,
-            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
+            min_intra_log2=feat.p_min_intra_log2,
+            subpel_min=feat.subpel_min_size)
     return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
 
 
@@ -397,7 +399,9 @@ def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
             jnp.int32(d0), jnp.int32(d1),
             jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
             ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
-            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
+            min_intra_log2=feat.p_min_intra_log2,
+            subpel_min=feat.subpel_min_size)
     return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
 
 
@@ -477,5 +481,6 @@ def run_fast_i(cfg, feat, st, qp, src_dev):
             src_y, src_cb, src_cr, jnp.int32(qp), jnp.int32(st.qp_c),
             jnp.float32(lambda_sse(qp)),
             ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
-            dlf=cfg.enable_deblocking, sao=cfg.enable_sao)
+            dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
+            refine_modes=feat.i_refine_modes)
     return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)

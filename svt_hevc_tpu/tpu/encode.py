@@ -697,10 +697,10 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
     return mvqx, mvqy, best
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
+@functools.partial(jax.jit, static_argnames=("bit_depth", "subpel_min"))
 def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
                hme_mv: jnp.ndarray, bit_depth: int = 8,
-               qp=None) -> dict:
+               qp=None, subpel_min: int = 16) -> dict:
     """Dense inter search for every CU size of a P picture.
 
     src/ref: (H, W) int32 coded planes (64-aligned). raw_y: luma phase
@@ -780,12 +780,16 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     # like the reference's block-size-gated subpel at fast presets):
     # recentre-and-filter, so candidates are static slices, not gathers
     lam_sub = None if qp is None else lam_me
-    mv16x, mv16y, sad16 = _refine_subpel_dense(
-        srcf, ref_ext, mv16x >> 2, mv16y >> 2, sad16, 16, bit_depth,
-        lam_me=lam_sub, cqx=c16x * 4, cqy=c16y * 4)
-    mv32x, mv32y, sad32 = _refine_subpel_dense(
-        srcf, ref_ext, mv32x >> 2, mv32y >> 2, sad32, 32, bit_depth,
-        lam_me=lam_sub, cqx=up4(c64x) * 4, cqy=up4(c64y) * 4)
+    # per-preset sub-pel gating by block size (reference:
+    # PictureLevelSubPelSettingsOq — selective sub-pel at fast presets)
+    if subpel_min <= 16:
+        mv16x, mv16y, sad16 = _refine_subpel_dense(
+            srcf, ref_ext, mv16x >> 2, mv16y >> 2, sad16, 16, bit_depth,
+            lam_me=lam_sub, cqx=c16x * 4, cqy=c16y * 4)
+    if subpel_min <= 32:
+        mv32x, mv32y, sad32 = _refine_subpel_dense(
+            srcf, ref_ext, mv32x >> 2, mv32y >> 2, sad32, 32, bit_depth,
+            lam_me=lam_sub, cqx=up4(c64x) * 4, cqy=up4(c64y) * 4)
     mv64x, mv64y, sad64 = _refine_subpel_dense(
         srcf, ref_ext, mv64x >> 2, mv64y >> 2, sad64, 64, bit_depth,
         lam_me=lam_sub, cqx=c64x * 4, cqy=c64y * 4)
@@ -1861,12 +1865,16 @@ ME_LAMBDA_SCALE = 1
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
-                                             "w", "h", "dlf", "sao"))
+                                             "w", "h", "dlf", "sao",
+                                             "min_intra_log2",
+                                             "subpel_min"))
 def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
                      hme_mv, qp, qp_c, lam, col16_mv, col16_valid, tb, td,
                      ctb_log2: int,
                      w: int, h: int, bit_depth: int = 8,
-                     dlf: bool = True, sao: bool = True):
+                     dlf: bool = True, sao: bool = True,
+                     min_intra_log2: int = P_MIN_INTRA_LOG2,
+                     subpel_min: int = 16):
     """Device-resident P-picture pipeline in ONE graph: dense MD + OIS +
     decision + inter encode pass, an intra-fixup wavefront behind a
     runtime lax.cond (zero cost on the common all-inter frame — the
@@ -1886,14 +1894,14 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
     raw_cr = chroma_phase_planes(ref_cr, bit_depth=bit_depth)
     md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth,
-                    qp=qp)
+                    qp=qp, subpel_min=subpel_min)
     yf = src_y.astype(jnp.float32)
     ois = {}
     for n in (16, 32):
         mode, cost = intra_search_size(yf, n)
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
     cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
-        md, ois, ctb_log2, min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h,
+        md, ois, ctb_log2, min_intra_log2=min_intra_log2, w=w, h=h,
         qp=qp, src=src_y, ref=ref_y,
         raw16=raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3]),
         bit_depth=bit_depth,
@@ -1911,20 +1919,27 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
            out["lv_cr"].astype(jnp.int32))
 
     nby, nbx = cu_log2_8.shape
-    inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
-             & (jnp.arange(nby) * 8 < h)[:, None])
-    any_intra = (~inter8 & inpic).any()
+    if min_intra_log2 >= 6:
+        # intra disabled in inter pictures at this preset (the DP never
+        # offered it): the wavefront branch is not even built — its
+        # compile cost is the largest part of the P graph
+        pass
+    else:
+        inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
+                 & (jnp.arange(nby) * 8 < h)[:, None])
+        any_intra = (~inter8 & inpic).any()
 
-    def run_wavefront(args):
-        r3, l3, m8 = args
-        out7 = intra_wavefront_pass(
-            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
-            qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
-            min_cu_log2=P_MIN_INTRA_LOG2, lam=lam, refine_modes=True)
-        return out7[:3], out7[3:6], out7[6]
+        def run_wavefront(args):
+            r3, l3, m8 = args
+            out7 = intra_wavefront_pass(
+                src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
+                qp, qp_c, w=w, h=h, bit_depth=bit_depth,
+                ctb_log2=ctb_log2, min_cu_log2=min_intra_log2, lam=lam,
+                refine_modes=True)
+            return out7[:3], out7[3:6], out7[6]
 
-    rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
-                                    lambda a: a, (rec3, lv3, mode8))
+        rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
+                                        lambda a: a, (rec3, lv3, mode8))
 
     packed_fin, rec_y, rec_cb, rec_cr = _finish_fused(
         (src_y, src_cb, src_cr), rec3, lv3,
@@ -1940,12 +1955,15 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
-                                             "w", "h"))
+                                             "w", "h", "min_intra_log2",
+                                             "subpel_min"))
 def _fast_b_front(src_y, src_cb, src_cr,
                   ref0_y, ref0_cb, ref0_cr,
                   ref1_y, ref1_cb, ref1_cr,
                   hme_mv0, hme_mv1, qp, qp_c, lam, ctb_log2: int,
-                  w: int, h: int, bit_depth: int = 8):
+                  w: int, h: int, bit_depth: int = 8,
+                  min_intra_log2: int = P_MIN_INTRA_LOG2,
+                  subpel_min: int = 16):
     """B-picture front half: phase planes for both lists, dense MD per
     list + bi combination, quadtree decision, B encode pass, intra-fixup
     wavefront behind a runtime cond."""
@@ -1959,9 +1977,9 @@ def _fast_b_front(src_y, src_cb, src_cr,
              chroma_phase_planes(ref1_cb, bit_depth=bit_depth),
              chroma_phase_planes(ref1_cr, bit_depth=bit_depth))
     md0 = dense_md_p(src_y, ref0_y, raws0[0], hme_mv0, bit_depth=bit_depth,
-                     qp=qp)
+                     qp=qp, subpel_min=subpel_min)
     md1 = dense_md_p(src_y, ref1_y, raws1[0], hme_mv1, bit_depth=bit_depth,
-                     qp=qp)
+                     qp=qp, subpel_min=subpel_min)
     yf = src_y.astype(jnp.float32)
     ois = {}
     for n in (16, 32):
@@ -1970,7 +1988,7 @@ def _fast_b_front(src_y, src_cb, src_cr,
     cu_log2_8, ref8_2l, mv8_2l, mode8 = decide_tree_b_dev(
         md0, md1, ois, ctb_log2, src_y, ref0_y, ref1_y,
         raws0[0], raws1[0],
-        min_intra_log2=P_MIN_INTRA_LOG2, w=w, h=h, qp=qp,
+        min_intra_log2=min_intra_log2, w=w, h=h, qp=qp,
         bit_depth=bit_depth)
     inter8 = (ref8_2l >= 0).any(0)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
@@ -1986,20 +2004,24 @@ def _fast_b_front(src_y, src_cb, src_cr,
            out["lv_cr"].astype(jnp.int32))
 
     nby, nbx = cu_log2_8.shape
-    inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
-             & (jnp.arange(nby) * 8 < h)[:, None])
-    any_intra = (~inter8 & inpic).any()
+    if min_intra_log2 >= 6:
+        pass          # intra disabled at this preset: no wavefront built
+    else:
+        inpic = ((jnp.arange(nbx) * 8 < w)[None, :]
+                 & (jnp.arange(nby) * 8 < h)[:, None])
+        any_intra = (~inter8 & inpic).any()
 
-    def run_wavefront(args):
-        r3, l3, m8 = args
-        out7 = intra_wavefront_pass(
-            src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
-            qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
-            min_cu_log2=P_MIN_INTRA_LOG2, lam=lam, refine_modes=True)
-        return out7[:3], out7[3:6], out7[6]
+        def run_wavefront(args):
+            r3, l3, m8 = args
+            out7 = intra_wavefront_pass(
+                src_y, src_cb, src_cr, *r3, *l3, cu_log2_8, m8, ~inter8,
+                qp, qp_c, w=w, h=h, bit_depth=bit_depth,
+                ctb_log2=ctb_log2, min_cu_log2=min_intra_log2, lam=lam,
+                refine_modes=True)
+            return out7[:3], out7[3:6], out7[6]
 
-    rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
-                                    lambda a: a, (rec3, lv3, mode8))
+        rec3, lv3, mode8 = jax.lax.cond(any_intra, run_wavefront,
+                                        lambda a: a, (rec3, lv3, mode8))
     return cu_log2_8, ref8_2l, mv8_2l, mode8, tu8, rec3, lv3
 
 
@@ -2035,7 +2057,9 @@ def fast_b_fused_dev(src_y, src_cb, src_cr,
                      hme_mv0, hme_mv1, poc_delta0, poc_delta1,
                      qp, qp_c, lam, ctb_log2: int,
                      w: int, h: int, bit_depth: int = 8,
-                     dlf: bool = True, sao: bool = True):
+                     dlf: bool = True, sao: bool = True,
+                     min_intra_log2: int = P_MIN_INTRA_LOG2,
+                     subpel_min: int = 16):
     """Device-resident B-picture pipeline: two jitted halves chained on
     device (front: phases/MD/decision/encode/wavefront; finish: DLF with
     the two-list bS rule + SAO + pack). Split into two executables
@@ -2047,7 +2071,8 @@ def fast_b_fused_dev(src_y, src_cb, src_cr,
     cu_log2_8, ref8_2l, mv8_2l, mode8, tu8, rec3, lv3 = _fast_b_front(
         src_y, src_cb, src_cr, ref0_y, ref0_cb, ref0_cr,
         ref1_y, ref1_cb, ref1_cr, hme_mv0, hme_mv1, qp, qp_c, lam,
-        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth)
+        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth,
+        min_intra_log2=min_intra_log2, subpel_min=subpel_min)
     fin = _fast_b_finish(
         src_y, src_cb, src_cr, cu_log2_8, ref8_2l, mv8_2l, mode8, tu8,
         rec3, lv3, poc_delta0, poc_delta1, qp, qp_c, lam,
@@ -2075,10 +2100,12 @@ def fused_b_dev_specs(h64: int, w64: int, ctb: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
-                                             "w", "h", "dlf", "sao"))
+                                             "w", "h", "dlf", "sao",
+                                             "refine_modes"))
 def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
                      w: int, h: int, bit_depth: int = 8,
-                     dlf: bool = True, sao: bool = True):
+                     dlf: bool = True, sao: bool = True,
+                     refine_modes: bool = True):
     """Device-resident I-picture pipeline: OIS -> decision -> wavefront
     closed-loop encode -> DLF -> SAO, one graph, one small download
     (decision maps + levels + SAO params)."""
@@ -2103,7 +2130,7 @@ def fast_i_fused_dev(src_y, src_cb, src_cr, qp, qp_c, lam, ctb_log2: int,
             src_y, src_cb, src_cr, zy, zc, zc, zy, zc, zc,
             cu_log2_8, mode8, jnp.ones((nby, nbx), bool),
             qp, qp_c, w=w, h=h, bit_depth=bit_depth, ctb_log2=ctb_log2,
-            lam=lam, refine_modes=True)
+            lam=lam, refine_modes=refine_modes)
     inter8 = jnp.zeros((nby, nbx), bool)
     mv8 = jnp.zeros((nby, nbx, 2), jnp.int32)
     tu8 = jnp.minimum(cu_log2_8, 5)
