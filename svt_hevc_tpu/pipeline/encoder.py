@@ -554,10 +554,10 @@ class Encoder:
             from .fast_path import run_fast_b, run_fast_i, run_fast_p
             st = new_state()
             if use_fast_i:
-                packed, rec_dev, mot_dev = run_fast_i(cfg, feat, st, qp,
-                                                      src_dev)
+                packed, rec_dev, mot_dev, lv_dev = run_fast_i(
+                    cfg, feat, st, qp, src_dev)
             elif use_fast_b:
-                packed, rec_dev, mot_dev = run_fast_b(
+                packed, rec_dev, mot_dev, lv_dev = run_fast_b(
                     cfg, feat, st, qp, mv_dev, mv1_dev, src_dev,
                     ref_dev, ref1_dev)
             else:
@@ -572,7 +572,7 @@ class Encoder:
                     tb = poc - refs_l0[0][1]
                     td = (col_poc - col_ent[2]
                           if col_ent[2] is not None else tb)
-                packed, rec_dev, mot_dev = run_fast_p(
+                packed, rec_dev, mot_dev, lv_dev = run_fast_p(
                     cfg, feat, st, qp, mv_dev, src_dev, ref_dev,
                     col_dev, tb, td)
             if not non_ref:
@@ -740,7 +740,8 @@ class Encoder:
                 st.col = self._col_for(col_poc)
                 from .fast_path import complete_fast
                 maps, sao_np = complete_fast(cfg, st, packed,
-                                             b_form=use_fast_b)
+                                             b_form=use_fast_b,
+                                             lv_dev=lv_dev)
                 substr = self._encode_fast(
                     st, src, maps, sao_np, qp, feat, tiles[0][0], last_xy,
                     init_type)

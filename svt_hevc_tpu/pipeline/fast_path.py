@@ -366,8 +366,8 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev, col_dev,
         col_valid = jnp.zeros((h64 // 16, w64 // 16), bool)
     else:
         col_mv, col_valid = col_dev
-    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
-        tenc.fast_p_fused_dev(
+    (packed, rec_y, rec_cb, rec_cr, out_mv, out_valid,
+     lv_dev) = tenc.fast_p_fused_dev(
             src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr, mv_dev,
             jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
             col_mv, col_valid, jnp.int32(tb), jnp.int32(td),
@@ -375,7 +375,8 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev, col_dev,
             dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
             min_intra_log2=feat.p_min_intra_log2,
             subpel_min=feat.subpel_min_size)
-    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
+    return (packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid),
+            lv_dev)
 
 
 def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
@@ -393,8 +394,8 @@ def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
     cw, ch = st.w, st.h
     d0 = st.ref_pocs[0][0] - st.poc
     d1 = st.ref_pocs[1][0] - st.poc
-    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
-        tenc.fast_b_fused_dev(
+    (packed, rec_y, rec_cb, rec_cr, out_mv, out_valid,
+     lv_dev) = tenc.fast_b_fused_dev(
             *src_dev, *ref0_dev, *ref1_dev, mv0_dev, mv1_dev,
             jnp.int32(d0), jnp.int32(d1),
             jnp.int32(qp), jnp.int32(st.qp_c), jnp.float32(lambda_sse(qp)),
@@ -402,15 +403,17 @@ def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
             dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
             min_intra_log2=feat.p_min_intra_log2,
             subpel_min=feat.subpel_min_size)
-    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
+    return (packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid),
+            lv_dev)
 
 
-def complete_fast(cfg, st, packed, b_form: bool = False):
+def complete_fast(cfg, st, packed, b_form: bool = False, lv_dev=None):
     """Blocking half of run_fast_p / run_fast_i / run_fast_b: fetch the
     packed device buffer and build the host-side maps. Kept separate so
     the caller can dispatch the NEXT frame's graph before this
     download+walk (frames-in-flight; reference analogue:
-    EbEncHandle.c:1645)."""
+    EbEncHandle.c:1645). lv_dev: the device-resident full coefficient
+    planes, materialized only when the sparse download overflowed."""
     from ..tpu import encode as tenc
     cw, ch = st.w, st.h
     w64 = (cw + 63) // 64 * 64
@@ -418,10 +421,22 @@ def complete_fast(cfg, st, packed, b_form: bool = False):
     specs = (tenc.fused_b_dev_specs if b_form
              else tenc.fused_dev_specs)(h64, w64, cfg.ctb_size)
     out = tenc.unpack(np.asarray(packed), specs)
-    return _build_maps(st, out)
+    return _build_maps(st, out, lv_dev)
 
 
-def _build_maps(st, out: dict):
+def _expand4(buf, cnt, nz4, hh, ww):
+    """Rebuild a coefficient plane from its compacted nonzero 4x4 groups
+    (device _compact4 layout). Returns None on overflow."""
+    if cnt > buf.shape[0]:
+        return None
+    groups = np.zeros(((hh // 4) * (ww // 4), 16), np.int32)
+    pos = np.flatnonzero(nz4.ravel())
+    groups[pos] = buf[:cnt]
+    return (groups.reshape(hh // 4, ww // 4, 4, 4)
+            .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+
+def _build_maps(st, out: dict, lv_dev=None):
     """(DecisionMaps, sao param arrays) from unpacked download dicts.
     Reconstruction stays device-resident — nothing writes st.planes."""
     cw, ch = st.w, st.h
@@ -438,9 +453,25 @@ def _build_maps(st, out: dict):
                             inter8=out["inter8"],
                             mv8=out["mv8"], intra_mode8=out["intra_mode8"],
                             tu_log2_8=out["tu_log2_8"])
-    maps.lv_y = out["lv_y"][:ch, :cw]
-    maps.lv_cb = out["lv_cb"][:ch // 2, :cw // 2]
-    maps.lv_cr = out["lv_cr"][:ch // 2, :cw // 2]
+    h64 = (ch + 63) // 64 * 64
+    w64 = (cw + 63) // 64 * 64
+    cnts = out["lv_counts"]
+    counts = (cnts[:, 0] & 0x3FFF) + (cnts[:, 1] << 14)
+    lv_y = _expand4(out["lvc_y"], int(counts[0]), out["nz4_y"], h64, w64)
+    lv_cb = _expand4(out["lvc_cb"], int(counts[1]), out["nz4_cb"],
+                     h64 // 2, w64 // 2)
+    lv_cr = _expand4(out["lvc_cr"], int(counts[2]), out["nz4_cr"],
+                     h64 // 2, w64 // 2)
+    if lv_y is None or lv_cb is None or lv_cr is None:
+        # sparse download overflowed its cap: one extra transfer of the
+        # device-resident full planes (rare — dense intra pictures)
+        fy, fcb, fcr = (np.asarray(p).astype(np.int32) for p in lv_dev)
+        lv_y = lv_y if lv_y is not None else fy
+        lv_cb = lv_cb if lv_cb is not None else fcb
+        lv_cr = lv_cr if lv_cr is not None else fcr
+    maps.lv_y = lv_y[:ch, :cw]
+    maps.lv_cb = lv_cb[:ch // 2, :cw // 2]
+    maps.lv_cr = lv_cr[:ch // 2, :cw // 2]
     maps.nz4_y = out["nz4_y"][:ch // 4, :cw // 4]
     maps.nz4_cb = out["nz4_cb"][:ch // 8, :cw // 8]
     maps.nz4_cr = out["nz4_cr"][:ch // 8, :cw // 8]
@@ -476,11 +507,12 @@ def run_fast_i(cfg, feat, st, qp, src_dev):
     w64 = (cw + 63) // 64 * 64
     h64 = (ch + 63) // 64 * 64
     src_y, src_cb, src_cr = src_dev
-    packed, rec_y, rec_cb, rec_cr, out_mv, out_valid = \
-        tenc.fast_i_fused_dev(
+    (packed, rec_y, rec_cb, rec_cr, out_mv, out_valid,
+     lv_dev) = tenc.fast_i_fused_dev(
             src_y, src_cb, src_cr, jnp.int32(qp), jnp.int32(st.qp_c),
             jnp.float32(lambda_sse(qp)),
             ctb_log2=st.ctb_log2, w=cw, h=ch, bit_depth=st.bit_depth,
             dlf=cfg.enable_deblocking, sao=cfg.enable_sao,
             refine_modes=feat.i_refine_modes)
-    return packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid)
+    return (packed, (rec_y, rec_cb, rec_cr), (out_mv, out_valid),
+            lv_dev)
