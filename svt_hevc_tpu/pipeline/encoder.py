@@ -231,6 +231,69 @@ class Encoder:
         # speed control is enabled
         self._dyn_enc_mode: int | None = None
         self._speed_target_fps: float | None = None
+        # checkpoint/resume state (SURVEY §5: the encoder's resumable
+        # state is the DPB + RC state, a plain pytree — unlike the
+        # reference, which has no checkpoint surface at all)
+        self._ckpt_prev_y = None
+        self._ckpt_ll_last: dict = {}
+        self._ckpt_rc_state: dict | None = None
+        self._resuming = False
+        self.last_rc = None
+
+    # ------------------------------------------------------ checkpoint/resume
+    def checkpoint(self) -> dict:
+        """Snapshot the streaming-encode state after a completed
+        encode_pictures() segment: frame counter, POC base, reference
+        planes per temporal layer (the DPB), SCD context, and rate-control
+        state. The snapshot is plain numpy/python data — picklable,
+        device-free — and a fresh Encoder restored from it continues the
+        stream bit-exactly (tests/test_checkpoint.py)."""
+        rc_state = None
+        if self.last_rc is not None:
+            rc_state = {k: v for k, v in self.last_rc.__dict__.items()
+                        if k != "cfg"}
+        return {
+            "frame_idx": self._frame_idx,
+            "poc_base": getattr(self, "_poc_base", 0),
+            "ll_last": {
+                layer: (idx, tuple(np.asarray(p) for p in planes), poc)
+                for layer, (idx, planes, poc) in self._ckpt_ll_last.items()},
+            "prev_y": (None if self._ckpt_prev_y is None
+                       else np.asarray(self._ckpt_prev_y)),
+            "rc": rc_state,
+            "ref_planes": (None if self._ref_planes is None
+                           else tuple(np.asarray(p)
+                                      for p in self._ref_planes)),
+            "ref_poc": self._ref_poc,
+            # TMVP collocated state: host 16x16-compressed motion (the
+            # emit walk's merge lists) and its device mirror (the dense
+            # MD's TMVP candidate) — both required for bit-exact resume
+            "ref_motion": {k: {kk: (np.asarray(vv) if isinstance(
+                                        vv, np.ndarray) else vv)
+                               for kk, vv in v.items()}
+                           for k, v in self._ref_motion.items()},
+            "dev_motion": {k: (np.asarray(v[0]), np.asarray(v[1]), v[2])
+                           for k, v in self._dev_motion.items()},
+        }
+
+    def restore(self, ckpt: dict) -> None:
+        """Restore a checkpoint() snapshot into this (fresh) encoder; the
+        next encode_pictures() call continues the stream."""
+        self._frame_idx = int(ckpt["frame_idx"])
+        self._poc_base = int(ckpt["poc_base"])
+        self._ckpt_ll_last = {
+            layer: (idx, tuple(planes), poc)
+            for layer, (idx, planes, poc) in ckpt["ll_last"].items()}
+        self._ckpt_prev_y = ckpt["prev_y"]
+        self._ckpt_rc_state = (dict(ckpt["rc"])
+                               if ckpt.get("rc") is not None else None)
+        self._ref_planes = (None if ckpt["ref_planes"] is None
+                            else tuple(ckpt["ref_planes"]))
+        self._ref_poc = ckpt["ref_poc"]
+        self._ref_motion = {k: dict(v)
+                            for k, v in ckpt["ref_motion"].items()}
+        self._dev_motion = dict(ckpt["dev_motion"])
+        self._resuming = True
 
     def set_speed_control(self, target_fps: float) -> None:
         """Enable dynamic-preset speed control toward a target encode
@@ -844,19 +907,24 @@ class Encoder:
         import time as _time
         # a new stream must never motion-compensate against a previous
         # stream's device-resident references (advisor r2: stale _dev_dpb
-        # entries on POC reuse without an intervening IDR)
+        # entries on POC reuse without an intervening IDR) — unless this
+        # call RESUMES a checkpointed stream, whose restored TMVP/DPB
+        # state is exactly what the next picture must see
         self._dev_dpb.clear()
-        self._ref_motion.clear()
+        if not self._resuming:
+            self._ref_motion.clear()
+        self._resuming = False
         if self.cfg.pred_structure == 2:
             yield from self._ra_pictures(list(frames), rd=rd)
             return
         from .rate_control import RateControl
         rc = RateControl(self.cfg)
+        self.last_rc = rc        # introspection: VBV conformance, tests
         la = (self.cfg.lookahead
               if rc.mode == 1 and rc.target_bits and frame_qps is None else 0)
         stream = (self._la_frames(frames, la) if la > 0
                   else ((fr, None) for fr in frames))
-        prev_y = None
+        prev_y = self._ckpt_prev_y
         b_slices = self.cfg.pred_structure == 1     # low-delay B
         # hierarchical low-delay: temporal layers within 2^hl mini-GOPs.
         # Layer-L pictures reference the most recent lower-layer picture,
@@ -865,13 +933,16 @@ class Encoder:
         # MOD_QP_OFFSET_LAYER_ARRAY, EbRateControlProcess.h:46; LD
         # prediction structures EbPredictionStructure.c:72-236)
         hl = self.cfg.hierarchical_levels
-        ll_last: dict[int, tuple] = {}       # layer -> (idx, planes, poc)
+        ll_last: dict[int, tuple] = dict(self._ckpt_ll_last)
+        if self._ckpt_rc_state is not None:
+            rc.__dict__.update(self._ckpt_rc_state)
+            self._ckpt_rc_state = None
         pending = None
 
         def _emit(res, meta):
             pic = res.finish() if isinstance(res, PendingPicture) \
                 else res
-            m_idx, m_idr, m_stype, m_qp, m_window, m_t0 = meta
+            m_idx, m_idr, m_stype, m_qp, m_window, m_t0, m_layer = meta
             if self._speed_target_fps is not None:
                 fps = 1.0 / max(_time.perf_counter() - m_t0, 1e-9)
                 if fps < self._speed_target_fps:
@@ -892,7 +963,7 @@ class Encoder:
             total_bits = 8 * len(data)
             if m_window is not None:
                 rc.update_lookahead(total_bits, m_qp, m_window[0],
-                                    is_idr=m_idr)
+                                    is_idr=m_idr, layer=m_layer)
             else:
                 rc.update(total_bits, m_qp)
             if self.cfg.enable_hrd:
@@ -927,7 +998,7 @@ class Encoder:
             if frame_qps is not None and idx < len(frame_qps):
                 qp = int(frame_qps[idx])
             else:
-                qp = rc.pick_qp(is_idr, window=window)
+                qp = rc.pick_qp(is_idr, window=window, layer=layer)
                 if rc.mode == 0 and layer > 0:
                     qp = min(qp + layer + 1, 51)
             qp = min(max(qp, self.cfg.min_qp_allowed),
@@ -949,7 +1020,7 @@ class Encoder:
                 retain_pocs=retain, pipelined=can_pipe)
             if hl > 0 and (layer < hl or is_idr):
                 ll_last[0 if is_idr else layer] = (idx, res.ref_planes, rel)
-            meta = (idx, is_idr, stype, qp, window, t0)
+            meta = (idx, is_idr, stype, qp, window, t0, layer)
             if pending is not None:
                 yield _emit(*pending)
                 pending = None
@@ -962,6 +1033,9 @@ class Encoder:
         if pending is not None:
             yield _emit(*pending)
             self._inflight = None
+        # segment finished: expose the resumable state to checkpoint()
+        self._ckpt_prev_y = prev_y
+        self._ckpt_ll_last = ll_last
 
     def _encode_fast(self, st, src, maps, sao_np, qp, feat, order, last_xy,
                      init_type) -> list[bytes]:

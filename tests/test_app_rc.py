@@ -188,3 +188,48 @@ def test_cbr_filler_data():
     assert NalUnitType.FD_NUT in types
     decoded = decode_stream(stream)
     np.testing.assert_array_equal(recons[-1].y, decoded[-1].y)
+
+
+def test_vbr_accuracy_within_10pct():
+    """Reference-style VBR accuracy gate (the reference's functional tests
+    encode at a target bitrate and check delivery within tolerance,
+    Tests/SVT-HEVC_FunctionalTests.py VBV test :1061): 120 frames of
+    moving content through the lookahead VBR must deliver within +/-10%
+    of the target, and the VBV buffer must never underflow."""
+    nfr, fps = 120, 25
+    frames = moving_sequence(96, 64, nfr, dx=2, dy=1, seed=11)
+    target = 150_000
+    cfg = EncoderConfig(width=96, height=64, qp=34, intra_period=31,
+                        fps_num=fps, rate_control_mode=1,
+                        target_bitrate=target,
+                        vbv_maxrate=2 * target, vbv_bufsize=target,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    total_bits = 0
+    for au in enc.encode_pictures(iter(frames)):
+        total_bits += 8 * len(au.data)
+    achieved = total_bits * fps / nfr
+    assert 0.9 * target < achieved < 1.1 * target, (achieved, target)
+    assert enc.last_rc.vbv_underflows == 0
+
+
+def test_vbr_per_layer_models_hierarchical():
+    """Hierarchical LD + VBR: per-temporal-layer rate models must deliver
+    the target within +/-12% (reference keeps one rate model per layer,
+    EbRateControlProcess.c:2406-2416)."""
+    nfr, fps = 96, 25
+    frames = moving_sequence(96, 64, nfr, dx=1, dy=1, seed=3)
+    target = 120_000
+    cfg = EncoderConfig(width=96, height=64, qp=34, intra_period=-1,
+                        fps_num=fps, rate_control_mode=1,
+                        target_bitrate=target, hierarchical_levels=2,
+                        scene_change_detection=False)
+    enc = Encoder(cfg)
+    total_bits = 0
+    for au in enc.encode_pictures(iter(frames)):
+        total_bits += 8 * len(au.data)
+    achieved = total_bits * fps / nfr
+    assert 0.88 * target < achieved < 1.12 * target, (achieved, target)
+    # distinct per-layer models actually calibrated
+    layers = {k[1] for k in enc.last_rc._gain}
+    assert len(layers) >= 2, layers
