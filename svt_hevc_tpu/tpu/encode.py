@@ -181,6 +181,112 @@ def mc_pred_chroma(raw: jnp.ndarray, mv8: jnp.ndarray,
                     0, (1 << bit_depth) - 1)
 
 
+# ----------------------------------------------------- direct per-block MC
+#
+# Memory-lean motion compensation: instead of materializing every
+# fractional interpolation of the reference up front (16 luma + 64
+# chroma full planes, ~0.5 GB at 1080p, held across the whole fused
+# graph), gather one (n+taps-1)^2 integer-pel window per block and apply
+# the two separable spec filters per block with accumulation loops.
+# Bit-exact with the phase-plane path (tests/test_tpu_encode.py): the
+# shift pairing (H >> (bit_depth-8), V >> 6) is applied in the same
+# order on the same integers. The reference interpolates per-PU windows
+# on demand exactly like this (EbMcp.c :99-804) — the phase-plane form
+# was the TPU-side detour, and its HBM footprint is what brought it back.
+
+def _win_gather(ext: jnp.ndarray, by, bx, m: int) -> jnp.ndarray:
+    """(gy, gx, m, m) windows from plane `ext`; by/bx: (gy, gx) top-left
+    coords of each window (already in ext coordinates)."""
+    a = jnp.arange(m)
+    return ext[by[:, :, None, None] + a[None, None, :, None],
+               bx[:, :, None, None] + a[None, None, None, :]]
+
+
+def _mc_raw_luma_direct(ref_ext: jnp.ndarray, mv8: jnp.ndarray,
+                        bit_depth: int = 8) -> jnp.ndarray:
+    """Luma MC in the 14-bit intermediate domain from an edge-padded
+    (PAD+4 each side) integer reference; mv8: (nby, nbx, 2) quarter-pel
+    MVs per 8x8 block. Returns the (h, w) unrounded intermediate."""
+    shift1 = bit_depth - 8
+    hp, wp = ref_ext.shape
+    h, w = hp - 2 * (PAD + 4), wp - 2 * (PAD + 4)
+    nby, nbx = h // 8, w // 8
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    fx, fy = mvx & 3, mvy & 3
+    by = (jnp.arange(nby) * 8)[:, None] + (mvy >> 2) + PAD + 1
+    bx = (jnp.arange(nbx) * 8)[None, :] + (mvx >> 2) + PAD + 1
+    win = _win_gather(ref_ext, by, bx, 15)            # (nby, nbx, 15, 15)
+    filt = jnp.asarray(_LUMA_F)
+    fh = filt[fx]                                     # (nby, nbx, 8)
+    fv = filt[fy]
+    mid = jnp.zeros((nby, nbx, 15, 8), jnp.int32)
+    for k in range(8):
+        mid = mid + fh[..., k, None, None] * win[..., :, k:k + 8]
+    mid = mid >> shift1
+    out = jnp.zeros((nby, nbx, 8, 8), jnp.int32)
+    for k in range(8):
+        out = out + fv[..., k, None, None] * mid[..., k:k + 8, :]
+    out = out >> 6
+    return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _mc_pred_luma_direct(ref_ext: jnp.ndarray, mv8: jnp.ndarray,
+                         bit_depth: int = 8) -> jnp.ndarray:
+    """Rounded uni-pred luma plane (the direct-MC form of
+    mc_pred_luma)."""
+    got = _mc_raw_luma_direct(ref_ext, mv8, bit_depth)
+    shift = 14 - bit_depth
+    return jnp.clip((got + (1 << (shift - 1))) >> shift,
+                    0, (1 << bit_depth) - 1)
+
+
+def _mc_raw_chroma_direct(ref_c_ext: jnp.ndarray, mv8: jnp.ndarray,
+                          bit_depth: int = 8) -> jnp.ndarray:
+    """Chroma (4:2:0) MC in the 14-bit domain from an edge-padded
+    (PAD//2+2 each side) chroma plane; mv8 is the per-8x8-LUMA-block MV
+    map (chroma offset = mv >> 3 with 8 phases)."""
+    shift1 = bit_depth - 8
+    padc = PAD // 2
+    hp, wp = ref_c_ext.shape
+    h, w = hp - 2 * (padc + 2), wp - 2 * (padc + 2)
+    nby, nbx = h // 4, w // 4
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
+    fx, fy = mvx & 7, mvy & 7
+    by = (jnp.arange(nby) * 4)[:, None] + (mvy >> 3) + padc + 1
+    bx = (jnp.arange(nbx) * 4)[None, :] + (mvx >> 3) + padc + 1
+    win = _win_gather(ref_c_ext, by, bx, 7)           # (nby, nbx, 7, 7)
+    filt = jnp.asarray(_CHROMA_F)
+    fh = filt[fx]
+    fv = filt[fy]
+    mid = jnp.zeros((nby, nbx, 7, 4), jnp.int32)
+    for k in range(4):
+        mid = mid + fh[..., k, None, None] * win[..., :, k:k + 4]
+    mid = mid >> shift1
+    out = jnp.zeros((nby, nbx, 4, 4), jnp.int32)
+    for k in range(4):
+        out = out + fv[..., k, None, None] * mid[..., k:k + 4, :]
+    out = out >> 6
+    return out.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def _mc_pred_chroma_direct(ref_c_ext: jnp.ndarray, mv8: jnp.ndarray,
+                           bit_depth: int = 8) -> jnp.ndarray:
+    got = _mc_raw_chroma_direct(ref_c_ext, mv8, bit_depth)
+    shift = 14 - bit_depth
+    return jnp.clip((got + (1 << (shift - 1))) >> shift,
+                    0, (1 << bit_depth) - 1)
+
+
+def _ext_y(ref: jnp.ndarray) -> jnp.ndarray:
+    """Edge-padded luma plane for direct MC (PAD+4 per side)."""
+    return _edge_pad(ref.astype(jnp.int32), PAD + 4)
+
+
+def _ext_c(ref_c: jnp.ndarray) -> jnp.ndarray:
+    """Edge-padded chroma plane for direct MC (PAD//2+2 per side)."""
+    return _edge_pad(ref_c.astype(jnp.int32), PAD // 2 + 2)
+
+
 # ------------------------------------------------------------ dense T/Q/IQ/IT
 
 def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -483,6 +589,52 @@ def encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
                              bit_depth, lam, tu_split, cu_log2_8)
 
 
+def encode_pass_p_direct(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                         mv8, inter8, tu_log2_8, qp, qp_c,
+                         bit_depth: int = 8, lam=None,
+                         tu_split: bool = False, cu_log2_8=None):
+    """encode_pass_p computing MC directly from the reference planes
+    (per-block window gather + spec filters) instead of phase-plane
+    stacks — bit-identical output, ~0.5 GB less live HBM at 1080p."""
+    pred_y = _mc_pred_luma_direct(_ext_y(ref_y), mv8, bit_depth)
+    pred_cb = _mc_pred_chroma_direct(_ext_c(ref_cb), mv8, bit_depth)
+    pred_cr = _mc_pred_chroma_direct(_ext_c(ref_cr), mv8, bit_depth)
+    return _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb,
+                             pred_cr, inter8, tu_log2_8, qp, qp_c,
+                             bit_depth, lam, tu_split, cu_log2_8)
+
+
+def mc_pred_b_direct(ref0_3, ref1_3, mv8_2l, use0, use1,
+                     bit_depth: int = 8):
+    """B-picture MC prediction of all three planes by direct per-block
+    filtering (the memory-lean form of mc_pred_b; two phase-plane stacks
+    at 1080p held >1 GB). ref0_3/ref1_3: (y, cb, cr) integer reference
+    planes per list."""
+    a_y = _mc_raw_luma_direct(_ext_y(ref0_3[0]), mv8_2l[0], bit_depth)
+    b_y = _mc_raw_luma_direct(_ext_y(ref1_3[0]), mv8_2l[1], bit_depth)
+    a_cb = _mc_raw_chroma_direct(_ext_c(ref0_3[1]), mv8_2l[0], bit_depth)
+    b_cb = _mc_raw_chroma_direct(_ext_c(ref1_3[1]), mv8_2l[1], bit_depth)
+    a_cr = _mc_raw_chroma_direct(_ext_c(ref0_3[2]), mv8_2l[0], bit_depth)
+    b_cr = _mc_raw_chroma_direct(_ext_c(ref1_3[2]), mv8_2l[1], bit_depth)
+    return (_bi_select(a_y, b_y, use0, use1, 8, bit_depth),
+            _bi_select(a_cb, b_cb, use0, use1, 4, bit_depth),
+            _bi_select(a_cr, b_cr, use0, use1, 4, bit_depth))
+
+
+def encode_pass_b_direct(src_y, src_cb, src_cr, ref0_3, ref1_3, mv8_2l,
+                         ref8_2l, tu_log2_8, qp, qp_c, bit_depth: int = 8,
+                         lam=None, tu_split: bool = False, cu_log2_8=None):
+    """encode_pass_b with direct per-block MC from the reference planes."""
+    use0 = ref8_2l[0] >= 0
+    use1 = ref8_2l[1] >= 0
+    inter8 = use0 | use1
+    pred_y, pred_cb, pred_cr = mc_pred_b_direct(ref0_3, ref1_3, mv8_2l,
+                                                use0, use1, bit_depth)
+    return _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb,
+                             pred_cr, inter8, tu_log2_8, qp, qp_c,
+                             bit_depth, lam, tu_split, cu_log2_8)
+
+
 def _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb, pred_cr,
                       inter8, tu_log2_8, qp, qp_c, bit_depth: int,
                       lam, tu_split: bool, cu_log2_8):
@@ -586,17 +738,23 @@ def _recenter8(ref_ext: jnp.ndarray, cy8: jnp.ndarray,
 
 def _sad_stack8(src: jnp.ndarray, rec: jnp.ndarray, r: int) -> jnp.ndarray:
     """SAD of every 8x8 block vs the recentred ref displaced by every
-    (dy, dx) in [-r, r]^2: returns (2r+1, 2r+1, nby, nbx) int32."""
+    (dy, dx) in [-r, r]^2: returns (2r+1, 2r+1, nby, nbx) int32.
+
+    lax.scan over displacements rather than vmap: each step's full-plane
+    |src - shift| intermediate is reused buffer-to-buffer instead of a
+    (2r+1)^2-wide batch materializing in HBM, and the compiled body is
+    emitted once instead of unrolled (compile time + code size)."""
     h, w = src.shape
     pad = jnp.pad(rec, r, mode="edge")
     disp = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
                                   jnp.arange(2 * r + 1),
                                   indexing="ij"), -1).reshape(-1, 2)
 
-    def one(d):
+    def body(carry, d):
         sh = jax.lax.dynamic_slice(pad, (d[0], d[1]), (h, w))
-        return _boxsum(jnp.abs(src - sh), 8)
-    s = jax.vmap(one)(disp)
+        return carry, _boxsum(jnp.abs(src - sh), 8)
+
+    _, s = jax.lax.scan(body, 0, disp)
     return s.reshape(2 * r + 1, 2 * r + 1, h // 8, w // 8)
 
 
@@ -670,41 +828,55 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
 
     rec = _recenter8(ref_ext, up(int_mvy), up(int_mvx), h, w)
     raw = luma_phase_planes(rec, bit_depth=bit_depth)
+    raw16 = raw.reshape(16, raw.shape[2], raw.shape[3])
     shift = 14 - bit_depth
-    mvqx = int_mvx * 4
-    mvqy = int_mvy * 4
-    for fy in range(-3, 4):
-        for fx in range(-3, 4):
-            if fy == 0 and fx == 0:
-                continue
-            py, px = fy & 3, fx & 3
-            cy, cx = (fy >> 2) + PAD, (fx >> 2) + PAD
-            plane = jax.lax.dynamic_slice(raw[py, px], (cy, cx), (h, w))
-            pred = jnp.clip((plane + (1 << (shift - 1))) >> shift,
-                            0, maxval)
-            sad = _boxsum(jnp.abs(src - pred), k)
-            if lam_me is not None:
-                # mv rate vs the search-center predictor proxy (same
-                # model as best_of): a quarter-pel "improvement" must
-                # beat its own MVD bits or it fragments the field
-                sad = sad + lam_me * (
-                    _mvd_bits_dev(int_mvx * 4 + fx - cqx)
-                    + _mvd_bits_dev(int_mvy * 4 + fy - cqy))
-            take = sad < best
-            mvqx = jnp.where(take, int_mvx * 4 + fx, mvqx)
-            mvqy = jnp.where(take, int_mvy * 4 + fy, mvqy)
-            best = jnp.where(take, sad, best)
+    # candidate offsets as scan inputs (one compiled body instead of 48
+    # unrolled full-plane passes); the ORDER matches the original nested
+    # fy/fx loop so strict-< tie-breaking picks identical winners
+    offs = np.asarray([(fy, fx) for fy in range(-3, 4)
+                       for fx in range(-3, 4) if not (fy == 0 and fx == 0)],
+                      np.int32)
+    xs = {
+        "plane": jnp.asarray((offs[:, 0] & 3) * 4 + (offs[:, 1] & 3)),
+        "cy": jnp.asarray((offs[:, 0] >> 2) + PAD),
+        "cx": jnp.asarray((offs[:, 1] >> 2) + PAD),
+        "fy": jnp.asarray(offs[:, 0]),
+        "fx": jnp.asarray(offs[:, 1]),
+    }
+
+    def body(carry, x):
+        mvqx, mvqy, best = carry
+        plane = jax.lax.dynamic_slice(
+            raw16, (x["plane"], x["cy"], x["cx"]), (1, h, w))[0]
+        pred = jnp.clip((plane + (1 << (shift - 1))) >> shift, 0, maxval)
+        sad = _boxsum(jnp.abs(src - pred), k)
+        if lam_me is not None:
+            # mv rate vs the search-center predictor proxy (same model
+            # as best_of): a quarter-pel "improvement" must beat its own
+            # MVD bits or it fragments the field
+            sad = sad + lam_me * (
+                _mvd_bits_dev(int_mvx * 4 + x["fx"] - cqx)
+                + _mvd_bits_dev(int_mvy * 4 + x["fy"] - cqy))
+        take = sad < best
+        mvqx = jnp.where(take, int_mvx * 4 + x["fx"], mvqx)
+        mvqy = jnp.where(take, int_mvy * 4 + x["fy"], mvqy)
+        best = jnp.where(take, sad, best)
+        return (mvqx, mvqy, best), None
+
+    (mvqx, mvqy, best), _ = jax.lax.scan(
+        body, (int_mvx * 4, int_mvy * 4, best), xs)
     return mvqx, mvqy, best
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "subpel_min"))
-def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
-               hme_mv: jnp.ndarray, bit_depth: int = 8,
+def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y=None,
+               hme_mv: jnp.ndarray = None, bit_depth: int = 8,
                qp=None, subpel_min: int = 16) -> dict:
     """Dense inter search for every CU size of a P picture.
 
-    src/ref: (H, W) int32 coded planes (64-aligned). raw_y: luma phase
-    stack of ref. hme_mv: (H//16, W//16, 2) quarter-pel integer HME field.
+    src/ref: (H, W) int32 coded planes (64-aligned). raw_y: unused
+    (kept for call-compat; the search interpolates recentred planes
+    itself). hme_mv: (H//16, W//16, 2) quarter-pel integer HME field.
 
     Strategy (the FULL85 densification): integer SAD stacks at 8x8
     granularity around shared per-16 and per-64 HME centers, bottom-up
@@ -715,7 +887,6 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y: jnp.ndarray,
     h, w = src.shape
     srcf = src.astype(jnp.int32)
     ref_ext = _edge_pad(ref.astype(jnp.int32), PAD)
-    raw16 = raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3])
     lim = (PAD - 9) * 4
     # MV rate in the search loop (the reference's ME cost is
     # SAD + lambda * mv_bits vs the predictor, EbMotionEstimation.c
@@ -1084,6 +1255,7 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
         j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
         srcf = src.astype(jnp.int32)
         h_, w_ = srcf.shape
+        ref_ext4 = _ext_y(ref)        # direct-MC support (see _mc_*_direct)
         satd_z8 = _satd8_map(srcf - ref.astype(jnp.int32))
         zs = {8: satd_z8}
         col16_mv = col16_v = None
@@ -1123,20 +1295,20 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                 return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
 
             def pred_of(mv_c):
-                return _subpel_pred8(raw16, up(mv_c[..., 0]),
-                                     up(mv_c[..., 1]), h_, w_, bit_depth)
-
-            pred_me = pred_of(mv)
-            pred_l = pred_of(mvL)
-            pred_t = pred_of(mvT)
-            pred_z = ref.astype(jnp.int32)
+                mvf = jnp.stack([up(mv_c[..., 0]), up(mv_c[..., 1])], -1)
+                return _mc_pred_luma_direct(ref_ext4, mvf, bit_depth)
 
             def satd_of(pred):
                 return _boxsum(_satd8_map(srcf - pred), rep)
 
-            d_me = satd_of(pred_me)
-            d_l = satd_of(pred_l)
-            d_t = satd_of(pred_t)
+            # candidates are evaluated one at a time (SATD consumed
+            # immediately) and only the two RD finalists' predictions are
+            # re-generated by MV afterwards — no candidate plane is held
+            # across the stage (the phase-plane design kept 5 full preds
+            # per size live; at 1080p that alone was ~160 MB)
+            d_me = satd_of(pred_of(mv))
+            d_l = satd_of(pred_of(mvL))
+            d_t = satd_of(pred_of(mvT))
             bits_me = (_mvd_bits_dev(mv[..., 0] - mvL[..., 0])
                        + _mvd_bits_dev(mv[..., 1] - mvL[..., 1]) + 4)
             zerL = (mvL == 0).all(-1)
@@ -1149,7 +1321,6 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                           jnp.full_like(bits_me, 3),
                           bits_z]
             cands_mv = [mv, mvL, mvT, zero_mv]
-            cands_pred = [pred_me, pred_l, pred_t, pred_z]
             if col16_mv is not None:
                 # the collocated (TMVP) merge candidate — what lets the
                 # emit walk chain temporal merges like the reference does
@@ -1158,12 +1329,11 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                 # its CIF IPPP streams contain ~2 MVD CUs per frame)
                 mv_t, v_t = _tmvp_candidate(col16_mv, col16_v, s,
                                             mv.shape[:2], ctb_log2, w, h)
-                pred_tm = pred_of(mv_t)
-                d_tm = jnp.where(v_t, satd_of(pred_tm), jnp.int32(1 << 29))
+                d_tm = jnp.where(v_t, satd_of(pred_of(mv_t)),
+                                 jnp.int32(1 << 29))
                 cands_d.append(d_tm)
                 cands_bits.append(jnp.full_like(bits_me, 5))
                 cands_mv.append(mv_t)
-                cands_pred.append(pred_tm)
             bits_stack = jnp.stack(cands_bits)
             c_stack = jnp.stack(cands_d) + lam * bits_stack
             mv_stack = jnp.stack(cands_mv)
@@ -1180,22 +1350,19 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                 return jnp.take_along_axis(mv_stack, idx[None, ..., None],
                                            axis=0)[0]
 
-            def sel_pred(idx):
-                m = jnp.repeat(jnp.repeat(idx, s, 0), s, 1)
-                out = cands_pred[-1]
-                for ci in range(len(cands_pred) - 2, -1, -1):
-                    out = jnp.where(m == ci, cands_pred[ci], out)
-                return out
-
             mv_sel = take_mv(k)
             # ---- stage 2: true-RD full loop between the SATD winner
             # and the merge-class runner-up (post-quantization SSE +
             # real residual bits; flips marginal ME wins back to
-            # merge/skip exactly like the reference's full loop)
-            j_sel = _rd_leaf_cost(srcf, sel_pred(k), s, qp, lam_sse,
+            # merge/skip exactly like the reference's full loop). The
+            # finalists' predictions are regenerated from their MVs (a
+            # candidate's pred is a pure function of its MV), so no
+            # candidate plane outlives its SATD evaluation.
+            j_sel = _rd_leaf_cost(srcf, pred_of(mv_sel), s, qp, lam_sse,
                                   take(bits_stack, k), bit_depth)
-            j_cheap = _rd_leaf_cost(srcf, sel_pred(kc), s, qp, lam_sse,
-                                    take(bits_stack, kc), bit_depth)
+            j_cheap = _rd_leaf_cost(srcf, pred_of(take_mv(kc)), s, qp,
+                                    lam_sse, take(bits_stack, kc),
+                                    bit_depth)
             use_cheap = (j_cheap < j_sel + lam_sse * MERGE_BIAS_BITS) \
                 & (k != kc)
             inter_j = jnp.where(use_cheap, jnp.minimum(j_cheap, j_sel),
@@ -1294,7 +1461,7 @@ def _subpel_raw8(raw16, mvqx, mvqy, h: int, w: int):
 
 
 def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
-                      src, ref0, ref1, raw0_y, raw1_y,
+                      src, ref0, ref1,
                       min_intra_log2: int = 4,
                       w: int | None = None, h: int | None = None,
                       qp=None, bit_depth: int = 8):
@@ -1314,8 +1481,8 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
     j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
     srcf = src.astype(jnp.int32)
     h_, w_ = srcf.shape
-    raw0_16 = raw0_y.reshape(16, raw0_y.shape[2], raw0_y.shape[3])
-    raw1_16 = raw1_y.reshape(16, raw1_y.shape[2], raw1_y.shape[3])
+    ext0 = _ext_y(ref0)          # direct-MC support planes per list
+    ext1 = _ext_y(ref1)
 
     zs0 = {8: _satd8_map(srcf - ref0.astype(jnp.int32))}
     zs1 = {8: _satd8_map(srcf - ref1.astype(jnp.int32))}
@@ -1337,10 +1504,11 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         def up(m):
             return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
 
-        raw_a = _subpel_raw8(raw0_16, up(mv0[..., 0]), up(mv0[..., 1]),
-                             h_, w_)
-        raw_b = _subpel_raw8(raw1_16, up(mv1[..., 0]), up(mv1[..., 1]),
-                             h_, w_)
+        def upmv(mv_c):
+            return jnp.stack([up(mv_c[..., 0]), up(mv_c[..., 1])], -1)
+
+        raw_a = _mc_raw_luma_direct(ext0, upmv(mv0), bit_depth)
+        raw_b = _mc_raw_luma_direct(ext1, upmv(mv1), bit_depth)
         s_u = 14 - bit_depth
         pred0 = jnp.clip((raw_a + (1 << (s_u - 1))) >> s_u, 0, maxval)
         pred1 = jnp.clip((raw_b + (1 << (s_u - 1))) >> s_u, 0, maxval)
@@ -1352,17 +1520,12 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         # predictor-relative MVD cost, zero-MV merge-priced only when a
         # neighbor is also zero. Each list also reports its cheapest
         # merge-class candidate for the stage-2 true-RD full loop.
-        def uni_best(mv_s, d_me, pred_me, zsat, refp, raw16_l, extra):
+        def uni_best(mv_s, d_me, zsat, ext_l, extra):
             mvL = jnp.concatenate([mv_s[:, :1], mv_s[:, :-1]], 1)
             mvT = jnp.concatenate([mv_s[:1], mv_s[:-1]], 0)
 
             def pred_of(mv_c):
-                return _subpel_pred8(raw16_l, up(mv_c[..., 0]),
-                                     up(mv_c[..., 1]), h_, w_, bit_depth)
-
-            pred_l = pred_of(mvL)
-            pred_t = pred_of(mvT)
-            pred_z = refp.astype(jnp.int32)
+                return _mc_pred_luma_direct(ext_l, upmv(mv_c), bit_depth)
 
             def satd_of(p):
                 return _boxsum(_satd8_map(srcf - p), rep)
@@ -1374,7 +1537,8 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
                                     jnp.full_like(b_me, 2),
                                     jnp.full_like(b_me, 3),
                                     jnp.where(zerN, 3, 10)])
-            c_stack = jnp.stack([d_me, satd_of(pred_l), satd_of(pred_t),
+            c_stack = jnp.stack([d_me, satd_of(pred_of(mvL)),
+                                 satd_of(pred_of(mvT)),
                                  zsat]) + lam * bits_stack
             mv_stack = jnp.stack([mv_s, mvL, mvT, jnp.zeros_like(mv_s)])
             k = jnp.argmin(c_stack, 0)
@@ -1387,24 +1551,19 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
                 return jnp.take_along_axis(mv_stack, idx[None, ..., None],
                                            axis=0)[0]
 
-            def sel_pred(idx):
-                m = jnp.repeat(jnp.repeat(idx, s, 0), s, 1)
-                return jnp.where(m == 0, pred_me,
-                                 jnp.where(m == 1, pred_l,
-                                           jnp.where(m == 2, pred_t,
-                                                     pred_z)))
-
+            # finalist predictions are regenerated from their MVs — no
+            # candidate plane held across the stage (see decide_tree_dev)
             return (jnp.min(c_stack, 0), take_mv(k), b_me,
-                    sel_pred(k), take(bits_stack, k),
+                    pred_of(take_mv(k)), take(bits_stack, k),
                     take(c_stack, kc), take_mv(kc),
-                    sel_pred(kc), take(bits_stack, kc))
+                    pred_of(take_mv(kc)), take(bits_stack, kc))
 
         (c0, mv0_sel, b0, p0_sel, bits0_sel,
          c0_ch, mv0_ch, p0_ch, bits0_ch) = uni_best(
-            mv0, d0, pred0, zs0[s], ref0, raw0_16, 0)
+            mv0, d0, zs0[s], ext0, 0)
         (c1, mv1_sel, b1, p1_sel, bits1_sel,
          c1_ch, mv1_ch, p1_ch, bits1_ch) = uni_best(
-            mv1, d1, pred1, zs1[s], ref1, raw1_16, 1)
+            mv1, d1, zs1[s], ext1, 1)
 
         if s >= 16:
             pred_bi = jnp.clip((raw_a + raw_b + (1 << (s_b - 1))) >> s_b,
@@ -1938,10 +2097,7 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     from .analysis import intra_search_size
     from .intra_pass import intra_wavefront_pass
 
-    raw_y = luma_phase_planes(ref_y, bit_depth=bit_depth)
-    raw_cb = chroma_phase_planes(ref_cb, bit_depth=bit_depth)
-    raw_cr = chroma_phase_planes(ref_cr, bit_depth=bit_depth)
-    md = dense_md_p(src_y, ref_y, raw_y, hme_mv, bit_depth=bit_depth,
+    md = dense_md_p(src_y, ref_y, None, hme_mv, bit_depth=bit_depth,
                     qp=qp, subpel_min=subpel_min)
     yf = src_y.astype(jnp.float32)
     ois = {}
@@ -1951,15 +2107,15 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
         md, ois, ctb_log2, min_intra_log2=min_intra_log2, w=w, h=h,
         qp=qp, src=src_y, ref=ref_y,
-        raw16=raw_y.reshape(16, raw_y.shape[2], raw_y.shape[3]),
         bit_depth=bit_depth,
         col_mv8=col16_mv, col_valid8=col16_valid, tb=tb, td=td)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
-    out = encode_pass_p(src_y, src_cb, src_cr, raw_y, raw_cb, raw_cr,
-                        mv8, inter8, tu_log2, qp, qp_c,
-                        bit_depth=bit_depth,
-                        lam=lam * INTER_ZERO_LAMBDA_SCALE,
-                        tu_split=True, cu_log2_8=cu_log2_8)
+    out = encode_pass_p_direct(src_y, src_cb, src_cr,
+                               ref_y, ref_cb, ref_cr,
+                               mv8, inter8, tu_log2, qp, qp_c,
+                               bit_depth=bit_depth,
+                               lam=lam * INTER_ZERO_LAMBDA_SCALE,
+                               tu_split=True, cu_log2_8=cu_log2_8)
     tu8 = out["tu8"]
     rec3 = (out["rec_y"].astype(jnp.int32), out["rec_cb"].astype(jnp.int32),
             out["rec_cr"].astype(jnp.int32))
@@ -2020,15 +2176,9 @@ def _fast_b_front(src_y, src_cb, src_cr,
     from .analysis import intra_search_size
     from .intra_pass import intra_wavefront_pass
 
-    raws0 = (luma_phase_planes(ref0_y, bit_depth=bit_depth),
-             chroma_phase_planes(ref0_cb, bit_depth=bit_depth),
-             chroma_phase_planes(ref0_cr, bit_depth=bit_depth))
-    raws1 = (luma_phase_planes(ref1_y, bit_depth=bit_depth),
-             chroma_phase_planes(ref1_cb, bit_depth=bit_depth),
-             chroma_phase_planes(ref1_cr, bit_depth=bit_depth))
-    md0 = dense_md_p(src_y, ref0_y, raws0[0], hme_mv0, bit_depth=bit_depth,
+    md0 = dense_md_p(src_y, ref0_y, None, hme_mv0, bit_depth=bit_depth,
                      qp=qp, subpel_min=subpel_min)
-    md1 = dense_md_p(src_y, ref1_y, raws1[0], hme_mv1, bit_depth=bit_depth,
+    md1 = dense_md_p(src_y, ref1_y, None, hme_mv1, bit_depth=bit_depth,
                      qp=qp, subpel_min=subpel_min)
     yf = src_y.astype(jnp.float32)
     ois = {}
@@ -2037,16 +2187,17 @@ def _fast_b_front(src_y, src_cb, src_cr,
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
     cu_log2_8, ref8_2l, mv8_2l, mode8 = decide_tree_b_dev(
         md0, md1, ois, ctb_log2, src_y, ref0_y, ref1_y,
-        raws0[0], raws1[0],
         min_intra_log2=min_intra_log2, w=w, h=h, qp=qp,
         bit_depth=bit_depth)
     inter8 = (ref8_2l >= 0).any(0)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
-    out = encode_pass_b(src_y, src_cb, src_cr, raws0, raws1,
-                        mv8_2l, ref8_2l, tu_log2, qp, qp_c,
-                        bit_depth=bit_depth,
-                        lam=lam * INTER_ZERO_LAMBDA_SCALE,
-                        tu_split=True, cu_log2_8=cu_log2_8)
+    out = encode_pass_b_direct(src_y, src_cb, src_cr,
+                               (ref0_y, ref0_cb, ref0_cr),
+                               (ref1_y, ref1_cb, ref1_cr),
+                               mv8_2l, ref8_2l, tu_log2, qp, qp_c,
+                               bit_depth=bit_depth,
+                               lam=lam * INTER_ZERO_LAMBDA_SCALE,
+                               tu_split=True, cu_log2_8=cu_log2_8)
     tu8 = out["tu8"]
     rec3 = (out["rec_y"].astype(jnp.int32), out["rec_cb"].astype(jnp.int32),
             out["rec_cr"].astype(jnp.int32))
