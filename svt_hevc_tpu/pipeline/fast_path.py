@@ -361,6 +361,7 @@ def run_fast_p(cfg, feat, st, qp, mv_dev, src_dev, ref_dev, col_dev,
 
     from ..core.rdo import lambda_sse
 
+    tenc.pallas_mc_resolve()     # resolve the MC kernel before tracing
     if col_dev is None:
         col_mv = jnp.zeros((h64 // 16, w64 // 16, 2), jnp.int32)
         col_valid = jnp.zeros((h64 // 16, w64 // 16), bool)
@@ -392,6 +393,7 @@ def run_fast_b(cfg, feat, st, qp, mv0_dev, mv1_dev, src_dev,
     from ..tpu import encode as tenc
 
     cw, ch = st.w, st.h
+    tenc.pallas_mc_resolve()     # resolve the MC kernel before tracing
     d0 = st.ref_pocs[0][0] - st.poc
     d1 = st.ref_pocs[1][0] - st.poc
     (packed, rec_y, rec_cb, rec_cr, out_mv, out_valid,

@@ -287,6 +287,70 @@ def _ext_c(ref_c: jnp.ndarray) -> jnp.ndarray:
     return _edge_pad(ref_c.astype(jnp.int32), PAD // 2 + 2)
 
 
+# Pallas MC dispatch: XLA lowers the per-block MC (either form) to an
+# element-granular gather costing ~50-80 ms per 1080p plane on the chip;
+# the hand kernel (pallas_kernels.mc_block_pallas) does it in ~5 ms.
+# Probed once like me._pallas_usable; the XLA fallback is bit-identical
+# (tests/test_pallas.py), so CPU tests and TPU runs produce the same
+# streams.
+_PALLAS_MC = {"ok": None}
+
+
+def pallas_mc_resolve() -> bool:
+    if _PALLAS_MC["ok"] is None:
+        ok = False
+        try:
+            if jax.default_backend() != "cpu":
+                from .pallas_kernels import mc_block_pallas
+                ref = jnp.zeros((8 + 2 * (PAD + 4), 128 + 2 * (PAD + 4)),
+                                jnp.int32)
+                z = jnp.zeros((1, 16), jnp.int32)
+                out = mc_block_pallas(ref, z + PAD + 1, z + PAD + 1, z, z,
+                                      8, 8, PAD, True, 8)
+                out.block_until_ready()
+                ok = True
+        except Exception:
+            ok = False
+        _PALLAS_MC["ok"] = ok
+    return _PALLAS_MC["ok"]
+
+
+def _mc_luma(ref_ext: jnp.ndarray, mv8: jnp.ndarray, bit_depth: int,
+             rounded: bool) -> jnp.ndarray:
+    """Per-8x8-block luma MC from the (PAD+4)-padded integer reference:
+    Pallas kernel when resolved usable, else the XLA direct form —
+    bit-identical either way. MVs are clamped to the padded reach (the
+    XLA gather silently clips indices; the kernel's DMA would fault) —
+    identically on both paths, so CPU and TPU still agree bit-for-bit."""
+    lim = (PAD - 9) * 4
+    mv8 = jnp.clip(mv8, -lim, lim)
+    if _PALLAS_MC["ok"]:
+        from .pallas_kernels import mc_block_pallas
+        mvx, mvy = mv8[..., 0], mv8[..., 1]
+        return mc_block_pallas(ref_ext, (mvy >> 2) + PAD + 1,
+                               (mvx >> 2) + PAD + 1, mvx & 3, mvy & 3,
+                               8, 8, PAD, rounded, bit_depth)
+    fn = _mc_pred_luma_direct if rounded else _mc_raw_luma_direct
+    return fn(ref_ext, mv8, bit_depth)
+
+
+def _mc_chroma(ref_c_ext: jnp.ndarray, mv8: jnp.ndarray, bit_depth: int,
+               rounded: bool) -> jnp.ndarray:
+    """Per-4x4-block chroma MC (4:2:0) from the (PAD//2+2)-padded
+    integer chroma plane."""
+    lim = (PAD - 9) * 4
+    mv8 = jnp.clip(mv8, -lim, lim)
+    if _PALLAS_MC["ok"]:
+        from .pallas_kernels import mc_block_pallas
+        mvx, mvy = mv8[..., 0], mv8[..., 1]
+        return mc_block_pallas(ref_c_ext, (mvy >> 3) + PAD // 2 + 1,
+                               (mvx >> 3) + PAD // 2 + 1, mvx & 7,
+                               mvy & 7, 4, 4, PAD // 2, rounded,
+                               bit_depth)
+    fn = _mc_pred_chroma_direct if rounded else _mc_raw_chroma_direct
+    return fn(ref_c_ext, mv8, bit_depth)
+
+
 # ------------------------------------------------------------ dense T/Q/IQ/IT
 
 def _blocks(plane: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -596,9 +660,9 @@ def encode_pass_p_direct(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     """encode_pass_p computing MC directly from the reference planes
     (per-block window gather + spec filters) instead of phase-plane
     stacks — bit-identical output, ~0.5 GB less live HBM at 1080p."""
-    pred_y = _mc_pred_luma_direct(_ext_y(ref_y), mv8, bit_depth)
-    pred_cb = _mc_pred_chroma_direct(_ext_c(ref_cb), mv8, bit_depth)
-    pred_cr = _mc_pred_chroma_direct(_ext_c(ref_cr), mv8, bit_depth)
+    pred_y = _mc_luma(_ext_y(ref_y), mv8, bit_depth, True)
+    pred_cb = _mc_chroma(_ext_c(ref_cb), mv8, bit_depth, True)
+    pred_cr = _mc_chroma(_ext_c(ref_cr), mv8, bit_depth, True)
     return _encode_pass_core(src_y, src_cb, src_cr, pred_y, pred_cb,
                              pred_cr, inter8, tu_log2_8, qp, qp_c,
                              bit_depth, lam, tu_split, cu_log2_8)
@@ -610,12 +674,12 @@ def mc_pred_b_direct(ref0_3, ref1_3, mv8_2l, use0, use1,
     filtering (the memory-lean form of mc_pred_b; two phase-plane stacks
     at 1080p held >1 GB). ref0_3/ref1_3: (y, cb, cr) integer reference
     planes per list."""
-    a_y = _mc_raw_luma_direct(_ext_y(ref0_3[0]), mv8_2l[0], bit_depth)
-    b_y = _mc_raw_luma_direct(_ext_y(ref1_3[0]), mv8_2l[1], bit_depth)
-    a_cb = _mc_raw_chroma_direct(_ext_c(ref0_3[1]), mv8_2l[0], bit_depth)
-    b_cb = _mc_raw_chroma_direct(_ext_c(ref1_3[1]), mv8_2l[1], bit_depth)
-    a_cr = _mc_raw_chroma_direct(_ext_c(ref0_3[2]), mv8_2l[0], bit_depth)
-    b_cr = _mc_raw_chroma_direct(_ext_c(ref1_3[2]), mv8_2l[1], bit_depth)
+    a_y = _mc_luma(_ext_y(ref0_3[0]), mv8_2l[0], bit_depth, False)
+    b_y = _mc_luma(_ext_y(ref1_3[0]), mv8_2l[1], bit_depth, False)
+    a_cb = _mc_chroma(_ext_c(ref0_3[1]), mv8_2l[0], bit_depth, False)
+    b_cb = _mc_chroma(_ext_c(ref1_3[1]), mv8_2l[1], bit_depth, False)
+    a_cr = _mc_chroma(_ext_c(ref0_3[2]), mv8_2l[0], bit_depth, False)
+    b_cr = _mc_chroma(_ext_c(ref1_3[2]), mv8_2l[1], bit_depth, False)
     return (_bi_select(a_y, b_y, use0, use1, 8, bit_depth),
             _bi_select(a_cb, b_cb, use0, use1, 4, bit_depth),
             _bi_select(a_cr, b_cr, use0, use1, 4, bit_depth))
@@ -750,11 +814,18 @@ def _sad_stack8(src: jnp.ndarray, rec: jnp.ndarray, r: int) -> jnp.ndarray:
                                   jnp.arange(2 * r + 1),
                                   indexing="ij"), -1).reshape(-1, 2)
 
-    def body(carry, d):
-        sh = jax.lax.dynamic_slice(pad, (d[0], d[1]), (h, w))
-        return carry, _boxsum(jnp.abs(src - sh), 8)
+    # chunk the scan (one row of displacements per step): per-step
+    # dispatch overhead amortizes over 2r+1 SAD passes while the live
+    # set stays one chunk wide
+    def body(carry, drow):
+        out = []
+        for i in range(2 * r + 1):
+            sh = jax.lax.dynamic_slice(pad, (drow[i, 0], drow[i, 1]),
+                                       (h, w))
+            out.append(_boxsum(jnp.abs(src - sh), 8))
+        return carry, jnp.stack(out)
 
-    _, s = jax.lax.scan(body, 0, disp)
+    _, s = jax.lax.scan(body, 0, disp.reshape(2 * r + 1, 2 * r + 1, 2))
     return s.reshape(2 * r + 1, 2 * r + 1, h // 8, w // 8)
 
 
@@ -826,7 +897,9 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
     def up(m):
         return jnp.repeat(jnp.repeat(m, rep, 0), rep, 1)
 
-    rec = _recenter8(ref_ext, up(int_mvy), up(int_mvx), h, w)
+    rec = _mc_luma(ref_ext, jnp.stack([up(int_mvx) * 4,
+                                       up(int_mvy) * 4], -1),
+                   bit_depth, True)
     raw = luma_phase_planes(rec, bit_depth=bit_depth)
     raw16 = raw.reshape(16, raw.shape[2], raw.shape[3])
     shift = 14 - bit_depth
@@ -844,23 +917,29 @@ def _refine_subpel_dense(src, ref_ext, int_mvx, int_mvy, best, k: int,
         "fx": jnp.asarray(offs[:, 1]),
     }
 
+    CH = 6                      # offsets per scan step (48 = 8 steps)
+    xs = {kk: v.reshape(-1, CH) for kk, v in xs.items()}
+
     def body(carry, x):
         mvqx, mvqy, best = carry
-        plane = jax.lax.dynamic_slice(
-            raw16, (x["plane"], x["cy"], x["cx"]), (1, h, w))[0]
-        pred = jnp.clip((plane + (1 << (shift - 1))) >> shift, 0, maxval)
-        sad = _boxsum(jnp.abs(src - pred), k)
-        if lam_me is not None:
-            # mv rate vs the search-center predictor proxy (same model
-            # as best_of): a quarter-pel "improvement" must beat its own
-            # MVD bits or it fragments the field
-            sad = sad + lam_me * (
-                _mvd_bits_dev(int_mvx * 4 + x["fx"] - cqx)
-                + _mvd_bits_dev(int_mvy * 4 + x["fy"] - cqy))
-        take = sad < best
-        mvqx = jnp.where(take, int_mvx * 4 + x["fx"], mvqx)
-        mvqy = jnp.where(take, int_mvy * 4 + x["fy"], mvqy)
-        best = jnp.where(take, sad, best)
+        for i in range(CH):     # in-order: tie-breaking identical to
+            plane = jax.lax.dynamic_slice(      # the unrolled original
+                raw16, (x["plane"][i], x["cy"][i], x["cx"][i]),
+                (1, h, w))[0]
+            pred = jnp.clip((plane + (1 << (shift - 1))) >> shift,
+                            0, maxval)
+            sad = _boxsum(jnp.abs(src - pred), k)
+            if lam_me is not None:
+                # mv rate vs the search-center predictor proxy (same
+                # model as best_of): a quarter-pel "improvement" must
+                # beat its own MVD bits or it fragments the field
+                sad = sad + lam_me * (
+                    _mvd_bits_dev(int_mvx * 4 + x["fx"][i] - cqx)
+                    + _mvd_bits_dev(int_mvy * 4 + x["fy"][i] - cqy))
+            take = sad < best
+            mvqx = jnp.where(take, int_mvx * 4 + x["fx"][i], mvqx)
+            mvqy = jnp.where(take, int_mvy * 4 + x["fy"][i], mvqy)
+            best = jnp.where(take, sad, best)
         return (mvqx, mvqy, best), None
 
     (mvqx, mvqy, best), _ = jax.lax.scan(
@@ -886,7 +965,7 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y=None,
     """
     h, w = src.shape
     srcf = src.astype(jnp.int32)
-    ref_ext = _edge_pad(ref.astype(jnp.int32), PAD)
+    ref_ext = _ext_y(ref)
     lim = (PAD - 9) * 4
     # MV rate in the search loop (the reference's ME cost is
     # SAD + lambda * mv_bits vs the predictor, EbMotionEstimation.c
@@ -904,7 +983,9 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y=None,
         return jnp.repeat(jnp.repeat(m, 2, 0), 2, 1)
 
     # ---- fine stack: per-16 centers, +/-2 int window; valid for 8 & 16
-    rec_f = _recenter8(ref_ext, up2(c16y), up2(c16x), h, w)
+    rec_f = _mc_luma(ref_ext, jnp.stack([up2(c16x) * 4,
+                                         up2(c16y) * 4], -1),
+                     bit_depth, True)
     stack8 = _sad_stack8(srcf, rec_f, 2)                  # (5,5,nb8y,nb8x)
     s2, _, nb8y, nb8x = 5, 5, h // 8, w // 8
     stack16 = _boxsum(stack8.reshape(25, nb8y, nb8x), 2).reshape(
@@ -934,7 +1015,9 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y=None,
     def up8(m):
         return jnp.repeat(jnp.repeat(m, 8, 0), 8, 1)
 
-    rec_c = _recenter8(ref_ext, up8(c64y), up8(c64x), h, w)
+    rec_c = _mc_luma(ref_ext, jnp.stack([up8(c64x) * 4,
+                                         up8(c64y) * 4], -1),
+                     bit_depth, True)
     stack8c = _sad_stack8(srcf, rec_c, 3)                 # (7,7,nb8y,nb8x)
     stack32 = _boxsum(stack8c.reshape(49, nb8y, nb8x), 4).reshape(
         7, 7, nb8y // 4, nb8x // 4)
@@ -966,7 +1049,8 @@ def dense_md_p(src: jnp.ndarray, ref: jnp.ndarray, raw_y=None,
         lam_me=lam_sub, cqx=c64x * 4, cqy=c64y * 4)
 
     # ---- zero-MV SAD per size (merge/skip candidate evaluation)
-    zdiff = jnp.abs(srcf - ref_ext[PAD:PAD + h, PAD:PAD + w])
+    p4 = PAD + 4
+    zdiff = jnp.abs(srcf - ref_ext[p4:p4 + h, p4:p4 + w])
     z8 = _boxsum(zdiff, 8)
 
     out = {
@@ -1235,6 +1319,7 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
     EbLambdaRateTables.h:55); None keeps the legacy constant 3. Returns
     (cu_log2_8, inter8, mv8, mode8)."""
     INF = jnp.int32(1 << 30)
+    lim_q = (PAD - 9) * 4        # quarter-pel MV reach of the padding
     lam = jnp.int32(3) if qp is None else jnp.asarray(LAMBDA_SAD)[qp]
     satd_mode = src is not None
     if satd_mode:
@@ -1255,7 +1340,11 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
         j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
         srcf = src.astype(jnp.int32)
         h_, w_ = srcf.shape
-        ref_ext4 = _ext_y(ref)        # direct-MC support (see _mc_*_direct)
+        # ~20 candidate predictions are generated per picture; each is a
+        # per-block MC through _mc_luma (Pallas kernel on TPU, ~5 ms vs
+        # ~50 ms for the XLA gather), so no phase-plane stack is ever
+        # materialized
+        ref_ext4 = _ext_y(ref)
         satd_z8 = _satd8_map(srcf - ref.astype(jnp.int32))
         zs = {8: satd_z8}
         col16_mv = col16_v = None
@@ -1296,7 +1385,7 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
 
             def pred_of(mv_c):
                 mvf = jnp.stack([up(mv_c[..., 0]), up(mv_c[..., 1])], -1)
-                return _mc_pred_luma_direct(ref_ext4, mvf, bit_depth)
+                return _mc_luma(ref_ext4, mvf, bit_depth, True)
 
             def satd_of(pred):
                 return _boxsum(_satd8_map(srcf - pred), rep)
@@ -1329,6 +1418,10 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                 # its CIF IPPP streams contain ~2 MVD CUs per frame)
                 mv_t, v_t = _tmvp_candidate(col16_mv, col16_v, s,
                                             mv.shape[:2], ctb_log2, w, h)
+                # POC scaling can produce MVs beyond the padded reach;
+                # clamp at candidate creation so the decided/signalled
+                # MV always equals the MV the prediction used
+                mv_t = jnp.clip(mv_t, -lim_q, lim_q)
                 d_tm = jnp.where(v_t, satd_of(pred_of(mv_t)),
                                  jnp.int32(1 << 29))
                 cands_d.append(d_tm)
@@ -1481,7 +1574,8 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
     j_ratio = lam_sse / jnp.maximum(lam.astype(jnp.float32), 1.0)
     srcf = src.astype(jnp.int32)
     h_, w_ = srcf.shape
-    ext0 = _ext_y(ref0)          # direct-MC support planes per list
+    # per-list direct-MC support planes (see decide_tree_dev)
+    ext0 = _ext_y(ref0)
     ext1 = _ext_y(ref1)
 
     zs0 = {8: _satd8_map(srcf - ref0.astype(jnp.int32))}
@@ -1507,8 +1601,8 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
         def upmv(mv_c):
             return jnp.stack([up(mv_c[..., 0]), up(mv_c[..., 1])], -1)
 
-        raw_a = _mc_raw_luma_direct(ext0, upmv(mv0), bit_depth)
-        raw_b = _mc_raw_luma_direct(ext1, upmv(mv1), bit_depth)
+        raw_a = _mc_luma(ext0, upmv(mv0), bit_depth, False)
+        raw_b = _mc_luma(ext1, upmv(mv1), bit_depth, False)
         s_u = 14 - bit_depth
         pred0 = jnp.clip((raw_a + (1 << (s_u - 1))) >> s_u, 0, maxval)
         pred1 = jnp.clip((raw_b + (1 << (s_u - 1))) >> s_u, 0, maxval)
@@ -1525,7 +1619,7 @@ def decide_tree_b_dev(md0: dict, md1: dict, ois: dict, ctb_log2: int,
             mvT = jnp.concatenate([mv_s[:1], mv_s[:-1]], 0)
 
             def pred_of(mv_c):
-                return _mc_pred_luma_direct(ext_l, upmv(mv_c), bit_depth)
+                return _mc_luma(ext_l, upmv(mv_c), bit_depth, True)
 
             def satd_of(p):
                 return _boxsum(_satd8_map(srcf - p), rep)
@@ -2072,30 +2166,17 @@ ME_LAMBDA_SCALE = 1
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
-                                             "w", "h", "dlf", "sao",
-                                             "min_intra_log2",
+                                             "w", "h", "min_intra_log2",
                                              "subpel_min"))
-def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
-                     hme_mv, qp, qp_c, lam, col16_mv, col16_valid, tb, td,
-                     ctb_log2: int,
-                     w: int, h: int, bit_depth: int = 8,
-                     dlf: bool = True, sao: bool = True,
-                     min_intra_log2: int = P_MIN_INTRA_LOG2,
-                     subpel_min: int = 16):
-    """Device-resident P-picture pipeline in ONE graph: dense MD + OIS +
-    decision + inter encode pass, an intra-fixup wavefront behind a
-    runtime lax.cond (zero cost on the common all-inter frame — the
-    device itself checks whether any CU went intra), then DLF + SAO
-    decide/apply. One packed download (decisions + levels + SAO params);
-    recon stays device-resident.
-
-    col16_mv/col16_valid: the collocated (L0 reference) picture's
-    16x16-compressed decided motion — device-resident, chained from the
-    previous call's outputs — feeding the TMVP merge candidate of the
-    dense decision; tb/td: POC distances for its scaling. Returns
-    (packed, rec_y, rec_cb, rec_cr, col16_mv_out, col16_valid_out)."""
+def _fast_p_front(src_y, ref_y, hme_mv, qp, col16_mv, col16_valid,
+                  tb, td, ctb_log2: int, w: int, h: int,
+                  bit_depth: int = 8,
+                  min_intra_log2: int = P_MIN_INTRA_LOG2,
+                  subpel_min: int = 16):
+    """P-picture front half: dense MD + OIS + quadtree decision.
+    Outputs only the small decision maps; chained on-device into
+    _fast_p_finish."""
     from .analysis import intra_search_size
-    from .intra_pass import intra_wavefront_pass
 
     md = dense_md_p(src_y, ref_y, None, hme_mv, bit_depth=bit_depth,
                     qp=qp, subpel_min=subpel_min)
@@ -2104,11 +2185,57 @@ def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
     for n in (16, 32):
         mode, cost = intra_search_size(yf, n)
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
-    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
+    return decide_tree_dev(
         md, ois, ctb_log2, min_intra_log2=min_intra_log2, w=w, h=h,
         qp=qp, src=src_y, ref=ref_y,
         bit_depth=bit_depth,
         col_mv8=col16_mv, col_valid8=col16_valid, tb=tb, td=td)
+
+
+def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                     hme_mv, qp, qp_c, lam, col16_mv, col16_valid, tb, td,
+                     ctb_log2: int,
+                     w: int, h: int, bit_depth: int = 8,
+                     dlf: bool = True, sao: bool = True,
+                     min_intra_log2: int = P_MIN_INTRA_LOG2,
+                     subpel_min: int = 16):
+    """Device-resident P-picture pipeline as two jitted halves chained
+    on device (front: dense MD + OIS + decision; finish: inter encode
+    pass, intra-fixup wavefront behind a runtime lax.cond, DLF + SAO,
+    pack). Split like the B path: one mega-program both compiles slower
+    and pushes the worker's program+temp footprint past what the
+    tunneled chip will load; the halves cache and execute independently.
+    One packed download (decisions + levels + SAO params); recon stays
+    device-resident.
+
+    col16_mv/col16_valid: the collocated (L0 reference) picture's
+    16x16-compressed decided motion — device-resident, chained from the
+    previous call's outputs — feeding the TMVP merge candidate of the
+    dense decision; tb/td: POC distances for its scaling. Returns
+    (packed, rec_y, rec_cb, rec_cr, col16_mv_out, col16_valid_out)."""
+    cu_log2_8, inter8, mv8, mode8 = _fast_p_front(
+        src_y, ref_y, hme_mv, qp, col16_mv, col16_valid, tb, td,
+        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth,
+        min_intra_log2=min_intra_log2, subpel_min=subpel_min)
+    return _fast_p_finish(
+        src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+        cu_log2_8, inter8, mv8, mode8, qp, qp_c, lam,
+        ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth, dlf=dlf,
+        sao=sao, min_intra_log2=min_intra_log2)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
+                                             "w", "h", "dlf", "sao",
+                                             "min_intra_log2"))
+def _fast_p_finish(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,
+                   cu_log2_8, inter8, mv8, mode8, qp, qp_c, lam,
+                   ctb_log2: int, w: int, h: int, bit_depth: int = 8,
+                   dlf: bool = True, sao: bool = True,
+                   min_intra_log2: int = P_MIN_INTRA_LOG2):
+    """P-picture finish half: encode pass + intra fixup + DLF/SAO +
+    pack (see fast_p_fused_dev)."""
+    from .intra_pass import intra_wavefront_pass
+
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_p_direct(src_y, src_cb, src_cr,
                                ref_y, ref_cb, ref_cr,
