@@ -222,6 +222,7 @@ class Encoder:
         # chained into the next picture's dense MD as the TMVP merge
         # candidate without any host round trip
         self._dev_motion: dict = {}
+        self._dev_motion_cap = 6
         # the not-yet-finalized pipelined picture (PendingPicture):
         # synchronous (host-path) encodes force-finish it first so the
         # collocated motion field exists
@@ -235,6 +236,8 @@ class Encoder:
         # state is the DPB + RC state, a plain pytree — unlike the
         # reference, which has no checkpoint surface at all)
         self._ckpt_prev_y = None
+        self._prev_src_y = None      # previous padded source luma (QPM
+        #                              stationary-edge temporal axis)
         self._ckpt_ll_last: dict = {}
         self._ckpt_rc_state: dict | None = None
         self._resuming = False
@@ -300,6 +303,25 @@ class Encoder:
         rate; enc_mode then floats in [cfg.enc_mode, 11]."""
         self._speed_target_fps = target_fps
         self._dyn_enc_mode = self.cfg.enc_mode
+
+    def _leaf_batchable(self, frame, rd) -> bool:
+        """True when this leaf picture would take the single-ref fused
+        fast path in encode_frame (the mesh-batched dispatch runs exactly
+        that graph; any condition that would fall to the host path or a
+        different graph disqualifies the picture from batching)."""
+        from ..preset import derive_preset
+        cfg = self.cfg
+        feat = derive_preset(cfg.enc_mode)
+        if rd is None:
+            rd = feat.rd_mode_decision
+        return (cfg.chroma_format == 1 and cfg.bit_depth == 8
+                and cfg.tile_columns == 1 and cfg.tile_rows == 1
+                and not cfg.constrained_motion_tiles
+                and not cfg.constrained_intra
+                and not cfg.improve_sharpness
+                and not cfg.bit_rate_reduction
+                and getattr(frame, "segment_ov", None) is None
+                and feat.ois_intra and not rd)
 
     def _flush_inflight(self) -> None:
         """Force-finish the pipelined picture in flight (host-path
@@ -390,11 +412,16 @@ class Encoder:
         self._au_since_bp += 1
         return wrap_nal(NalUnitType.PREFIX_SEI_NUT, sei.sei_rbsp(msgs))
 
-    def _derive_qp_map(self, y_plane: np.ndarray, base_qp: int) -> np.ndarray:
+    def _derive_qp_map(self, y_plane: np.ndarray, base_qp: int,
+                       frame=None) -> np.ndarray:
         """Per-CTB desired QP from TPU spatial activity (reference QPM,
         EbEncDecProcess.c QpmDeriveWeightsMinAndMax :1919): textured CTBs
         (high masking) take a higher QP, smooth ones a lower QP when
-        improve_sharpness; bit_rate_reduction biases the map upward."""
+        improve_sharpness; bit_rate_reduction biases the map upward.
+        With the full frame available, the content classes (grass/skin/
+        dark/stationary-edge, pipeline/content_class.py — the reference's
+        SourceBasedOperations classification,
+        EbSourceBasedOperationsProcess.c:1159-1369) refine the map."""
         import jax.numpy as jnp
 
         from ..tpu.analysis import ctb_activity
@@ -409,7 +436,20 @@ class Encoder:
         delta = np.round(1.5 * np.log2(act / gmean))
         lo = -3 if cfg.improve_sharpness else 0
         delta = np.clip(delta, lo, 3)
-        if cfg.improve_sharpness:
+        if cfg.improve_sharpness and frame is not None:
+            from .content_class import classify_ctbs, qp_class_delta
+            cwc = ww * frame.cb.shape[1] // y_plane.shape[1]
+            chc = hh * frame.cb.shape[0] // y_plane.shape[0]
+            classes = classify_ctbs(
+                yp,
+                pad_plane(np.asarray(frame.cb, np.int32), cwc, chc),
+                pad_plane(np.asarray(frame.cr, np.int32), cwc, chc),
+                ctb, activity=act, prev_y=self._prev_src_y,
+                bit_depth=cfg.bit_depth)
+            self._prev_src_y = yp
+            self.last_classes = classes
+            delta = delta + qp_class_delta(classes)
+        elif cfg.improve_sharpness:
             # dark-area protection (reference SourceBasedOperations dark
             # LCU classification, EbSourceBasedOperationsProcess.c:1159+):
             # banding in dark regions is highly visible — spend more bits
@@ -429,7 +469,8 @@ class Encoder:
                      non_ref: bool = False,
                      retain_pocs=None,
                      pipelined: bool = False,
-                     nal_type_override=None) -> EncodedPicture:
+                     nal_type_override=None,
+                     precomputed=None) -> EncodedPicture:
         """Encode one picture. refs_lX: list of (planes, poc) per list
         (None => derived from the single-ref low-delay DPB). qp_map:
         explicit per-CTB QP grid (overrides the derived QPM map).
@@ -497,7 +538,8 @@ class Encoder:
         # EbEncDecProcess.c:2838); segment_ov_enabled alone applies the
         # per-LCU overrides over a flat base map (:2854)
         if qp_map is None and (cfg.improve_sharpness or cfg.bit_rate_reduction):
-            qp_map = self._derive_qp_map(np.asarray(frame.y), qp)
+            qp_map = self._derive_qp_map(np.asarray(frame.y), qp,
+                                         frame=frame)
         if frame.segment_ov is not None:
             # per-CTB segment overrides (reference: SegmentOverride_t
             # applied per LCU, EbEncDecProcess.c:2854-2870)
@@ -539,7 +581,12 @@ class Encoder:
         # reference planes device-resident between frames, and let every
         # TPU stage (HME, OIS, dense MD, encode pass) consume the device
         # arrays — the tunneled chip pays ~70 ms latency per transfer
-        fast_capable = (cfg.chroma_format == 1 and cfg.bit_depth == 8
+        # 8-bit AND 10-bit run the device path: every kernel is int32
+        # with bit_depth a static knob (the reference's 10-bit runs the
+        # same full-speed path via its 16-bit kernel variants,
+        # EbPictureOperators.c:428-544)
+        fast_capable = (cfg.chroma_format == 1
+                        and cfg.bit_depth in (8, 10)
                         and len(tiles) == 1 and not mcts
                         and split_policy is None
                         and part_nxn_policy is None)
@@ -550,7 +597,7 @@ class Encoder:
         b_pair = (not is_idr and slice_type == 0
                   and refs_l0 is not None and len(refs_l0) == 1
                   and refs_l1 is not None and len(refs_l1) == 1)
-        if fast_capable:
+        if fast_capable and precomputed is None:
             from ..tpu import encode as tenc
 
             def dev_ref(entry):
@@ -588,7 +635,7 @@ class Encoder:
                       and qp_map is None and feat.ois_intra)
 
         me_seed = mv_dev = mv1_dev = None
-        if not is_idr and slice_type != 2:   # CRA: intra, no ME
+        if not is_idr and slice_type != 2 and precomputed is None:
             if ref_dev is not None:
                 from ..tpu.me import hme_search
                 mv_dev = hme_search(src_dev[0], ref_dev[0])[0]
@@ -616,7 +663,13 @@ class Encoder:
             # the NEXT frame first (frames-in-flight)
             from .fast_path import run_fast_b, run_fast_i, run_fast_p
             st = new_state()
-            if use_fast_i:
+            if precomputed is not None:
+                # mesh-batched leaf picture: the fused graph already ran
+                # (vmapped over the device mesh, parallel/pictures.py) —
+                # bind its per-lane outputs and fall through to the same
+                # host walk as the per-picture path
+                packed, rec_dev, mot_dev, lv_dev = precomputed
+            elif use_fast_i:
                 packed, rec_dev, mot_dev, lv_dev = run_fast_i(
                     cfg, feat, st, qp, src_dev)
             elif use_fast_b:
@@ -645,7 +698,7 @@ class Encoder:
                     mot_dev[0], mot_dev[1],
                     refs_l0[0][1] if (refs_l0 and not is_idr
                                       and slice_type != 2) else None)
-                while len(self._dev_motion) > 6:
+                while len(self._dev_motion) > self._dev_motion_cap:
                     del self._dev_motion[next(iter(self._dev_motion))]
             substreams = None
         else:
@@ -933,6 +986,26 @@ class Encoder:
         # MOD_QP_OFFSET_LAYER_ARRAY, EbRateControlProcess.h:46; LD
         # prediction structures EbPredictionStructure.c:72-236)
         hl = self.cfg.hierarchical_levels
+        # ---- mesh picture parallelism (cfg.mesh_pictures): batch the
+        # non-reference leaf pictures of the hierarchy into one vmapped
+        # graph sharded over the device mesh (parallel/pictures.py; the
+        # analogue of the reference's pictures-in-flight scaling,
+        # EbEncHandle.c:1645). Output order is preserved by an ordered
+        # slot queue; streams are byte-identical to single-device.
+        mesh_ndev = 0
+        if (self.cfg.mesh_pictures and self.cfg.rate_control_mode == 0
+                and frame_qps is None and hl > 0
+                and self.cfg.pred_structure == 0
+                and not self.cfg.enable_hrd
+                and self._speed_target_fps is None):
+            import jax as _jax
+            if len(_jax.devices()) > 1:
+                mesh_ndev = len(_jax.devices())
+                # leaf references must survive in the device motion cache
+                # until the batch flushes
+                self._dev_motion_cap = 2 * mesh_ndev + 2
+        leaf_q: list[dict] = []
+        out_q: list[list] = []
         ll_last: dict[int, tuple] = dict(self._ckpt_ll_last)
         if self._ckpt_rc_state is not None:
             rc.__dict__.update(self._ckpt_rc_state)
@@ -972,6 +1045,25 @@ class Encoder:
                              slice_type=m_stype, is_idr=m_idr,
                              display_idx=m_idx, decode_idx=m_idx)
 
+        def _flush_leaves():
+            """Encode the queued independent leaf pictures as ONE
+            mesh-sharded vmapped dispatch, then finish each lane's host
+            walk in display order (parallel/pictures.py)."""
+            if not leaf_q:
+                return
+            from ..preset import derive_preset
+            from ..parallel.pictures import dispatch_leaf_batch
+            feat_b = derive_preset(self.cfg.enc_mode)
+            pre = dispatch_leaf_batch(
+                self, feat_b, [e["item"] for e in leaf_q])
+            for e, p in zip(leaf_q, pre):
+                r = self.encode_frame(
+                    e["frame"], rd=rd, is_idr=False, poc=e["poc"],
+                    qp=e["qp"], slice_type=1, refs_l0=e["refs"],
+                    non_ref=True, retain_pocs=e["retain"],
+                    precomputed=p)
+                e["slot"][0] = _emit(r, e["meta"])
+            leaf_q.clear()
 
         for fr, window in stream:
             idx = self._frame_idx
@@ -1008,19 +1100,47 @@ class Encoder:
             # later pictures — keep them alive in the decoder's DPB
             retain = {e[2] for e in ll_last.values()}
             stype = 2 if is_idr else (0 if b_slices else 1)
+            meta = (idx, is_idr, stype, qp, window, t0, layer)
+
+            if (mesh_ndev and not is_idr and layer == hl and stype == 1
+                    and refs_l0 is not None and len(refs_l0) == 1
+                    and self._leaf_batchable(fr, rd)):
+                slot = [None]
+                leaf_q.append({
+                    "frame": fr, "poc": rel, "qp": qp, "refs": refs_l0,
+                    "retain": retain, "meta": meta, "slot": slot,
+                    "item": {"frame": fr, "poc": rel, "qp": qp,
+                             "ref": refs_l0[0],
+                             "col_poc": (refs_l0[0][1]
+                                         if self.cfg.tmvp else None)}})
+                out_q.append(slot)
+                if len(leaf_q) >= mesh_ndev:
+                    _flush_leaves()
+                while out_q and out_q[0][0] is not None:
+                    yield out_q.pop(0)[0]
+                continue
+            if mesh_ndev and is_idr:
+                # the queued leaves' collocated motion would be cleared by
+                # the IDR — encode them first (they precede it in order)
+                _flush_leaves()
 
             # one-frame-deep pipelining: dispatch this frame's device
             # graph before finalizing the previous frame, so the host
             # walk overlaps the device compute + download (safe under
             # CQP — the RC feedback path needs same-frame bits)
-            can_pipe = (rc.mode == 0 and self._speed_target_fps is None)
+            can_pipe = (rc.mode == 0 and self._speed_target_fps is None
+                        and not mesh_ndev)
             res = self.encode_frame(
                 fr, rd=rd, is_idr=is_idr, poc=rel, qp=qp,
                 slice_type=stype, refs_l0=refs_l0, non_ref=non_ref,
                 retain_pocs=retain, pipelined=can_pipe)
             if hl > 0 and (layer < hl or is_idr):
                 ll_last[0 if is_idr else layer] = (idx, res.ref_planes, rel)
-            meta = (idx, is_idr, stype, qp, window, t0, layer)
+            if mesh_ndev:
+                out_q.append([_emit(res, meta)])
+                while out_q and out_q[0][0] is not None:
+                    yield out_q.pop(0)[0]
+                continue
             if pending is not None:
                 yield _emit(*pending)
                 pending = None
@@ -1030,6 +1150,11 @@ class Encoder:
                 self._inflight = res
             else:
                 yield _emit(res, meta)
+        if mesh_ndev:
+            _flush_leaves()
+            for slot in out_q:
+                yield slot[0]
+            out_q.clear()
         if pending is not None:
             yield _emit(*pending)
             self._inflight = None

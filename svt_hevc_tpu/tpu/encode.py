@@ -1399,7 +1399,8 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
             d_l = satd_of(pred_of(mvL))
             d_t = satd_of(pred_of(mvT))
             bits_me = (_mvd_bits_dev(mv[..., 0] - mvL[..., 0])
-                       + _mvd_bits_dev(mv[..., 1] - mvL[..., 1]) + 4)
+                       + _mvd_bits_dev(mv[..., 1] - mvL[..., 1])
+                       + AMVP_BASE_BITS)
             zerL = (mvL == 0).all(-1)
             zerT = (mvT == 0).all(-1)
             bits_z = jnp.where(zerL | zerT, 3, 10)
@@ -1425,7 +1426,7 @@ def decide_tree_dev(md: dict, ois: dict, ctb_log2: int,
                 d_tm = jnp.where(v_t, satd_of(pred_of(mv_t)),
                                  jnp.int32(1 << 29))
                 cands_d.append(d_tm)
-                cands_bits.append(jnp.full_like(bits_me, 5))
+                cands_bits.append(jnp.full_like(bits_me, TMVP_BITS))
                 cands_mv.append(mv_t)
             bits_stack = jnp.stack(cands_bits)
             c_stack = jnp.stack(cands_d) + lam * bits_stack
@@ -2157,12 +2158,130 @@ P_LAMBDA_SCALE = 1.5
 # stage-2 bias (in bits, lambda-scaled) toward the merge-class candidate
 # when the true-RD costs are close: the reference's MD candidate ordering
 # + NFL pruning effectively applies the same preference (measured: its
-# CIF IPPP streams carry ~2 MVD CUs per frame)
-MERGE_BIAS_BITS = 8.0
+# CIF IPPP streams carry ~2 MVD CUs per frame). Env-overridable for BD
+# calibration sweeps (tools/bd_sweep.py); the default IS the calibration.
+import os as _os
+
+MERGE_BIAS_BITS = float(_os.environ.get("SVT_MERGE_BIAS", "8.0"))
+
+# signalling charge of the AMVP-coded (non-merge) candidate on top of
+# its MVD bits: merge_flag + pred_idc + ref_idx + mvp_flag bins
+AMVP_BASE_BITS = int(_os.environ.get("SVT_AMVP_BITS", "4"))
+
+# merge-index charge of the TMVP (collocated) candidate
+TMVP_BITS = int(_os.environ.get("SVT_TMVP_BITS", "5"))
 
 # MV-rate weight inside the dense search (integer units of the SAD
 # lambda; calibrated by BD sweep)
-ME_LAMBDA_SCALE = 1
+ME_LAMBDA_SCALE = int(_os.environ.get("SVT_ME_LAMBDA", "1"))
+
+# merge-snap preference (bits, SATD-lambda-scaled): a decided MV snaps
+# to a real merge candidate whose cost is within this margin
+SNAP_BIAS_BITS = int(_os.environ.get("SVT_SNAP_BIAS", "4"))
+SNAP_PASSES = int(_os.environ.get("SVT_SNAP_PASSES", "1"))
+
+
+def merge_snap(src, ref_ext4, mv8, inter8, cu_log2_8, qp,
+               col16_mv, col16_valid, tb, td,
+               ctb_log2: int, w: int, h: int, bit_depth: int = 8):
+    """Post-decision merge alignment pass.
+
+    The decision stage ranks merge-class candidates drawn from the ME
+    winner field, but the emit walk (pipeline/fast_path._compute_plan)
+    codes a CU as merge ONLY when its decided MV exactly equals a
+    candidate of the REAL merge list — which is built from the DECIDED
+    field at the spec positions (A1/B1/..., 8.5.3.2.3). A decided MV
+    that is merely close therefore falls back to AMVP + MVD: measured
+    at CIF M7, ~940 MVD CUs per 24 frames vs the reference's ~55 — MV
+    bits were 28% of the stream (the round-4 "merge chain breaks").
+
+    This pass re-reads the DECIDED field, derives each leaf CU's A1
+    (left, bottom) / B1 (top, right) / TMVP candidates exactly where the
+    merge list will look, and snaps the CU's MV to the best candidate
+    when its SATD cost is within SNAP_BIAS_BITS of the decided MV's
+    AMVP-priced cost. Snapped CUs then hit the merge (often skip) path
+    at emit time. (Reference analogue: merge candidates ranked inside
+    MD against real lists, EbModeDecision.c:1608.)"""
+    srcf = src.astype(jnp.int32)
+    lam = 2 * jnp.asarray(LAMBDA_SAD)[qp]      # SATD-domain lambda
+    lim_q = (PAD - 9) * 4
+    nby, nbx = inter8.shape
+    out = mv8
+    col16 = None
+    if col16_mv is not None:
+        col16 = _scale_mv_dev(col16_mv.astype(jnp.int32), tb, td)
+    # the decided field is uniform within each CU, so ONE full-field
+    # prediction serves every size's d_dec via boxsum
+    satd8_dec = _satd8_map(srcf - _mc_luma(ref_ext4, mv8, bit_depth,
+                                           True))
+    for s in (8, 16, 32, 64):
+        if (1 << ctb_log2) < s:
+            continue
+        k = s // 8
+        lg = s.bit_length() - 1
+        gy, gx = nby // k, nbx // k
+        leaf = (cu_log2_8[::k, ::k] == lg) & inter8[::k, ::k]
+        mv_cu = mv8[::k, ::k]
+
+        def upg(m):
+            return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+        def pred_of(mv_c):
+            mvf = jnp.stack([upg(mv_c[..., 0]), upg(mv_c[..., 1])], -1)
+            return _mc_luma(ref_ext4, mvf, bit_depth, True)
+
+        def satd_of(p):
+            return _boxsum(_satd8_map(srcf - p), k)
+
+        # spec merge positions in the decided 8-grid: A1 = block left of
+        # the CU's bottom-left corner; B1 = block above the top-right
+        rA1 = jnp.arange(gy) * k + (k - 1)
+        cA1 = jnp.arange(gx) * k - 1
+        rB1 = jnp.arange(gy) * k - 1
+        cB1 = jnp.arange(gx) * k + (k - 1)
+        vA1 = ((cA1 >= 0)[None, :]
+               & inter8[rA1[:, None], jnp.maximum(cA1, 0)[None, :]])
+        mvA1 = mv8[rA1[:, None], jnp.maximum(cA1, 0)[None, :]]
+        vB1 = ((rB1 >= 0)[:, None]
+               & inter8[jnp.maximum(rB1, 0)[:, None], cB1[None, :]])
+        mvB1 = mv8[jnp.maximum(rB1, 0)[:, None], cB1[None, :]]
+        cands = [(mvA1, vA1, 2), (mvB1, vB1, 3)]
+        if col16 is not None:
+            mv_t, v_t = _tmvp_candidate(col16, col16_valid, s,
+                                        (gy, gx), ctb_log2, w, h)
+            cands.append((jnp.clip(mv_t, -lim_q, lim_q), v_t, 5))
+
+        # decided-MV cost at AMVP pricing (MVD vs the A1 predictor, the
+        # emit walk's first AMVP candidate in the common case)
+        d_dec = _boxsum(satd8_dec, k)
+        bits_dec = (_mvd_bits_dev(mv_cu[..., 0] - mvA1[..., 0])
+                    + _mvd_bits_dev(mv_cu[..., 1] - mvA1[..., 1])
+                    + AMVP_BASE_BITS)
+        j_dec = d_dec + lam * bits_dec
+        best_j = jnp.full((gy, gx), 1 << 30, jnp.int32)
+        best_mv = mv_cu
+        already = jnp.zeros((gy, gx), bool)
+        for mv_c, v_c, bits_c in cands:
+            same = (mv_c == mv_cu).all(-1) & v_c
+            already = already | same
+            j_c = jnp.where(v_c, satd_of(pred_of(mv_c)) + lam * bits_c,
+                            1 << 30)
+            take = j_c < best_j
+            best_j = jnp.where(take, j_c, best_j)
+            best_mv = jnp.where(take[..., None], mv_c, best_mv)
+        # snap when a real candidate is within the preference margin and
+        # the decided MV is not already one of them (already-matching
+        # CUs merge for free at emit time)
+        snap = (leaf & ~already
+                & (best_j <= j_dec + lam * SNAP_BIAS_BITS))
+        new_cu = jnp.where(snap[..., None], best_mv, mv_cu)
+        leaf_up = upg(leaf & snap)
+        out = jnp.where(leaf_up[..., None], upg_mv(new_cu, k), out)
+    return out
+
+
+def upg_mv(m, k: int):
+    return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
@@ -2185,11 +2304,22 @@ def _fast_p_front(src_y, ref_y, hme_mv, qp, col16_mv, col16_valid,
     for n in (16, 32):
         mode, cost = intra_search_size(yf, n)
         ois[n] = (mode.astype(jnp.int32), jnp.round(cost).astype(jnp.int32))
-    return decide_tree_dev(
+    cu_log2_8, inter8, mv8, mode8 = decide_tree_dev(
         md, ois, ctb_log2, min_intra_log2=min_intra_log2, w=w, h=h,
         qp=qp, src=src_y, ref=ref_y,
         bit_depth=bit_depth,
         col_mv8=col16_mv, col_valid8=col16_valid, tb=tb, td=td)
+    # align the decided field with the REAL merge lists the emit walk
+    # will build from it (see merge_snap); a second pass re-reads the
+    # once-snapped field, letting merges chain through neighbors that
+    # themselves just snapped
+    ext4 = _ext_y(ref_y)
+    for _ in range(SNAP_PASSES):
+        mv8 = merge_snap(src_y, ext4, mv8, inter8, cu_log2_8, qp,
+                         col16_mv, col16_valid, tb, td,
+                         ctb_log2=ctb_log2, w=w, h=h,
+                         bit_depth=bit_depth)
+    return cu_log2_8, inter8, mv8, mode8
 
 
 def fast_p_fused_dev(src_y, src_cb, src_cr, ref_y, ref_cb, ref_cr,

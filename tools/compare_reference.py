@@ -140,8 +140,11 @@ def run_ours(clip, w, h, n, qp, preset, intra_period=-1,
         # levels with layered QP — a flat-QP IPPP on our side would
         # compare different structures again)
         kw = dict(pred_structure=0, hierarchical_levels=hierarchical_levels)
+    # CTB 64 anchors the comparison at the reference's LCU size (it has
+    # no other): without 64x64 merge/skip CUs every committed BD number
+    # carried a structural bits handicap at low rates (r4 verdict)
     cfg = EncoderConfig(width=w, height=h, qp=qp, enc_mode=preset,
-                        intra_period=intra_period,
+                        intra_period=intra_period, ctb_size=64,
                         scene_change_detection=False, **kw)
     enc = Encoder(cfg)
     frames = list(read_yuv420(clip, w, h, max_frames=n))
