@@ -89,11 +89,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pred-struct", type=int, default=0, dest="pred_struct",
                    choices=[0, 1, 2], help="0 LDP, 1 LDB, 2 random access")
     p.add_argument("-hierarchical-levels", type=int, default=0, dest="hl")
+    p.add_argument("-y4m", action="store_true",
+                   help="force Y4M parsing (for stdin pipes)")
     return p
 
 
 def frames_from(args, path):
-    if path.endswith(".y4m"):
+    """Frame iterator from a file path or '-' (stdin pipe).
+
+    '-' reads raw YUV (or Y4M with -y4m) from stdin — the
+    ffmpeg/GStreamer consumption surface (the reference ships an ffmpeg
+    lavc wrapper and a GstVideoEncoder element, ffmpeg_plugin/*.patch
+    and gstreamer-plugin/gstsvthevcenc.c; a pipe achieves the same
+    integration without patching either framework):
+
+        ffmpeg -i in.mp4 -f rawvideo -pix_fmt yuv420p - | \\
+          python -m svt_hevc_tpu.app -i - -w W -h H -b out.265
+    """
+    import sys
+    if path == "-":
+        f = sys.stdin.buffer
+        if args.y4m:
+            return read_y4m(f, max_frames=args.frames)
+        if not args.width or not args.height:
+            raise SystemExit("-w/-h are required for raw stdin input")
+        from .io.yuv import read_yuv
+        return read_yuv(f, args.width, args.height,
+                        max_frames=args.frames, bit_depth=args.bit_depth,
+                        chroma_format=args.color_format)
+    if path.endswith(".y4m") or args.y4m:
         return read_y4m(path, max_frames=args.frames)
     if not args.width or not args.height:
         raise SystemExit("-w/-h are required for raw .yuv input")
@@ -137,17 +161,25 @@ def _encode_channel(args, in_path, out_path, recon_path=None):
                                 frame_qps=frame_qps)
     dt = time.perf_counter() - t0
 
-    with open(out_path, "wb") as f:
-        f.write(stream)
+    if out_path == "-":
+        # Annex-B to stdout: the downstream pipe (ffmpeg/gst-launch
+        # h265parse, a muxer, a network sink) consumes it directly
+        sys.stdout.buffer.write(stream)
+        sys.stdout.buffer.flush()
+    else:
+        with open(out_path, "wb") as f:
+            f.write(stream)
     if recon_path:
         write_yuv420(recon_path, recons)
 
     n = len(frames)
     psnr = sum(r.psnr(f)[0] for r, f in zip(recons, frames)) / n
     kbps = 8 * len(stream) * (args.fps / n) / 1000.0
+    log = sys.stderr if out_path == "-" else sys.stdout
     print(f"{in_path}: encoded {n} frames {w}x{h}: {len(stream)} bytes "
           f"({kbps:.1f} kbit/s @ {args.fps} fps), "
-          f"avg PSNR-Y {psnr:.2f} dB, {n / dt:.2f} fps encode speed")
+          f"avg PSNR-Y {psnr:.2f} dB, {n / dt:.2f} fps encode speed",
+          file=log)
     return n, dt
 
 

@@ -233,3 +233,26 @@ def test_vbr_per_layer_models_hierarchical():
     # distinct per-layer models actually calibrated
     layers = {k[1] for k in enc.last_rc._gain}
     assert len(layers) >= 2, layers
+
+
+def test_cli_pipe_stdin_stdout(tmp_path):
+    """ffmpeg/GStreamer-style pipe integration: raw YUV on stdin,
+    Annex-B on stdout (the reference's plugin consumption surface,
+    ffmpeg_plugin/ + gstreamer-plugin/, served here by pipes)."""
+    frames = [make_frame(64, 64, "edges", seed=s) for s in range(2)]
+    import io as _io
+    buf = _io.BytesIO()
+    for fr in frames:
+        buf.write(np.asarray(fr.y, np.uint8).tobytes())
+        buf.write(np.asarray(fr.cb, np.uint8).tobytes())
+        buf.write(np.asarray(fr.cr, np.uint8).tobytes())
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "svt_hevc_tpu.app", "-i", "-",
+         "-w", "64", "-h", "64", "-q", "34", "-b", "-", "-fps", "30"],
+        input=buf.getvalue(), capture_output=True, env=env, timeout=240)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    from svt_hevc_tpu.decoder.decoder import decode_stream
+    decoded = decode_stream(r.stdout)
+    assert len(decoded) == 2
+    assert b"encoded 2 frames" in r.stderr
