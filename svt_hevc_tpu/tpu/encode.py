@@ -2286,6 +2286,115 @@ def upg_mv(m, k: int):
     return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
 
 
+def merge_snap_b(src, ext0, ext1, mv8_2l, ref8_2l, cu_log2_8, qp,
+                 ctb_log2: int, w: int, h: int, bit_depth: int = 8):
+    """Two-list merge alignment for B pictures (see merge_snap): a B
+    CU merges only when its ENTIRE motion info — both lists' use flags
+    and MVs — equals a real merge candidate's, so the snap adopts the
+    neighbor's full Mi (uni-L0 / uni-L1 / bi) at the A1/B1 positions.
+    Returns (mv8_2l, ref8_2l) with snapped fields."""
+    srcf = src.astype(jnp.int32)
+    lam = 2 * jnp.asarray(LAMBDA_SAD)[qp]
+    maxval = (1 << bit_depth) - 1
+    s_u = 14 - bit_depth
+    s_b = 15 - bit_depth
+    nby, nbx = cu_log2_8.shape
+    inter_any = (ref8_2l >= 0).any(0)
+
+    def field_pred(mv2, use0, use1):
+        """Rounded prediction of the full 8-grid field with per-block
+        uni/bi selection (luma only — the snap metric)."""
+        a = _mc_luma(ext0, mv2[0], bit_depth, False)
+        b = _mc_luma(ext1, mv2[1], bit_depth, False)
+        m0 = jnp.repeat(jnp.repeat(use0, 8, 0), 8, 1)
+        m1 = jnp.repeat(jnp.repeat(use1, 8, 0), 8, 1)
+        uni0 = (a + (1 << (s_u - 1))) >> s_u
+        uni1 = (b + (1 << (s_u - 1))) >> s_u
+        bi = (a + b + (1 << (s_b - 1))) >> s_b
+        out = jnp.where(m0 & m1, bi, jnp.where(m1, uni1, uni0))
+        return jnp.clip(out, 0, maxval)
+
+    u0_f = ref8_2l[0] >= 0
+    u1_f = ref8_2l[1] >= 0
+    satd8_dec = _satd8_map(srcf - field_pred(mv8_2l, u0_f, u1_f))
+
+    out_mv = mv8_2l
+    out_ref = ref8_2l
+    for s in (8, 16, 32, 64):
+        if (1 << ctb_log2) < s:
+            continue
+        k = s // 8
+        lg = s.bit_length() - 1
+        gy, gx = nby // k, nbx // k
+        leaf = (cu_log2_8[::k, ::k] == lg) & inter_any[::k, ::k]
+        mv_cu = mv8_2l[:, ::k, ::k]
+        u_cu = jnp.stack([u0_f[::k, ::k], u1_f[::k, ::k]])
+
+        rA1 = jnp.arange(gy) * k + (k - 1)
+        cA1 = jnp.arange(gx) * k - 1
+        rB1 = jnp.arange(gy) * k - 1
+        cB1 = jnp.arange(gx) * k + (k - 1)
+
+        def nb(rr, cc, ok):
+            rr_ = jnp.maximum(rr, 0)
+            cc_ = jnp.maximum(cc, 0)
+            mvn = mv8_2l[:, rr_[:, None], cc_[None, :]]
+            un = jnp.stack([u0_f[rr_[:, None], cc_[None, :]],
+                            u1_f[rr_[:, None], cc_[None, :]]])
+            vn = ok & inter_any[rr_[:, None], cc_[None, :]]
+            return mvn, un, vn
+
+        candA = nb(rA1, cA1, (cA1 >= 0)[None, :])
+        candB = nb(rB1, cB1, (rB1 >= 0)[:, None])
+
+        def upg2(m):
+            return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+        d_dec = _boxsum(satd8_dec, k)
+        # decided Mi at AMVP pricing: per used list, MVD vs the A1 MV
+        mvA = candA[0]
+        bits_dec = jnp.zeros((gy, gx), jnp.int32) + AMVP_BASE_BITS
+        for li in range(2):
+            bl = (_mvd_bits_dev(mv_cu[li, ..., 0] - mvA[li, ..., 0])
+                  + _mvd_bits_dev(mv_cu[li, ..., 1] - mvA[li, ..., 1]))
+            bits_dec = bits_dec + jnp.where(u_cu[li], bl, 0)
+        j_dec = d_dec + lam * bits_dec
+
+        best_j = jnp.full((gy, gx), 1 << 30, jnp.int32)
+        best_mv = mv_cu
+        best_u = u_cu
+        already = jnp.zeros((gy, gx), bool)
+        for (mvn, un, vn), bits_c in ((candA, 2), (candB, 3)):
+            same = ((mvn == mv_cu).all(0).all(-1)
+                    & (un == u_cu).all(0) & vn)
+            already = already | same
+            pred_c = field_pred(
+                jnp.stack([jnp.stack([upg2(mvn[li, ..., 0]),
+                                      upg2(mvn[li, ..., 1])], -1)
+                           for li in range(2)]),
+                upg2(un[0]), upg2(un[1]))
+            d_c = _boxsum(_satd8_map(srcf - pred_c), k)
+            j_c = jnp.where(vn, d_c + lam * bits_c, 1 << 30)
+            take = j_c < best_j
+            best_j = jnp.where(take, j_c, best_j)
+            best_mv = jnp.where(take[None, ..., None], mvn, best_mv)
+            best_u = jnp.where(take[None], un, best_u)
+        snap = (leaf & ~already
+                & (best_j <= j_dec + lam * SNAP_BIAS_BITS))
+        sn_up = upg2(leaf & snap)
+        new_mv = jnp.where(snap[None, ..., None], best_mv, mv_cu)
+        new_u = jnp.where(snap[None], best_u, u_cu)
+        out_mv = jnp.where(sn_up[None, ..., None],
+                           jnp.stack([upg_mv(new_mv[0], k),
+                                      upg_mv(new_mv[1], k)]), out_mv)
+        new_ref = jnp.stack([jnp.where(new_u[0], 0, -1),
+                             jnp.where(new_u[1], 0, -1)])
+        out_ref = jnp.where(sn_up[None],
+                            jnp.stack([upg2(new_ref[0]),
+                                       upg2(new_ref[1])]), out_ref)
+    return out_mv, out_ref
+
+
 @functools.partial(jax.jit, static_argnames=("ctb_log2", "bit_depth",
                                              "w", "h", "min_intra_log2",
                                              "subpel_min"))
@@ -2448,6 +2557,14 @@ def _fast_b_front(src_y, src_cb, src_cr,
         md0, md1, ois, ctb_log2, src_y, ref0_y, ref1_y,
         min_intra_log2=min_intra_log2, w=w, h=h, qp=qp,
         bit_depth=bit_depth)
+    # align the decided two-list field with the real merge lists (see
+    # merge_snap_b)
+    ext0 = _ext_y(ref0_y)
+    ext1 = _ext_y(ref1_y)
+    for _ in range(SNAP_PASSES):
+        mv8_2l, ref8_2l = merge_snap_b(
+            src_y, ext0, ext1, mv8_2l, ref8_2l, cu_log2_8, qp,
+            ctb_log2=ctb_log2, w=w, h=h, bit_depth=bit_depth)
     inter8 = (ref8_2l >= 0).any(0)
     tu_log2 = jnp.minimum(cu_log2_8, 5)
     out = encode_pass_b_direct(src_y, src_cb, src_cr,
