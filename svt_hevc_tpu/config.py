@@ -91,6 +91,13 @@ class EncoderConfig:
     segment_ov_enabled: bool = False
                                  # accept per-CTB Frame.segment_ov arrays
                                  # (reference: segmentOvEnabled, EbApi.h)
+    # multi-chip picture parallelism: batch the independent non-reference
+    # leaf pictures of hierarchical GOPs into ONE vmapped fused graph
+    # sharded over the device mesh (the TPU-native analogue of the
+    # reference's many-pictures-in-flight pipeline, EbEncHandle.c:1645;
+    # SURVEY §2.6 "data parallelism over pictures"). Streams are
+    # byte-identical to the single-device path (tests/test_mesh_encoder.py)
+    mesh_pictures: bool = False
 
     # --- tiles (EbApi.h tileColumnCount/tileRowCount/tileSliceMode) ---
     tile_columns: int = 1
