@@ -90,12 +90,15 @@ def classify_ctbs(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         tdiff = _ctb_mean(np.abs(cur - prv).astype(np.float32), ctb)
         gxv = np.abs(np.diff(cur.astype(np.float32), axis=1))
         gyv = np.abs(np.diff(cur.astype(np.float32), axis=0))
-        grad = (_ctb_mean(np.pad(gxv, ((0, 0), (0, 1)), mode="edge"), ctb)
-                + _ctb_mean(np.pad(gyv, ((0, 1), (0, 0)), mode="edge"), ctb))
-        # mean |gradient| over a CTB dilutes thin edges (a single
-        # 140-step edge column averages to ~4 over 64 columns): threshold
-        # at the level a strong edge reaches, not a textured field
-        stationary_edge = (tdiff < (2 << shift)) & (grad > (4 << shift))
+        g = (np.pad(gxv, ((0, 0), (0, 1)), mode="edge")
+             + np.pad(gyv, ((0, 1), (0, 0)), mode="edge"))
+        # a mean |gradient| dilutes thin edges (one 140-step edge column
+        # averages to ~2 over a 64-wide CTB): classify by the FRACTION
+        # of strong-edge pixels instead (the reference's edge detection
+        # is likewise a thresholded pixel count,
+        # EbPictureAnalysisProcess.c:3627)
+        edge_frac = _ctb_mean((g > (32 << shift)).astype(np.float32), ctb)
+        stationary_edge = (tdiff < (2 << shift)) & (edge_frac > 0.01)
     else:
         stationary_edge = np.zeros_like(grass)
 
